@@ -1,0 +1,93 @@
+"""The flagship extraction pipeline and its resumable runner.
+
+Pipeline shape (Ray-Data-first, SURVEY.md §7):
+
+    read/synth (Dataset of doc rows)
+      → map_batches(ExtractDocuments, batch_format="pyarrow",
+                    concurrency=N actors)        # the only heavy stage
+      → partitioned parquet sink with manifests  # checkpoint/lineage
+
+There are NO shuffles in the core chain: a document is one row, every
+per-doc fold stays inside one task, and output ordering is
+within-document only (SURVEY.md §2.9). The only cross-doc exchange is
+the resume anti-join, done as a broadcast-set filter
+(``ray.put`` once → filter inside map_batches), never a shuffle join.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import io as dio
+from ..stages.extract import ExtractDocuments
+
+
+def _default_concurrency() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds: cap BELOW the cluster CPU count so
+    the read/generate and write task pools always have CPUs — an actor
+    pool that reserves every CPU starves the other stages and the
+    pipeline deadlocks (observed on 8 CPUs with concurrency=8)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(1, cpus - 2))
+
+
+def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
+                        batch_size: int = 64):
+    """Attach the extraction stage to a documents Dataset.
+
+    ``batch_size=64`` documents/batch: a doc averages 10-100 spans so a
+    batch stays well under block limits even for many-page docs, while
+    amortizing the per-batch Arrow flatten; the actor pool is sized to
+    the cluster CPUs so the (cheap) generation/read stage can't starve it.
+    """
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    return ds.map_batches(
+        ExtractDocuments,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def _broadcast_anti_join(ds, completed: set[str]):
+    """Resume anti-join (J4): drop already-completed doc_ids via a
+    broadcast set — no shuffle. The set ships through the object store
+    once (``ray.put``) and each task reads it zero-copy."""
+    if not completed:
+        return ds
+    import ray
+    ref = ray.put(completed)
+
+    def drop_done(batch: pa.Table) -> pa.Table:
+        done = ray.get(ref)
+        mask = [d not in done for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(drop_done, batch_format="pyarrow")
+
+
+def run_resumable(ds_factory, output_path: str, *,
+                  concurrency: Optional[int] = None,
+                  batch_size: int = 64,
+                  lineage: Optional[dict[str, Any]] = None) -> dict[str, Any]:
+    """Run extraction over ``ds_factory()`` writing a new atomic
+    partition; docs already present in finished partitions are skipped.
+    A killed run loses only its unfinished partition (tmp dir is never
+    visible), so rerunning converges without reprocessing."""
+    completed = dio.completed_doc_ids(output_path)
+    ds = ds_factory()
+    ds = _broadcast_anti_join(ds, completed)
+    out = extraction_pipeline(ds, concurrency=concurrency, batch_size=batch_size)
+    part = dio.next_partition_index(output_path)
+    manifest = dio.write_partition(out, output_path, part, lineage=lineage)
+    manifest["skipped_docs"] = len(completed)
+    return manifest

@@ -1,0 +1,68 @@
+"""Checkpoint/resume: a second run skips completed docs; a killed run
+(simulated by processing only a prefix) converges on rerun without
+reprocessing (SURVEY.md §4.2, north-rule resumability)."""
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_context_extractor_agent_ray import io as dio
+from pdf_context_extractor_agent_ray.pipelines.extraction import run_resumable
+from pdf_context_extractor_agent_ray.schema import docs_to_table
+from pdf_context_extractor_agent_ray.synth import generate_corpus
+
+
+@pytest.fixture()
+def corpus():
+    return generate_corpus(60, prefix="resume")
+
+
+def _read_all_doc_ids(out_dir):
+    ids = []
+    for part in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, part)
+        if not part.startswith("part-") or not os.path.isdir(p):
+            continue
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                ids.extend(pq.read_table(os.path.join(p, f),
+                                         columns=["doc_id"]).column("doc_id").to_pylist())
+    return ids
+
+
+def test_resume_skips_completed(ray_session, corpus, tmp_path):
+    import ray.data as rd
+    out = str(tmp_path / "out")
+
+    # "killed" first run: only the first 25 docs were committed
+    m1 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus[:25])), out,
+                       concurrency=2, lineage={"input": "corpus[:25]"})
+    assert m1["num_docs"] == 25
+
+    # rerun over the FULL input: only the remaining 35 are processed
+    m2 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus)), out,
+                       concurrency=2, lineage={"input": "corpus"})
+    assert m2["num_docs"] == 35
+    assert m2["skipped_docs"] == 25
+
+    ids = _read_all_doc_ids(out)
+    assert sorted(ids) == sorted(d["doc_id"] for d in corpus)
+    assert len(ids) == len(set(ids))  # no doc processed twice
+
+    manifests = dio.load_manifests(out)
+    assert len(manifests) == 2
+    assert all(m["stage_version"] == dio.STAGE_VERSION for m in manifests)
+
+    # idempotent third run: nothing left to do
+    m3 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus)), out, concurrency=2)
+    assert m3["num_docs"] == 0
+
+
+def test_no_half_visible_partitions(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    import ray.data as rd
+    run_resumable(lambda: rd.from_arrow(docs_to_table(corpus[:10])), out, concurrency=2)
+    # only fully-committed part dirs with manifests are visible
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert parts and all(
+        os.path.exists(os.path.join(out, p, dio.MANIFEST_NAME)) for p in parts)
