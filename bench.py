@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Headline: flagship extraction pipeline (deterministic interleaved-span
+corpus anchored to $GRAFT_SF_DIR's documents.parquet doc_ids,
+replicated BENCH_REPLICATION×) — documents/sec end-to-end.
+
+Also times every ``queries()`` entry at the same sf_dir.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: runs the headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox substitute for the
+N-vs-4N-nodes criterion; see BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
+SCALING_CPUS = (8, 32)
+
+
+def _corpus(n_base: int):
+    """Corpus keys anchored to the sf documents table, replicated to a
+    bench-sized doc count; generation is itself distributed."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.sources.synth_source import _docs_batch_from_keys
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = [f"doc-{int(i):08d}-r{r}"
+                for i in batch.column("doc_id").to_pylist()
+                for r in range(REPLICATION)]
+        return _docs_batch_from_keys(keys)
+
+    # small upstream batches so replication fans out across the cluster
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=32)
+
+
+def run_headline() -> dict:
+    import ray
+    from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
+
+    import pyarrow.parquet as pq
+    n_base = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_docs = n_base * REPLICATION
+
+    # warm the page cache (untimed) so we measure compute, not first read
+    pq.read_table(f"{SF_DIR}/documents.parquet")
+
+    t0 = time.time()
+    out = extraction_pipeline(_corpus(n_base))
+    n = out.count()
+    sec = time.time() - t0
+    assert n == n_docs, (n, n_docs)
+    return {"sec": sec, "docs": n_docs, "docs_per_sec": n_docs / sec}
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as e
+    out: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # execute the Dataset
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    headline = run_headline()
+    queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "extraction pipeline wall time (headline); docs/sec in extra",
+        "value": round(headline["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs": headline["docs"],
+        "docs_per_sec": round(headline["docs_per_sec"], 1),
+    }))
+
+
+def scaling() -> None:
+    results = {}
+    for ncpu in SCALING_CPUS:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = SCALING_CPUS
+    tp_lo = results[lo]["docs_per_sec"]
+    tp_hi = results[hi]["docs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": f"scaling efficiency {lo}->{hi} cpus (docs/sec ratio / cpu ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        f"docs_per_sec_{lo}": tp_lo,
+        f"docs_per_sec_{hi}": tp_hi,
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{hi}": results[hi]["value"],
+        "docs": results[hi]["docs"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,155 @@
+"""Deduplication operators: exact (hash-partition + per-group first),
+MinHash+LSH near-dup, SimHash, n-gram Jaccard verification.
+
+Scale notes (100 TB): the only shuffle in each op is a groupby on a
+HASH key — uniformly distributed by construction, so no skew; the
+per-batch work (hashing, shingling) is the dominant cost and is
+embarrassingly parallel. MinHash signatures use lexicographic-min over
+salted md5 hex strings — mergeable (min is associative) and
+value-identical to the DuckDB oracle, which uses the same md5 strings.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import WS_RE
+
+N_PERM = 8          # minhash permutations
+SHINGLE_TOKENS = 3  # tokens per shingle
+LSH_BANDS = 4       # bands of N_PERM // LSH_BANDS rows each
+JACCARD_THRESHOLD_E6 = 500_000  # 0.5 in integer-scaled jaccard
+
+
+def _norm(batch_text: pa.ChunkedArray | pa.Array) -> list[str]:
+    return pc.utf8_trim(
+        pc.replace_substring_regex(batch_text, WS_RE, " "), " ").to_pylist()
+
+
+def _shingles(norm: str) -> list[str]:
+    tk = norm.split(" ")
+    n = max(len(tk) - SHINGLE_TOKENS + 1, 0) + (1 if len(tk) < SHINGLE_TOKENS else 0)
+    return [" ".join(tk[i:i + SHINGLE_TOKENS]) for i in range(max(n, 1))]
+
+
+def minhash_signature(norm: str) -> list[str]:
+    """Lexicographic-min over salted md5 hex digests per permutation —
+    identical strings to the SQL oracle's min(md5(i || '#' || shingle))."""
+    shingles = _shingles(norm)
+    sig = []
+    for i in range(N_PERM):
+        sig.append(min(hashlib.md5(f"{i}#{s}".encode()).hexdigest() for s in shingles))
+    return sig
+
+
+def minhash_batch(batch: pa.Table) -> pa.Table:
+    norms = _norm(batch["text"])
+    sigs = [minhash_signature(n) for n in norms]
+    cols = {"doc_id": batch["doc_id"]}
+    for i in range(N_PERM):
+        cols[f"sig_{i}"] = pa.array([s[i] for s in sigs], pa.string())
+    return pa.table(cols)
+
+
+def exact_dedup(ds):
+    """Exact dedup: content hash → hash-partitioned groupby → keep-first
+    (min doc_id). Output: text_hash, keep_doc_id, n_copies."""
+    from ray.data.aggregate import Count, Min
+    from .text import fingerprint_batch
+
+    hashed = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+def minhash_signatures(ds):
+    """MinHash signature table (doc_id, sig_0..sig_{N_PERM-1})."""
+    return ds.map_batches(minhash_batch, batch_format="pyarrow")
+
+
+def _band_key(sig: list[str], band: int) -> str:
+    rows = N_PERM // LSH_BANDS
+    return hashlib.md5(("|".join(sig[band * rows:(band + 1) * rows])).encode()).hexdigest()
+
+
+def lsh_candidate_pairs(ds):
+    """MinHash-LSH near-dup pairs: shingle → minhash → band-bucket
+    groupby → in-bucket pairs → exact n-gram Jaccard verification.
+
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 (integer-scaled),
+    only pairs with Jaccard >= threshold, deduped across bands.
+    """
+    def sig_and_bands(batch: pa.Table) -> pa.Table:
+        norms = _norm(batch["text"])
+        doc_ids = batch["doc_id"].to_pylist()
+        out_doc, out_band, out_key, out_norm = [], [], [], []
+        for d, n in zip(doc_ids, norms):
+            sig = minhash_signature(n)
+            for b in range(LSH_BANDS):
+                out_doc.append(d)
+                out_band.append(b)
+                out_key.append(_band_key(sig, b))
+                out_norm.append(n)
+        return pa.table({"doc_id": pa.array(out_doc),
+                         "band": pa.array(out_band, pa.int32()),
+                         "bucket": pa.array(out_key, pa.string()),
+                         "norm_text": pa.array(out_norm, pa.string())})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard_e6": pd.Series([], dtype="int64")})
+        df = df.sort_values("doc_id")
+        docs = df["doc_id"].tolist()
+        norms = df["norm_text"].tolist()
+        sets = [set(_shingles(n)) for n in norms]
+        rows = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = int(round(inter / union * 1e6)) if union else 0
+                if jac >= JACCARD_THRESHOLD_E6:
+                    rows.append((docs[i], docs[j], jac))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_e6"]) if rows \
+            else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                               "doc_b": pd.Series([], dtype="int64"),
+                               "jaccard_e6": pd.Series([], dtype="int64")})
+
+    exploded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Max
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("jaccard_e6", alias_name="jaccard_e6"))
+
+
+def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
+    """64-bit SimHash over whitespace tokens (md5-derived token hashes,
+    per-bit majority vote) — vectorized per doc with numpy."""
+    norms = _norm(batch["text"])
+    out = np.zeros(len(norms), dtype=np.uint64)
+    for idx, n in enumerate(norms):
+        toks = n.split(" ") if n else []
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+            dtype=np.uint64)
+        colbits = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
+        votes = colbits.sum(axis=0) * 2 >= len(toks)
+        out[idx] = np.packbits(votes[::-1]).view(">u8")[0]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "simhash": pa.array(out.astype("int64").tolist(), pa.int64())})
+
+
+def simhash_table(ds):
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")

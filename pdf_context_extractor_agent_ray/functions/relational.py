@@ -1,0 +1,204 @@
+"""Relational engine primitives, Ray-Data-first.
+
+These exercise the generic capabilities every pipeline needs — filter,
+project, grouped aggregate, broadcast join, windowed aggregate,
+top-k — with the at-scale patterns baked in:
+
+- **pre-aggregation**: partial sums per batch inside ``map_batches``
+  (one row per key per batch) BEFORE the shuffle groupby, so the
+  all-to-all moves keys, not rows;
+- **broadcast join**: small dimension tables ship once via ``ray.put``
+  and join as dict lookups per batch — no shuffle;
+- **top-k**: per-batch partial top-k, then a single tiny sort.
+
+All money aggregates are integer-scaled (``*_cents``) so the DuckDB
+oracles hash identically (no float-sum ordering noise).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
+    """TPC-H Q1-shaped grouped aggregate with per-batch partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff_ts))
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        tmp = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty_c": pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100), round_mode="half_towards_infinity"), pa.int64()),
+            "price_c": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100), round_mode="half_towards_infinity"), pa.int64()),
+            "disc_c": pc.cast(pc.round(pc.multiply(disc_price, 100), round_mode="half_towards_infinity"), pa.int64()),
+        })
+        # partial combine: one row per (flag, status) per batch
+        df = tmp.to_pandas()
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_cents=("qty_c", "sum"), sum_price_cents=("price_c", "sum"),
+            sum_disc_price_cents=("disc_c", "sum"), n_rows=("qty_c", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+                   Sum("sum_price_cents", alias_name="sum_price_cents"),
+                   Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+                   Sum("n_rows", alias_name="n_rows"))
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Revenue top-k with a broadcast dimension join: orders aggregate
+    per customer (pre-aggregated), customer names joined via a
+    broadcast dict — no shuffle join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment"])
+    lookup = {k_: (n, s) for k_, n, s in zip(cust["c_custkey"].to_pylist(),
+                                             cust["c_name"].to_pylist(),
+                                             cust["c_mktsegment"].to_pylist())}
+    ref = ray.put(lookup)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "price_c": pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100), round_mode="half_towards_infinity"), pa.int64()),
+        }).to_pandas()
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            revenue_cents=("price_c", "sum"), n_orders=("price_c", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                                        Sum("n_orders", alias_name="n_orders"))
+
+    def attach_and_rank(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        df = df.sort_values(["revenue_cents", "o_custkey"],
+                            ascending=[False, True]).head(k).copy()
+        df["c_name"] = [lk.get(c, ("", ""))[0] for c in df["o_custkey"]]
+        df["c_mktsegment"] = [lk.get(c, ("", ""))[1] for c in df["o_custkey"]]
+        return df
+
+    # the aggregate result is tiny: single-partition final top-k
+    return agg.repartition(1).map_batches(attach_and_rank, batch_format="pandas")
+
+
+def events_windowed(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate over the events stream table:
+    window key computed per batch (epoch-hour bucket), partial counts
+    pre-aggregated, then the small groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"), pa.int64())
+        df = pa.table({
+            "window_start_us": hour,
+            "event_type": batch["event_type"],
+            "value_c": pc.cast(pc.round(pc.multiply(batch["value"], 100), round_mode="half_towards_infinity"), pa.int64()),
+        }).to_pandas()
+        agg = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start_us", "event_type"]) \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value_cents", alias_name="sum_value_cents"))
+
+
+def filter_sort_topk(sf_dir: str, k: int = 20):
+    """Filter + project + global top-k via per-batch partial top-k
+    (never a full sort of the input)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        df = pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "price_cents": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100), round_mode="half_towards_infinity"),
+                                   pa.int64()),
+        }).to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["price_cents", "l_orderkey", "l_linenumber"],
+                           ascending=[False, True, True]).head(k),
+            preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["price_cents", "l_orderkey", "l_linenumber"],
+                              ascending=[False, True, True]).head(k)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pandas")
+
+
+def region_rollup(sf_dir: str):
+    """customer → nation → region rollup via broadcast dimension maps
+    (region/nation are tiny: classic broadcast-join shape)."""
+    import ray
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    ref = ray.put((n2r, r2name))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(ref)
+        nk = batch["c_nationkey"].to_pylist()
+        names = [r2name_[n2r_[n]] for n in nk]
+        df = pa.table({
+            "r_name": pa.array(names, pa.string()),
+            "bal_c": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100), round_mode="half_towards_infinity"), pa.int64()),
+        }).to_pandas()
+        agg = df.groupby("r_name", as_index=False).agg(
+            n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"),
+                                     Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"))
+
+
+def segment_stats(sf_dir: str):
+    """Distinct-ish aggregate: customers per market segment."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "bal_c": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100), round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"),
+                                           Sum("bal_c", alias_name="sum_acctbal_cents"))

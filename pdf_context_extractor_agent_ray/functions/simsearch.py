@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE
+via ``ray.put`` and every batch does one numpy matmul against it
+(never re-shipped per batch); per-batch partial top-k rows are tiny, so
+the final per-query exact top-k reduction is a small groupby, not an
+all-to-all of the corpus. Scale path: LSH-bucketed variant that prunes
+candidates by hyperplane signature before the exact rerank.
+
+Similarities are integer-scaled (``sim_e6 = round(cos * 1e6)``) so the
+DuckDB oracle (list_cosine_similarity over DOUBLE[]) matches bit-exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .util import round_half_away_e
+
+DEFAULT_K = 10
+N_HYPERPLANES = 8  # LSH variant: 2^8 buckets
+
+
+def _matrix(batch: pa.Table) -> np.ndarray:
+    col = batch["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_topk(ds, query_vectors: dict[int, list[float]], k: int = DEFAULT_K):
+    """Exact cosine top-k per query. ``query_vectors``: query_id -> vec.
+
+    Output: query_id, vec_id, sim_e6, rank (1-based), excluding the
+    query ids themselves from the candidate set.
+    """
+    import ray
+
+    qids = sorted(query_vectors)
+    Qraw = np.array([query_vectors[q] for q in qids], dtype=np.float64)
+    ref = ray.put((qids, Qraw))
+    qid_set = set(qids)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids_, Qraw_ = ray.get(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = ~np.isin(vec_ids, list(qid_set))
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim_e6": pa.array([], pa.int64())})
+        M = _matrix(batch)[keep]
+        vec_ids = vec_ids[keep]
+        # dot / (|a|*|b|): same op order as DuckDB list_cosine_similarity
+        sims = (M @ Qraw_.T) / (np.linalg.norm(M, axis=1)[:, None]
+                                * np.linalg.norm(Qraw_, axis=1)[None, :])
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(vec_ids))
+        for col, qid in enumerate(qids_):
+            s = sims[:, col]
+            # partial top-k inside the batch; ties broken by vec_id asc
+            se6 = round_half_away_e(s)
+            idx = np.lexsort((vec_ids, -se6))[:kk]
+            out_q.extend([qid] * len(idx))
+            out_v.extend(vec_ids[idx].tolist())
+            out_s.extend(se6[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim_e6": pa.array(out_s, pa.int64())})
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim_e6", "vec_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def load_query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:
+    """Deterministic query set: the first ``n_queries`` vec_ids."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = {}
+    for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if vid < n_queries:
+            out[vid] = emb
+    return out
+
+
+def _hyperplanes(dim: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(N_HYPERPLANES, dim)
+
+
+def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
+                     k: int = DEFAULT_K, probe_hamming: int = 1):
+    """Approximate scale path: random-hyperplane LSH. Vectors are
+    bucketed by sign signature; each query only scores buckets within
+    ``probe_hamming`` of its own signature. At 100 TB the bucket column
+    becomes the partition key so each query touches a fraction of blocks.
+
+    Output schema matches knn_topk (results approximate by design).
+    """
+    import ray
+
+    qids = sorted(query_vectors)
+    Q = np.array([query_vectors[q] for q in qids], dtype=np.float64)
+    H = _hyperplanes(Q.shape[1])
+    qsig = (Q @ H.T > 0).astype(np.uint8)
+    # all signatures within hamming distance of each query signature
+    def expand(sig: np.ndarray) -> set[int]:
+        base = int(np.packbits(sig, bitorder="little")[0])
+        buckets = {base}
+        if probe_hamming >= 1:
+            for b in range(N_HYPERPLANES):
+                buckets.add(base ^ (1 << b))
+        return buckets
+
+    probes = {qid: expand(qsig[i]) for i, qid in enumerate(qids)}
+    ref = ray.put((qids, _normalize_rows(Q), H, probes))
+    qid_set = set(qids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, Qn, H_, probes_ = ray.get(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = ~np.isin(vec_ids, list(qid_set))
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            M = _matrix(batch)[keep]
+            vids = vec_ids[keep]
+            sigs = np.packbits((M @ H_.T > 0).astype(np.uint8),
+                               axis=1, bitorder="little")[:, 0]
+            Mn = _normalize_rows(M)
+            sims = Mn @ Qn.T
+            for col, qid in enumerate(qids_):
+                mask = np.isin(sigs, list(probes_[qid]))
+                if not mask.any():
+                    continue
+                se6 = round_half_away_e(sims[mask, col])
+                v = vids[mask]
+                idx = np.lexsort((v, -se6))[:min(k, len(v))]
+                out_q.extend([qid] * len(idx))
+                out_v.extend(v[idx].tolist())
+                out_s.extend(se6[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim_e6": pa.array(out_s, pa.int64())})
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim_e6", "vec_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def label_stats(ds):
+    """Per-label embedding stats: count + integer-scaled mean of the
+    first component (partial aggregation inside map_batches, then a
+    small groupby — the pre-aggregate pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    def first_comp(batch: pa.Table) -> pa.Table:
+        M = _matrix(batch)
+        return pa.table({"label": batch["label"],
+                         "c0_e6": pa.array(round_half_away_e(M[:, 0]), pa.int64())})
+
+    return ds.map_batches(first_comp, batch_format="pyarrow") \
+        .groupby("label").aggregate(Count(alias_name="n"),
+                                    Sum("c0_e6", alias_name="sum_c0_e6"))

@@ -1,0 +1,118 @@
+"""Text-analysis operators over flat document tables.
+
+All hot paths are vectorized pyarrow.compute kernels (RE2 — the same
+regex engine DuckDB uses, which is what makes the SQL oracles
+value-exact). Regex constants are shared with the SQL strings in
+``__ray_entry__.oracle_sql`` — keep them in lockstep.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# shared with the SQL oracles (RE2 syntax on both sides)
+WS_RE = r"[ \t\r\n\f\v]+"
+TOKEN_RE = r"[^ ]+"
+PUNCT_RE = r"[.,!?;:]"
+DIGIT_RE = r"[0-9]"
+STOPWORD_RES = {
+    "en": r"\b(the|and|of|to|in|a|is|it|for|on)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu|den|mit)\b",
+    "fr": r"\b(le|la|les|et|est|un|une|des|en|du)\b",
+}
+LANG_ORDER = ["en", "de", "fr"]  # deterministic tie-break: first wins
+FINGERPRINT_PREFIX = 30
+
+# quality thresholds for the keep flag
+MIN_CHARS = 80
+MAX_PUNCT_RATIO_PCT = 20
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, norm_text, n_chars — whitespace collapse + space trim
+    (the engine's analogue of the reference cell clean,
+    src/table_extractor.py:343-345)."""
+    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "norm_text": norm,
+        "n_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+    })
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pc.cast(pc.count_substring_regex(norm, TOKEN_RE), pa.int64()),
+        "n_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality features + keep flag (length / punctuation /
+    stopword heuristics, all int-valued for exact oracle hashing)."""
+    text = batch["text"]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
+    n_digits = pc.cast(pc.count_substring_regex(text, DIGIT_RE), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    n_stop = pc.cast(pc.count_substring_regex(text, STOPWORD_RES["en"]), pa.int64())
+    keep = pc.and_(
+        pc.greater_equal(n_chars, MIN_CHARS),
+        pc.less_equal(pc.multiply(n_punct, 100),
+                      pc.multiply(pc.max_element_wise(n_chars, 1), MAX_PUNCT_RATIO_PCT)),
+    )
+    return pa.table({
+        "doc_id": batch["doc_id"], "n_chars": n_chars, "n_punct": n_punct,
+        "n_digits": n_digits, "n_tokens": n_tokens, "n_stopwords": n_stop,
+        "keep": keep,
+    })
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """n-gram/stopword language ID: per-language marker-word counts,
+    argmax with deterministic tie-break (LANG_ORDER)."""
+    text = batch["text"]
+    scores = {lang: pc.count_substring_regex(text, rx).to_numpy(zero_copy_only=False)
+              for lang, rx in STOPWORD_RES.items()}
+    import numpy as np
+    mat = np.stack([scores[lang] for lang in LANG_ORDER])  # first axis wins ties
+    best = mat.argmax(axis=0)
+    pred = np.array(LANG_ORDER, dtype=object)[best]
+    pred[mat.max(axis=0) == 0] = "und"
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "pred_lang": pa.array(list(pred), pa.string()),
+        "score": pa.array(mat.max(axis=0), pa.int64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprint: md5 of the first FINGERPRINT_PREFIX chars of
+    the normalized text (document fingerprinting for exact dedup)."""
+    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    prefixes = pc.utf8_slice_codeunits(norm, 0, FINGERPRINT_PREFIX).to_pylist()
+    hashes = [hashlib.md5(p.encode()).hexdigest() for p in prefixes]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text_hash": pa.array(hashes, pa.string()),
+    })
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
+    """Rolling-hash document fingerprint: min md5 over sliding
+    character windows of the normalized text (a robust-to-edit
+    fingerprint; windowed analogue of winnowing)."""
+    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ").to_pylist()
+    out = []
+    for s in norm:
+        if len(s) <= window:
+            out.append(hashlib.md5(s.encode()).hexdigest())
+        else:
+            out.append(min(hashlib.md5(s[i:i + window].encode()).hexdigest()
+                           for i in range(0, len(s) - window + 1, 4)))
+    return pa.table({"doc_id": batch["doc_id"],
+                     "rolling_hash": pa.array(out, pa.string())})
