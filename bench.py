@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATION = int(os.environ.get("BENCH_REPLICATION", "20"))
+REPLICATION = int(os.environ.get("BENCH_REPLICATION", "40"))
 SCALING_CPUS = (8, 32)
 
 
@@ -45,7 +45,7 @@ def _corpus(n_base: int):
         return _docs_batch_from_keys(keys)
 
     # small upstream batches so replication fans out across the cluster
-    return ds.map_batches(explode, batch_format="pyarrow", batch_size=32)
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=8)
 
 
 def run_headline() -> dict:

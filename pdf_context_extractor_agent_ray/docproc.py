@@ -425,19 +425,29 @@ def _clean_name(cell: Optional[str]) -> str:
     return str(cell).strip().replace("\n", "").replace("\r", "").strip()
 
 
-def identify_structure(table: list[list[str]], st_type: str) -> dict[str, Any]:
+def _row_names(table: list[list[str]]) -> list[tuple[str, str]]:
+    """Cleaned (col0, col1) names per row, computed once per table —
+    identify_structure is the hot path (3 statement types × anchors ×
+    rows) and must not re-clean cells per key."""
+    out = []
+    for row in table:
+        n0 = _clean_name(row[0]) if row else ""
+        n1 = _clean_name(row[1]) if row and len(row) > 1 else ""
+        out.append((n0, n1))
+    return out
+
+
+def identify_structure(table: list[list[str]], st_type: str,
+                       row_names: Optional[list[tuple[str, str]]] = None) -> dict[str, Any]:
     b = banks()
     structures = b.key_structures[st_type]
+    if row_names is None:
+        row_names = _row_names(table)
     key_positions: dict[str, int] = {}
     for key_name, pats, _req in structures:
-        for row_idx, row in enumerate(table):
-            if not row:
-                continue
+        for row_idx, names in enumerate(row_names):
             found = False
-            for col_idx in (0, 1):
-                if len(row) <= col_idx:
-                    continue
-                name = _clean_name(row[col_idx])
+            for name in names:
                 if not name:
                     continue
                 for pat in pats:
@@ -568,9 +578,43 @@ def extract_row_values(row: list[str], header_info: dict[str, Optional[int]],
             if k in ("current_period", "previous_period", "note")}
 
 
-def parse_statement(table: list[list[str]], st_type: str) -> dict[str, Any]:
+_CLASSIFY_MEMO: dict[tuple[str, str], Optional[tuple[str, str]]] = {}
+
+
+def classify_item(st_type: str, item_name: str) -> Optional[tuple[str, str]]:
+    """First-match-wins classification of a row name against the
+    statement's pattern bank (+ the balance-sheet total router).
+
+    Pure function of (st_type, item_name) — memoized per worker process
+    because item names repeat across millions of documents; the memo is
+    a transparent cache, never a semantic change.
+    """
+    key = (st_type, item_name)
+    memo = _CLASSIFY_MEMO
+    if key in memo:
+        return memo[key]
+    b = banks()
+    hit: Optional[tuple[str, str]] = None
+    for sec, std_name, pats in b.item_banks[st_type]:
+        if any(pat.search(item_name) for pat in pats):
+            hit = (sec, std_name)
+            break
+    if hit is None and st_type == "balance_sheet":
+        for sec, std_name, pat in b.bs_totals:
+            if pat.search(item_name):
+                hit = (sec, std_name)
+                break
+    if len(memo) < 200_000:
+        memo[key] = hit
+    return hit
+
+
+def parse_statement(table: list[list[str]], st_type: str,
+                    structure: Optional[dict[str, Any]] = None) -> dict[str, Any]:
     """Classify rows into ordered standardized items (the reference's
-    ``ordered_items`` contract, balance_sheet.py:114-277)."""
+    ``ordered_items`` contract, balance_sheet.py:114-277). ``structure``
+    may be passed in when already identified (extract_document computes
+    it during statement-type detection)."""
     b = banks()
     analyzer = ColumnAnalyzer()
     result: dict[str, Any] = {
@@ -586,7 +630,8 @@ def parse_statement(table: list[list[str]], st_type: str) -> dict[str, Any]:
         result["structure_info"] = {"is_valid": False, "confidence": 0.0}
         return result
 
-    structure = identify_structure(table, st_type)
+    if structure is None:
+        structure = identify_structure(table, st_type)
     result["structure_info"] = structure
 
     # cash-flow parser bails out entirely on invalid structure
@@ -603,7 +648,6 @@ def parse_statement(table: list[list[str]], st_type: str) -> dict[str, Any]:
         row_offset = 0
 
     header_info = get_header_info(table, structure, analyzer)
-    item_bank = b.item_banks[st_type]
     sections = result["sections"]
 
     for row_idx, row in enumerate(data):
@@ -614,34 +658,16 @@ def parse_statement(table: list[list[str]], st_type: str) -> dict[str, Any]:
             continue
         values = extract_row_values(row, header_info, analyzer)
 
-        matched = False
-        for sec, std_name, pats in item_bank:
-            hit = False
-            for pat in pats:
-                if pat.search(item_name):
-                    hit = True
-                    break
-            if hit:
-                matched = True
-                storage = sections.setdefault(sec, {})
-                if std_name not in storage:   # keep-first dedup (balance_sheet.py:299-301)
-                    item_data = {"original_name": item_name, **values}
-                    storage[std_name] = item_data
-                    result["ordered_items"].append(
-                        {"section": sec, "standard_name": std_name, "data": item_data})
-                break
-
-        if not matched and st_type == "balance_sheet":
-            for sec, std_name, pat in b.bs_totals:
-                if pat.search(item_name):
-                    matched = True
-                    item_data = {"original_name": item_name, **values}
-                    sections.setdefault(sec, {})[std_name] = item_data
-                    result["ordered_items"].append(
-                        {"section": sec, "standard_name": std_name, "data": item_data})
-                    break
-
+        hit = classify_item(st_type, item_name)
+        matched = hit is not None
         if matched:
+            sec, std_name = hit
+            storage = sections.setdefault(sec, {})
+            if std_name not in storage:   # keep-first dedup (balance_sheet.py:299-301)
+                item_data = {"original_name": item_name, **values}
+                storage[std_name] = item_data
+                result["ordered_items"].append(
+                    {"section": sec, "standard_name": std_name, "data": item_data})
             result["matched_items"] += 1
         else:
             result["unmatched"].append(
@@ -1083,14 +1109,26 @@ def extract_document(kinds: list[str], texts: list[str], refs: list[str],
         # pick the valid one with the highest confidence (ties resolve in
         # BS > IS > CF order); if none valid, fall back to the
         # balance-sheet whole-table parse (balance_sheet.py:187-192).
-        structures = {st: identify_structure(cleaned, st) for st in STATEMENT_TYPES}
-        valid_types = [st for st in STATEMENT_TYPES if structures[st]["is_valid"]]
-        if valid_types:
-            st_type = max(valid_types, key=lambda s: (structures[s]["confidence"],
-                                                      -STATEMENT_TYPES.index(s)))
-        else:
-            st_type = "balance_sheet"
-        parsed = parse_statement(cleaned, st_type)
+        # Short-circuit: a valid type at confidence 1.0 cannot be beaten
+        # (confidence <= 1.0 and ties resolve to the earlier type), so
+        # evaluation stops there — identical outcome, 3x less regex work
+        # for the common single-statement document.
+        row_names = _row_names(cleaned)
+        structures: dict[str, dict[str, Any]] = {}
+        st_type = None
+        for st in STATEMENT_TYPES:
+            structures[st] = identify_structure(cleaned, st, row_names)
+            if structures[st]["is_valid"] and structures[st]["confidence"] >= 1.0:
+                st_type = st
+                break
+        if st_type is None:
+            valid_types = [st for st in structures if structures[st]["is_valid"]]
+            if valid_types:
+                st_type = max(valid_types, key=lambda s: (structures[s]["confidence"],
+                                                          -STATEMENT_TYPES.index(s)))
+            else:
+                st_type = "balance_sheet"
+        parsed = parse_statement(cleaned, st_type, structure=structures[st_type])
         confidence = parsed["structure_info"].get("confidence", 0.0) or 0.0
         validation = validate_statement(parsed)
         errors.extend(validation["errors"])

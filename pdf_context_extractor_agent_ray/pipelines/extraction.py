@@ -25,17 +25,22 @@ from .. import io as dio
 from ..stages.extract import ExtractDocuments
 
 
-def _default_concurrency() -> tuple[int, int]:
-    """Autoscaling actor-pool bounds: cap BELOW the cluster CPU count so
-    the read/generate and write task pools always have CPUs — an actor
-    pool that reserves every CPU starves the other stages and the
-    pipeline deadlocks (observed on 8 CPUs with concurrency=8)."""
+def _default_concurrency() -> int:
+    """FIXED actor-pool size, capped BELOW the cluster CPU count.
+
+    - Below the CPU count because an actor pool that reserves every CPU
+      starves the read/generate/write task stages and the pipeline
+      deadlocks (observed on 8 CPUs with concurrency=8).
+    - Fixed (not autoscaling) because the (1, N) autoscaling pool ramps
+      up far too slowly for a throughput job: measured 1.8k docs/s with
+      (1,30) vs 7.8k docs/s with fixed 30 on the same 100k-doc corpus.
+    """
     import ray
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(1, cpus - 2))
+    return max(1, cpus - 2)
 
 
 def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
