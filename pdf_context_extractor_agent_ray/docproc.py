@@ -1186,5 +1186,6 @@ def extract_document(kinds: list[str], texts: list[str], refs: list[str],
         "offsets": list(range(len(out_k))),
         "valid": valid,
         "confidence": float(confidence),
+        "statement_type": (parsed["statement_type"] if parsed else ""),
         "errors": errors,
     }

@@ -28,6 +28,7 @@ def extract_doc_dict(doc: dict) -> dict:
         "spans": list(zip(res["kinds"], res["texts"], res["media_refs"], res["offsets"])),
         "valid": res["valid"],
         "confidence": res["confidence"],
+        "statement_type": res["statement_type"],
         "errors": res["errors"],
     }
 
@@ -45,6 +46,7 @@ def extract_table(table: pa.Table) -> pa.Table:
                       for (k, t, m, o) in r["spans"]],
             "valid": r["valid"],
             "confidence": r["confidence"],
+            "statement_type": r["statement_type"],
             "errors": r["errors"],
         })
     return pa.Table.from_pylist(out, schema=OUTPUT_SCHEMA)

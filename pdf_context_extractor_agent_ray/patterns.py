@@ -361,15 +361,30 @@ ROW_SEP = "\x1e"
 
 
 class CompiledBanks:
-    """All pattern banks compiled once; one instance per worker process."""
+    """All pattern banks compiled once; one instance per worker process.
 
-    def __init__(self) -> None:
+    ``extra_items`` / ``extra_column_keywords`` extend the default banks
+    (the user-extension surface: the reference's subclass-a-parser and
+    KeywordLibrary mechanisms, src/parsers/base_statement_parser.py:14-27,
+    llm_assistant.py:209-305). Extra item patterns are appended AFTER
+    the defaults, so default classifications never change.
+    """
+
+    def __init__(self, extra_items: dict | None = None,
+                 extra_column_keywords: dict | None = None) -> None:
         c = re.compile
+        item_banks_src = {st: list(bank) for st, bank in ITEM_BANKS.items()}
+        for st, entries in (extra_items or {}).items():
+            item_banks_src.setdefault(st, []).extend(
+                (sec, name, list(pats)) for sec, name, pats in entries)
+        column_kw_src = {k: list(v) for k, v in COLUMN_KEYWORDS.items()}
+        for col, kws in (extra_column_keywords or {}).items():
+            column_kw_src.setdefault(col, []).extend(kws)
         self.bs_start = [c(p) for p in BALANCE_SHEET_START_PATTERNS]
         self.bs_end = [c(p) for p in BALANCE_SHEET_END_PATTERNS]
         self.next_table = [c(p) for p in NEXT_TABLE_PATTERNS]
         self.column_keywords = {
-            k: [c(p) for p in v] for k, v in COLUMN_KEYWORDS.items()
+            k: [c(p) for p in v] for k, v in column_kw_src.items()
         }
         self.note_format = [c(p) for p in NOTE_FORMAT_PATTERNS]
         self.pure_digits = c(r"^\d+$")
@@ -381,7 +396,7 @@ class CompiledBanks:
         self.end_patterns = {st: [c(p) for p in lst] for st, lst in END_PATTERNS.items()}
         self.item_banks = {
             st: [(sec, name, [c(p) for p in pats]) for sec, name, pats in bank]
-            for st, bank in ITEM_BANKS.items()
+            for st, bank in item_banks_src.items()
         }
         self.bs_totals = [(sec, name, c(p)) for sec, name, p in BALANCE_SHEET_TOTALS]
         self.note_l1 = c(NOTE_L1_TITLE)
@@ -393,6 +408,29 @@ class CompiledBanks:
         self.numeric_strip = c(r"[^\d.\-]")
 
 
+_ACTIVE_BANKS: CompiledBanks | None = None
+
+
 @lru_cache(maxsize=1)
-def banks() -> CompiledBanks:
+def _default_banks() -> CompiledBanks:
     return CompiledBanks()
+
+
+def banks() -> CompiledBanks:
+    return _ACTIVE_BANKS if _ACTIVE_BANKS is not None else _default_banks()
+
+
+def activate(extra_items: dict | None = None,
+             extra_column_keywords: dict | None = None) -> None:
+    """Install a configured bank set for this worker process (shipped to
+    actors via the stage constructor). One engine config per worker
+    process — jobs with different configs use separate actor pools.
+    Passing nothing restores the defaults."""
+    global _ACTIVE_BANKS
+    if extra_items or extra_column_keywords:
+        _ACTIVE_BANKS = CompiledBanks(extra_items, extra_column_keywords)
+    else:
+        _ACTIVE_BANKS = None
+    # classification results depend on the banks -> drop the memo
+    from . import docproc
+    docproc._CLASSIFY_MEMO.clear()

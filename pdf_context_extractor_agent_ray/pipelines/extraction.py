@@ -44,22 +44,27 @@ def _default_concurrency() -> int:
 
 
 def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
-                        batch_size: int = 64):
+                        batch_size: int = 64, config=None):
     """Attach the extraction stage to a documents Dataset.
 
     ``batch_size=64`` documents/batch: a doc averages 10-100 spans so a
     batch stays well under block limits even for many-page docs, while
     amortizing the per-batch Arrow flatten; the actor pool is sized to
     the cluster CPUs so the (cheap) generation/read stage can't starve it.
+    ``config``: optional EngineConfig shipped to every actor.
     """
     if concurrency is None:
         concurrency = _default_concurrency()
+    kwargs = {}
+    if config is not None:
+        kwargs["fn_constructor_kwargs"] = {"config": config}
     return ds.map_batches(
         ExtractDocuments,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
+        **kwargs,
     )
 
 

@@ -34,6 +34,7 @@ OUTPUT_SCHEMA = pa.schema([
     ("spans", pa.list_(SPAN_STRUCT)),
     ("valid", pa.bool_()),
     ("confidence", pa.float32()),
+    ("statement_type", pa.string()),   # '' when no statement detected
     ("errors", pa.list_(pa.string())),
 ])
 

@@ -38,6 +38,7 @@ def process_batch(batch: pa.Table) -> pa.Table:
     out_bounds: list[int] = [0]
     valid: list[bool] = []
     confidence: list[float] = []
+    statement_type: list[str] = []
     errors_flat: list[str] = []
     errors_bounds: list[int] = [0]
 
@@ -56,7 +57,8 @@ def process_batch(batch: pa.Table) -> pa.Table:
         except Exception as exc:  # continue-on-error envelope
             res = {"kinds": ["error"], "texts": [f"extract_failed:{type(exc).__name__}"],
                    "media_refs": [""], "offsets": [0], "valid": False,
-                   "confidence": 0.0, "errors": [f"exception:{type(exc).__name__}:{exc}"]}
+                   "confidence": 0.0, "statement_type": "",
+                   "errors": [f"exception:{type(exc).__name__}:{exc}"]}
         out_k.extend(res["kinds"])
         out_t.extend(res["texts"])
         out_r.extend(res["media_refs"])
@@ -64,6 +66,7 @@ def process_batch(batch: pa.Table) -> pa.Table:
         out_bounds.append(len(out_k))
         valid.append(res["valid"])
         confidence.append(res["confidence"])
+        statement_type.append(res["statement_type"])
         errors_flat.extend(res["errors"])
         errors_bounds.append(len(errors_flat))
 
@@ -72,15 +75,23 @@ def process_batch(batch: pa.Table) -> pa.Table:
                                       pa.array(errors_flat, pa.string()))
     return pa.Table.from_arrays(
         [pa.array(doc_ids, pa.string()), spans,
-         pa.array(valid, pa.bool_()), pa.array(confidence, pa.float32()), errors],
+         pa.array(valid, pa.bool_()), pa.array(confidence, pa.float32()),
+         pa.array(statement_type, pa.string()), errors],
         schema=OUTPUT_SCHEMA)
 
 
 class ExtractDocuments:
-    """Actor-pool stage: pattern banks compiled once per actor."""
+    """Actor-pool stage: pattern banks compiled once per actor.
 
-    def __init__(self) -> None:
-        banks()  # force-compile the shared banks in this worker
+    ``config`` (an ``EngineConfig``) ships user extensions — extra
+    pattern banks / column keywords — to every worker; activation and
+    compilation happen once per actor, never per batch.
+    """
+
+    def __init__(self, config=None) -> None:
+        if config is not None:
+            config.activate()
+        banks()  # force-compile the (possibly extended) banks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return process_batch(batch)

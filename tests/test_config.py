@@ -1,0 +1,90 @@
+"""User-extension surface: extra pattern banks, keyword library,
+title-model arbitration (SURVEY.md §2.10)."""
+import json
+
+import pytest
+
+from pdf_context_extractor_agent_ray import patterns
+from pdf_context_extractor_agent_ray.config import (
+    EngineConfig,
+    HybridTitleModel,
+    TitleModel,
+    load_keyword_library,
+)
+from pdf_context_extractor_agent_ray.docproc import classify_item, parse_statement
+
+
+@pytest.fixture(autouse=True)
+def restore_banks():
+    yield
+    patterns.activate()  # back to defaults
+
+
+def test_extra_item_patterns_extend_bank():
+    assert classify_item("balance_sheet", "数字货币") is None
+    EngineConfig(extra_item_patterns={
+        "balance_sheet": [("assets.current_assets", "数字货币", [r"数字货币"])],
+    }).activate()
+    assert classify_item("balance_sheet", "数字货币") == ("assets.current_assets", "数字货币")
+    # defaults unchanged (extras append AFTER)
+    assert classify_item("balance_sheet", "货币资金") == ("assets.current_assets", "货币资金")
+    patterns.activate()
+    assert classify_item("balance_sheet", "数字货币") is None
+
+
+def test_keyword_library_roundtrip(tmp_path):
+    lib = {"item_patterns": {"balance_sheet": [
+        ["assets.current_assets", "数字货币", ["数字货币"]]]},
+        "column_keywords": {"current_period": ["本报告期末"]}}
+    p = tmp_path / "lib.json"
+    p.write_text(json.dumps(lib))
+    cfg = load_keyword_library(str(p))
+    cfg.activate()
+    assert classify_item("balance_sheet", "数字货币") is not None
+    from pdf_context_extractor_agent_ray.docproc import ColumnAnalyzer
+    from pdf_context_extractor_agent_ray.patterns import COL_CURRENT
+    cmap = ColumnAnalyzer().analyze_row_structure(
+        ["项目", "本报告期末", "上期末"], use_cache=False)
+    assert cmap[COL_CURRENT] == 1
+
+
+def test_hybrid_title_model_arbitration():
+    lines = [("1、 货币资金", 0), ("正文", 1)]
+    rules_result = TitleModel().classify_lines(lines)
+    assert rules_result[0]["title"] == "货币资金"
+
+    class Broken(TitleModel):
+        def classify_lines(self, lines):
+            raise RuntimeError("provider down")
+
+    class Disagreeing(TitleModel):
+        def classify_lines(self, lines):
+            return [{"level": 1, "number": "9", "title": "X",
+                     "full_title": "9、 X", "offset": 0}]
+
+    # model disabled -> rules
+    assert HybridTitleModel().classify_lines(lines) == rules_result
+    # model fails -> fallback to rules
+    h = HybridTitleModel(EngineConfig(enable_model=True), Broken())
+    assert h.classify_lines(lines) == rules_result
+    # disagreement -> default_choice='rules'
+    h = HybridTitleModel(EngineConfig(enable_model=True), Disagreeing())
+    assert h.classify_lines(lines) == rules_result
+    # disagreement with default_choice='model' -> model wins
+    h = HybridTitleModel(EngineConfig(enable_model=True, default_choice="model"),
+                         Disagreeing())
+    assert h.classify_lines(lines)[0]["title"] == "X"
+
+
+def test_config_through_pipeline(ray_session):
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
+    from pdf_context_extractor_agent_ray.schema import docs_to_table
+    from pdf_context_extractor_agent_ray.synth import generate_corpus
+
+    corpus = generate_corpus(12, prefix="cfg")
+    cfg = EngineConfig(extra_item_patterns={
+        "balance_sheet": [("assets.current_assets", "数字货币", [r"数字货币"])]})
+    out = extraction_pipeline(rd.from_arrow(docs_to_table(corpus)),
+                              concurrency=2, config=cfg)
+    assert out.count() == 12  # config ships to actors without breaking the run
