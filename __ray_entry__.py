@@ -25,6 +25,7 @@ import pyarrow as pa
 from pdf_context_extractor_agent_ray.functions import dedup as F_dedup
 from pdf_context_extractor_agent_ray.functions import relational as F_rel
 from pdf_context_extractor_agent_ray.functions import simsearch as F_sim
+from pdf_context_extractor_agent_ray.functions import streamops as F_stream
 from pdf_context_extractor_agent_ray.functions import text as F_text
 from pdf_context_extractor_agent_ray.functions.multimodal import media_stats
 from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
@@ -118,6 +119,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
+        # stream-shaped operators (ordered-log windows / as-of join)
+        "asof_click_view": F_stream.asof_click_view,
+        "session_windows": F_stream.session_windows,
         # relational primitives
         "pricing_summary": F_rel.pricing_summary,
         "top_customers": F_rel.top_customers,
@@ -222,6 +226,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_c0_e6
             FROM embeddings GROUP BY label
+        """,
+        "asof_click_view": """
+            SELECT c.event_id AS click_event_id,
+                   c.user_id,
+                   CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+                   v.event_id AS view_event_id,
+                   CAST(round(v.value * 100) AS BIGINT) AS view_value_cents
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts > v.ts
+        """,
+        "session_windows": f"""
+            WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                              lag(CAST(epoch_us(ts) AS BIGINT)) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                       FROM events),
+            m AS (SELECT *, CASE WHEN prev_us IS NULL
+                                  OR ts_us - prev_us > {F_stream.SESSION_GAP_US}
+                                 THEN 1 ELSE 0 END AS brk FROM e),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM m)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+            FROM s GROUP BY user_id, session_idx
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

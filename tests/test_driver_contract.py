@@ -60,6 +60,7 @@ def _oracle_names():
 @pytest.mark.parametrize("name", [
     "text_normalize", "token_stats", "quality_score", "langid", "fingerprint",
     "exact_dedup", "minhash_signatures", "knn_topk", "label_stats",
+    "asof_click_view", "session_windows",
     "pricing_summary", "top_customers", "events_windowed", "filter_sort_topk",
     "region_rollup", "segment_stats",
 ])
