@@ -208,6 +208,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_MINHASH_AGGS}
             FROM sh GROUP BY doc_id
         """,
+        "near_dup_pairs": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
+            sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig UNION ALL
+              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
+              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
+              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
+            ver AS (SELECT doc_a, doc_b,
+                           CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
+                                      / len(list_distinct(x.ls || y.ls))) AS BIGINT) AS jaccard_e6
+                    FROM cand
+                    JOIN sets x ON x.doc_id = cand.doc_a
+                    JOIN sets y ON y.doc_id = cand.doc_b)
+            SELECT doc_a, doc_b, jaccard_e6 FROM ver
+            WHERE jaccard_e6 >= {F_dedup.JACCARD_THRESHOLD_E6}
+        """,
+        "rolling_fingerprint": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            small AS (SELECT doc_id, md5(n) AS rolling_hash FROM norm WHERE length(n) <= 16),
+            big AS (SELECT doc_id, min(md5(substr(n, i, 16))) AS rolling_hash
+                    FROM norm, unnest(range(1, length(n) - 14, 4)) AS u(i)
+                    WHERE length(n) > 16 GROUP BY doc_id)
+            SELECT * FROM small UNION ALL SELECT * FROM big
+        """,
+        "simhash": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS t FROM norm),
+            h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM toks),
+            bits AS (SELECT doc_id, b,
+                            sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                            count(*) AS n
+                     FROM h, unnest(range(0, 64)) AS u(b) GROUP BY doc_id, b),
+            v AS (SELECT doc_id,
+                         sum(CASE WHEN ones * 2 >= n THEN (1::HUGEINT << b)
+                                  ELSE 0::HUGEINT END) AS hu
+                  FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                             THEN hu - 18446744073709551616::HUGEINT
+                             ELSE hu END AS BIGINT) AS simhash
+            FROM v
+        """,
         "knn_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5),

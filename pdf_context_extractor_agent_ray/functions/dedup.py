@@ -115,7 +115,8 @@ def lsh_candidate_pairs(ds):
             for j in range(i + 1, len(docs)):
                 inter = len(sets[i] & sets[j])
                 union = len(sets[i] | sets[j])
-                jac = int(round(inter / union * 1e6)) if union else 0
+                # round-half-away to match the DuckDB oracle's round()
+                jac = int(inter / union * 1e6 + 0.5) if union else 0
                 if jac >= JACCARD_THRESHOLD_E6:
                     rows.append((docs[i], docs[j], jac))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_e6"]) if rows \
@@ -133,20 +134,23 @@ def lsh_candidate_pairs(ds):
 
 
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes,
-    per-bit majority vote) — vectorized per doc with numpy."""
+    """64-bit SimHash over whitespace tokens: per-bit majority vote of
+    big-endian md5[0:8] token hashes — bit-for-bit identical to the SQL
+    oracle (``('0x'||substr(md5(t),1,16))::UBIGINT``), wrapped into a
+    signed int64. Vectorized per doc with numpy."""
     norms = _norm(batch["text"])
     out = np.zeros(len(norms), dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
     for idx, n in enumerate(norms):
         toks = n.split(" ") if n else []
         if not toks:
             continue
         hs = np.frombuffer(
             b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-            dtype=np.uint64)
-        colbits = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
+            dtype=">u8").astype(np.uint64)
+        colbits = ((hs[:, None] >> shifts) & np.uint64(1))
         votes = colbits.sum(axis=0) * 2 >= len(toks)
-        out[idx] = np.packbits(votes[::-1]).view(">u8")[0]
+        out[idx] = (votes.astype(np.uint64) << shifts).sum(dtype=np.uint64)
     return pa.table({"doc_id": batch["doc_id"],
                      "simhash": pa.array(out.astype("int64").tolist(), pa.int64())})
 

@@ -59,7 +59,8 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", [
     "text_normalize", "token_stats", "quality_score", "langid", "fingerprint",
-    "exact_dedup", "minhash_signatures", "knn_topk", "label_stats",
+    "exact_dedup", "minhash_signatures", "near_dup_pairs", "rolling_fingerprint", "simhash",
+    "knn_topk", "label_stats",
     "asof_click_view", "session_windows",
     "pricing_summary", "top_customers", "events_windowed", "filter_sort_topk",
     "region_rollup", "segment_stats",
@@ -81,9 +82,8 @@ def test_every_oracle_has_query(entrymod):
 
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
-    for name in ("extract_summary", "media_stats", "near_dup_pairs", "simhash",
-                 "rolling_fingerprint", "knn_lsh"):
+    for name in ("extract_summary", "media_stats", "knn_lsh"):
         df = _to_pandas(qs[name](SF_DIR))
         assert df is not None
-        if name in ("extract_summary", "simhash", "rolling_fingerprint"):
+        if name in ("extract_summary",):
             assert len(df) == 500  # one row per document
