@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
+        "embedding_near_dup": F_sim.embedding_near_dup,
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         # stream-shaped operators (ordered-log windows / as-of join)
         "asof_click_view": F_stream.asof_click_view,
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": F_rel.top_customers,
         "events_windowed": F_rel.events_windowed,
         "filter_sort_topk": F_rel.filter_sort_topk,
+        "order_revenue_topk": F_rel.order_revenue_topk,
         "region_rollup": F_rel.region_rollup,
         "segment_stats": F_rel.segment_stats,
     }
@@ -273,6 +275,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, sim_e6, CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= {F_sim.DEFAULT_K}
         """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[]))
+                              * 1000000) AS BIGINT) AS sim_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[]))
+                             * 1000000) AS BIGINT) >= {F_sim.EMBED_DUP_THRESHOLD_E6}
+        """,
         "label_stats": """
             SELECT label, count(*) AS n,
                    sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_c0_e6
@@ -336,6 +348,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_returnflag = 'R'
             ORDER BY price_cents DESC, l_orderkey, l_linenumber
             LIMIT 20
+        """,
+        "order_revenue_topk": f"""
+            SELECT l.l_orderkey,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+                   sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, l.l_orderkey
+            LIMIT 10
         """,
         "region_rollup": f"""
             SELECT r.r_name,

@@ -78,6 +78,105 @@ class TitleModel:
         return out
 
 
+class ColumnModel:
+    """Provider seam for model-assisted header analysis (the reference's
+    ``LLMClient.analyze_header``). A provider returns
+    ``{'success': bool, 'column_map': {col_type: idx}, 'confidence': float}``."""
+
+    def analyze_header(self, row: list[str]) -> dict[str, Any]:  # pragma: no cover - seam
+        raise NotImplementedError
+
+
+def compare_column_maps(rules: dict[str, int], model: dict[str, int]) -> dict[str, Any]:
+    """Column-map comparison (ResultComparator analogue,
+    src/parsers/result_comparator.py): strict per-key equality with a
+    difference list."""
+    keys = sorted(set(rules) | set(model))
+    differences = [
+        {"column_type": k, "rules": rules.get(k), "model": model.get(k)}
+        for k in keys if rules.get(k) != model.get(k)
+    ]
+    return {"is_match": not differences, "differences": differences}
+
+
+class HybridColumnAnalyzer:
+    """Rules + optional model column analysis with the reference's
+    arbitration policy (src/parsers/hybrid_column_analyzer.py:69-208):
+
+    - model disabled → rules;
+    - rules already confident (all three key columns found) and not
+      ``always_use_model`` → skip the model (:183-208);
+    - model failure → rules if ``fallback_to_rules`` else {};
+    - agreement → rules (``auto_accept_if_match``);
+    - disagreement → ``default_choice`` ('rules' | 'model' | 'skip'),
+      the headless replacement for the interactive prompt
+      (user_choice_handler.py; workers never prompt).
+
+    Decisions are counted per instance (ST7 choice log / A8 choice
+    statistics) — flushed into run metrics by the caller.
+    """
+
+    REQUIRED = ("item_name", "current_period", "previous_period")
+
+    def __init__(self, config: Optional[EngineConfig] = None,
+                 model: Optional[ColumnModel] = None,
+                 always_use_model: bool = False,
+                 auto_accept_if_match: bool = True) -> None:
+        from .docproc import ColumnAnalyzer
+        self.config = config or EngineConfig()
+        self.model = model
+        self.always_use_model = always_use_model
+        self.auto_accept_if_match = auto_accept_if_match
+        self.rules = ColumnAnalyzer()
+        self.choices: dict[str, int] = {"rules": 0, "model": 0, "skip": 0, "auto": 0}
+
+    def reset_cache(self) -> None:
+        self.rules.reset_cache()
+
+    def analyze_row_structure(self, row: list[str], use_cache: bool = True) -> dict[str, int]:
+        if not row:
+            return {}
+        if use_cache and self.rules.cache and self.rules._validate_cached(row, self.rules.cache):
+            return self.rules.cache
+        result = self._hybrid(row)
+        if result:
+            self.rules.cache = result
+        return result
+
+    def _hybrid(self, row: list[str]) -> dict[str, int]:
+        rule_result = self.rules._analyze(row)
+        if not (self.config.enable_model and self.model):
+            return rule_result
+        if not self.always_use_model and all(k in rule_result for k in self.REQUIRED):
+            self.choices["auto"] += 1
+            return rule_result
+        try:
+            resp = self.model.analyze_header(row)
+            if not resp.get("success"):
+                raise RuntimeError(resp.get("error", "model failure"))
+        except Exception:
+            if self.config.fallback_to_rules:
+                self.choices["rules"] += 1
+                return rule_result
+            return {}
+        model_result = resp["column_map"]
+        cmp = compare_column_maps(rule_result, model_result)
+        if cmp["is_match"] and self.auto_accept_if_match:
+            self.choices["auto"] += 1
+            return rule_result
+        choice = self.config.default_choice
+        self.choices[choice if choice in self.choices else "rules"] += 1
+        if choice == "model":
+            return dict(model_result)
+        if choice == "skip":
+            return {}
+        return rule_result
+
+    def choice_stats(self) -> dict[str, int]:
+        """A8: decision counts by arbitration outcome."""
+        return dict(self.choices)
+
+
 class HybridTitleModel(TitleModel):
     """Rules + optional model with the reference's arbitration policy
     (hybrid_column_analyzer.py:127-208): model disabled or failing →

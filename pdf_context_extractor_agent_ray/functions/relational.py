@@ -156,6 +156,68 @@ def filter_sort_topk(sf_dir: str, k: int = 20):
         .repartition(1).map_batches(final, batch_format="pandas")
 
 
+def order_revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING",
+                       cutoff: str = "1995-03-15", num_partitions: int | None = None):
+    """TPC-H Q3-shaped pipeline: broadcast semi-join on the small side
+    (customer segment filter), hash-partitioned ``Dataset.join`` for the
+    large-large lineitem⋈orders exchange, pre-aggregated revenue, tiny
+    final top-k. Partitioning key: the order key, reused by the join
+    AND the groupby so the second exchange is co-partitioned."""
+    import ray
+    import pyarrow.parquet as pq
+
+    if num_partitions is None:
+        # join aggregators are actors: keep the pool well under the
+        # cluster CPU count or the exchange can't schedule
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, cpus // 2)
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = {c for c, s in zip(cust["c_custkey"].to_pylist(),
+                              cust["c_mktsegment"].to_pylist()) if s == segment}
+    ref = ray.put(keys)
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        batch = batch.filter(pc.less(batch["o_orderdate"], cutoff_ts))
+        mask = pa.array([c in wanted for c in batch["o_custkey"].to_pylist()], pa.bool_())
+        batch = batch.filter(mask)
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_orderdate_us": pc.cast(batch["o_orderdate"], pa.int64())})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def filter_lineitem(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff_ts))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    o = orders.map_batches(filter_orders, batch_format="pyarrow")
+    l = lineitem.map_batches(filter_lineitem, batch_format="pyarrow")
+    joined = l.join(o, "inner", num_partitions=num_partitions,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+    from ray.data.aggregate import Sum
+    agg = joined.groupby(["l_orderkey", "o_orderdate_us"]).aggregate(
+        Sum("rev_c", alias_name="revenue_cents"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "l_orderkey"],
+                              ascending=[False, True]).head(k)
+
+    return agg.repartition(1).map_batches(final, batch_format="pandas")
+
+
 def region_rollup(sf_dir: str):
     """customer → nation → region rollup via broadcast dimension maps
     (region/nation are tiny: classic broadcast-join shape)."""

@@ -166,6 +166,53 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
         .groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+EMBED_DUP_THRESHOLD_E6 = 450_000
+
+
+def embedding_near_dup(sf_dir: str, threshold_e6: int = EMBED_DUP_THRESHOLD_E6):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).
+
+    The corpus matrix is broadcast once (``ray.put``) and each batch
+    computes its rows against all columns — one matmul per batch, pairs
+    emitted only for (a < b) so nothing is double-counted. Exact up to
+    ~10^6 vectors on one broadcast; beyond that the LSH-bucketed path
+    (``lsh_bucketed_knn``'s signature bucketing as the partition key)
+    replaces the all-pairs scan.
+
+    Output: vec_a, vec_b, sim_e6 (>= threshold).
+    """
+    import ray
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    flat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ref = ray.put((all_ids, flat))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, M_all = ray.get(ref)
+        my_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        M = _matrix(batch)
+        sims = (M @ M_all.T) / (np.linalg.norm(M, axis=1)[:, None]
+                                * np.linalg.norm(M_all, axis=1)[None, :])
+        se6 = round_half_away_e(sims)
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(my_ids)):
+            mask = (ids_all > my_ids[i]) & (se6[i] >= threshold_e6)
+            for j in np.nonzero(mask)[0]:
+                out_a.append(int(my_ids[i]))
+                out_b.append(int(ids_all[j]))
+                out_s.append(int(se6[i, j]))
+        return pa.table({"vec_a": pa.array(out_a, pa.int64()),
+                         "vec_b": pa.array(out_b, pa.int64()),
+                         "sim_e6": pa.array(out_s, pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def label_stats(ds):
     """Per-label embedding stats: count + integer-scaled mean of the
     first component (partial aggregation inside map_batches, then a

@@ -88,3 +88,51 @@ def test_config_through_pipeline(ray_session):
     out = extraction_pipeline(rd.from_arrow(docs_to_table(corpus)),
                               concurrency=2, config=cfg)
     assert out.count() == 12  # config ships to actors without breaking the run
+
+
+def test_hybrid_column_analyzer_arbitration():
+    from pdf_context_extractor_agent_ray.config import (
+        ColumnModel, HybridColumnAnalyzer, compare_column_maps)
+    from pdf_context_extractor_agent_ray.patterns import COL_CURRENT, COL_ITEM_NAME
+
+    header = ["项目", "本期末", "上期末", "附注"]
+    rules_map = HybridColumnAnalyzer().analyze_row_structure(header, use_cache=False)
+    assert rules_map[COL_ITEM_NAME] == 0 and rules_map[COL_CURRENT] == 1
+
+    class Agreeing(ColumnModel):
+        def analyze_header(self, row):
+            return {"success": True, "column_map": dict(rules_map), "confidence": 0.9}
+
+    class Disagreeing(ColumnModel):
+        def analyze_header(self, row):
+            return {"success": True, "column_map": {COL_ITEM_NAME: 1}, "confidence": 0.4}
+
+    class Broken(ColumnModel):
+        def analyze_header(self, row):
+            raise RuntimeError("down")
+
+    # confident rules skip the model entirely (hybrid_column_analyzer.py:183-208)
+    h = HybridColumnAnalyzer(EngineConfig(enable_model=True), Disagreeing())
+    assert h.analyze_row_structure(header, use_cache=False) == rules_map
+    assert h.choice_stats()["auto"] == 1
+
+    # ambiguous header (no previous col) -> model consulted; disagreement -> rules
+    short = ["项目", "本期末"]
+    h = HybridColumnAnalyzer(EngineConfig(enable_model=True), Disagreeing())
+    r = h.analyze_row_structure(short, use_cache=False)
+    assert r == HybridColumnAnalyzer().analyze_row_structure(short, use_cache=False)
+    assert h.choice_stats()["rules"] == 1
+
+    # default_choice='model' wins disagreements
+    h = HybridColumnAnalyzer(EngineConfig(enable_model=True, default_choice="model"),
+                             Disagreeing())
+    assert h.analyze_row_structure(short, use_cache=False) == {COL_ITEM_NAME: 1}
+
+    # model failure -> fallback to rules
+    h = HybridColumnAnalyzer(EngineConfig(enable_model=True), Broken())
+    assert h.analyze_row_structure(short, use_cache=False)
+
+    # comparator
+    c = compare_column_maps({"a": 1}, {"a": 2})
+    assert not c["is_match"] and c["differences"][0]["column_type"] == "a"
+    assert compare_column_maps({"a": 1}, {"a": 1})["is_match"]
