@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
         "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(_docs(sf)),
+        "dup_clusters": lambda sf: F_dedup.dup_clusters(_docs(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
@@ -242,6 +243,37 @@ def oracle_sql() -> dict[str, str]:
                     FROM norm, unnest(range(1, length(n) - 14, 4)) AS u(i)
                     WHERE length(n) > 16 GROUP BY doc_id)
             SELECT * FROM small UNION ALL SELECT * FROM big
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
+            sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig UNION ALL
+              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
+              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
+              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      JOIN sets x ON x.doc_id = cand.doc_a
+                      JOIN sets y ON y.doc_id = cand.doc_b
+                      WHERE CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
+                                       / len(list_distinct(x.ls || y.ls))) AS BIGINT)
+                            >= {F_dedup.JACCARD_THRESHOLD_E6}),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
         """,
         "simhash": f"""
             WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

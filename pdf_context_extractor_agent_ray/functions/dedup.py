@@ -133,6 +133,67 @@ def lsh_candidate_pairs(ds):
         Max("jaccard_e6", alias_name="jaccard_e6"))
 
 
+def dup_clusters(ds, max_rounds: int = 16):
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    pair graph via iterative min-label propagation.
+
+    Each round: labels join edges (hash-partitioned on the node key),
+    every node takes the min label among itself and its neighbours'
+    labels, stop at fixpoint. Rounds needed = graph diameter — for dedup
+    graphs that's tiny; ``max_rounds`` bounds pathological chains.
+    Driver-side union-find is deliberately avoided: at corpus scale the
+    pair set does not fit one machine (ray_guide's propagation pattern).
+
+    Output: doc_id, cluster_id (min doc_id of the component; singleton
+    docs are not listed — only docs that participate in some pair).
+    """
+    pairs = lsh_candidate_pairs(ds)
+    # undirected edge list, one row per direction
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        return pa.table({"node": pa.array(a + b), "peer": pa.array(b + a)})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+    labels = edges.groupby("node").aggregate(Min("peer", alias_name="peer_min"))
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lbl = pc.min_element_wise(batch["node"], batch["peer_min"])
+        return pa.table({"node": batch["node"], "label": lbl})
+
+    labels = labels.map_batches(init_label, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        # propagate: each node's label -> its peers, take the min
+        joined = edges.join(labels, "inner", num_partitions=8,
+                            on=("peer",), right_on=("node",),
+                            right_suffix="_l")
+        prop = joined.groupby("node").aggregate(Min("label", alias_name="peer_label"))
+        merged = labels.join(prop, "left_outer", num_partitions=8,
+                             on=("node",), right_on=("node",), right_suffix="_p")
+
+        def take_min(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            new = pc.min_element_wise(batch["label"],
+                                      pc.fill_null(batch["peer_label"], 2**62))
+            changed = pc.cast(pc.not_equal(new, batch["label"]), pa.int64())
+            return pa.table({"node": batch["node"], "label": new, "changed": changed})
+
+        updated = merged.map_batches(take_min, batch_format="pyarrow").materialize()
+        n_changed = updated.sum("changed")
+        labels = updated.select_columns(["node", "label"])
+        if not n_changed:
+            break
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["node"], "cluster_id": batch["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     big-endian md5[0:8] token hashes — bit-for-bit identical to the SQL

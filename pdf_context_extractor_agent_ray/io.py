@@ -42,6 +42,15 @@ def read_documents(path: str, columns: Optional[list[str]] = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def write_documents(ds, path: str, **kwargs) -> None:
+    """Write a documents/output Dataset (Lance when available and the
+    path requests it, else partitioned Parquet)."""
+    if HAVE_LANCE and str(path).endswith(".lance"):  # pragma: no cover
+        ds.write_lance(path, **kwargs)
+    else:
+        ds.write_parquet(path, **kwargs)
+
+
 def _partition_dirs(output_path: str) -> list[str]:
     if not os.path.isdir(output_path):
         return []

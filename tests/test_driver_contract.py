@@ -59,7 +59,7 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", [
     "text_normalize", "token_stats", "quality_score", "langid", "fingerprint",
-    "exact_dedup", "minhash_signatures", "near_dup_pairs", "rolling_fingerprint", "simhash",
+    "exact_dedup", "minhash_signatures", "near_dup_pairs", "rolling_fingerprint", "simhash", "dup_clusters",
     "knn_topk", "label_stats", "embedding_near_dup",
     "asof_click_view", "session_windows",
     "pricing_summary", "top_customers", "events_windowed", "filter_sort_topk",
