@@ -147,6 +147,10 @@ def dup_clusters(ds, max_rounds: int = 16):
     Output: doc_id, cluster_id (min doc_id of the component; singleton
     docs are not listed — only docs that participate in some pair).
     """
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    num_partitions = max(2, cpus // 2)
+
     pairs = lsh_candidate_pairs(ds)
     # undirected edge list, one row per direction
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -168,11 +172,11 @@ def dup_clusters(ds, max_rounds: int = 16):
 
     for _ in range(max_rounds):
         # propagate: each node's label -> its peers, take the min
-        joined = edges.join(labels, "inner", num_partitions=8,
+        joined = edges.join(labels, "inner", num_partitions=num_partitions,
                             on=("peer",), right_on=("node",),
                             right_suffix="_l")
         prop = joined.groupby("node").aggregate(Min("label", alias_name="peer_label"))
-        merged = labels.join(prop, "left_outer", num_partitions=8,
+        merged = labels.join(prop, "left_outer", num_partitions=num_partitions,
                              on=("node",), right_on=("node",), right_suffix="_p")
 
         def take_min(batch: pa.Table) -> pa.Table:
