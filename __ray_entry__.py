@@ -29,6 +29,7 @@ from pdf_context_extractor_agent_ray.functions import streamops as F_stream
 from pdf_context_extractor_agent_ray.functions import text as F_text
 from pdf_context_extractor_agent_ray.functions.multimodal import media_stats
 from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
+from pdf_context_extractor_agent_ray.stages.pages import page_stats
 from pdf_context_extractor_agent_ray.sources.synth_source import documents_from_flat
 
 
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (non-SQL: per-doc span extraction semantics)
         "extract_summary": _extract_summary,
         "media_stats": lambda sf: media_stats(documents_from_flat(sf)),
+        "page_stats": lambda sf: page_stats(documents_from_flat(sf)),
         # text analysis
         "text_normalize": text_q(F_text.normalize_batch),
         "token_stats": text_q(F_text.token_stats_batch),
@@ -110,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": text_q(F_text.langid_batch),
         "fingerprint": text_q(F_text.fingerprint_batch),
         "rolling_fingerprint": text_q(F_text.rolling_fingerprint_batch),
+        "bpe_token_count": text_q(F_text.bpe_token_count_batch),
+        "dataset_split": text_q(F_text.dataset_split_batch),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -243,6 +247,23 @@ def oracle_sql() -> dict[str, str]:
                     FROM norm, unnest(range(1, length(n) - 14, 4)) AS u(i)
                     WHERE length(n) > 16 GROUP BY doc_id)
             SELECT * FROM small UNION ALL SELECT * FROM big
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(array_length(regexp_extract_all(text, '{F_text.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "dataset_split": f"""
+            WITH b AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.SPLIT_SALT}'), 1, 16))::UBIGINT
+                                   % 100 AS BIGINT) AS bucket
+                       FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < {F_text.SPLIT_BOUNDARIES[0]} THEN 'train'
+                        WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "dup_clusters": f"""
             WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -102,6 +102,45 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# BPE-ish pretokenizer (GPT-2-style classes, RE2-compatible on both
+# pyarrow and DuckDB): letter runs / digit runs / other-symbol runs,
+# each optionally preceded by one space.
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\p{L}\p{N} ]+"
+
+SPLIT_SALT = "split-v1"
+SPLIT_BOUNDARIES = (80, 90)  # train < 80 <= val < 90 <= test
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """Subword-ish token budget estimate: whitespace tokens + BPE-style
+    pretokenizer runs (the cheap proxy for tokenizer cost used when
+    budgeting training corpora)."""
+    text = batch["text"]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_ws_tokens": pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64()),
+        "n_bpe_tokens": pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()),
+    })
+
+
+def dataset_split_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic train/val/test assignment by content-independent
+    hash bucketing: bucket = md5(doc_id + salt)[0:8] mod 100. Stable
+    under re-runs, partitioning, and corpus growth — the standard
+    at-scale split mechanism (no RNG, no shuffle)."""
+    ids = batch["doc_id"].to_pylist()
+    buckets = [int.from_bytes(
+        hashlib.md5(f"{i}#{SPLIT_SALT}".encode()).digest()[:8], "big") % 100
+        for i in ids]
+    lo, hi = SPLIT_BOUNDARIES
+    splits = ["train" if b < lo else "val" if b < hi else "test" for b in buckets]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "bucket": pa.array(buckets, pa.int64()),
+        "split": pa.array(splits, pa.string()),
+    })
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
     """Rolling-hash document fingerprint: min md5 over sliding
     character windows of the normalized text (a robust-to-edit

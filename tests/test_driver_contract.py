@@ -59,6 +59,7 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", [
     "text_normalize", "token_stats", "quality_score", "langid", "fingerprint",
+    "bpe_token_count", "dataset_split",
     "exact_dedup", "minhash_signatures", "near_dup_pairs", "rolling_fingerprint", "simhash", "dup_clusters",
     "knn_topk", "label_stats", "embedding_near_dup",
     "asof_click_view", "session_windows",
@@ -82,7 +83,7 @@ def test_every_oracle_has_query(entrymod):
 
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
-    for name in ("extract_summary", "media_stats", "knn_lsh"):
+    for name in ("extract_summary", "media_stats", "page_stats", "knn_lsh"):
         df = _to_pandas(qs[name](SF_DIR))
         assert df is not None
         if name in ("extract_summary",):

@@ -1,0 +1,49 @@
+"""Page-range selection (S1) + page metadata (S4) stages."""
+import pyarrow as pa
+
+from pdf_context_extractor_agent_ray.docproc import paginate
+from pdf_context_extractor_agent_ray.schema import docs_to_table, spans_column_views
+from pdf_context_extractor_agent_ray.stages.pages import page_stats, select_page_range
+from pdf_context_extractor_agent_ray.synth import generate_doc
+
+
+def _doc_pages(row):
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+    return paginate([s[0] for s in spans], [s[1] for s in spans],
+                    [s[2] for s in spans], [s[3] for s in spans])
+
+
+def test_select_page_range(ray_session):
+    import ray.data as rd
+    doc = generate_doc("pages-0001", family="many_pages")
+    full_pages = paginate([s[0] for s in doc["spans"]], [s[1] for s in doc["spans"]],
+                          [s[2] for s in doc["spans"]], [s[3] for s in doc["spans"]])
+    n = len(full_pages)
+    assert n > 5
+    ds = rd.from_arrow(docs_to_table([doc]))
+
+    out = select_page_range(ds, 2, 4).take_all()[0]
+    got_pages = _doc_pages(out)
+    assert len(got_pages) == 3
+    # content equality with the direct pagination of pages 2..4
+    for gp, fp in zip(got_pages, full_pages[1:4]):
+        assert [i[:3] for i in gp["items"]] == [i[:3] for i in fp["items"]]
+
+    # bounds: start beyond the doc -> empty; end clamped to doc length
+    assert _doc_pages(select_page_range(ds, n + 5, n + 9).take_all()[0]) == []
+    clamped = select_page_range(ds, 1, n + 50).take_all()[0]
+    assert len(_doc_pages(clamped)) == n
+
+
+def test_page_stats(ray_session):
+    import ray.data as rd
+    docs = [generate_doc(f"ps-{i:03d}") for i in range(20)]
+    ds = rd.from_arrow(docs_to_table(docs))
+    stats = {r["doc_id"]: r for r in page_stats(ds).take_all()}
+    for d in docs:
+        pages = paginate([s[0] for s in d["spans"]], [s[1] for s in d["spans"]],
+                         [s[2] for s in d["spans"]], [s[3] for s in d["spans"]])
+        r = stats[d["doc_id"]]
+        assert r["n_pages"] == len(pages)
+        assert r["n_spans"] == len(d["spans"])
+        assert r["n_tables"] == sum(len(p["tables"]) for p in pages)
