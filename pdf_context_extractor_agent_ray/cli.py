@@ -1,0 +1,143 @@
+"""Command-line entry point (the reference's ``main.py`` CLI surface,
+main.py:500-547, re-expressed over the Ray pipeline).
+
+Usage::
+
+    python -m pdf_context_extractor_agent_ray.cli extract \
+        --input /path/to/documents_parquet --output /tmp/out \
+        [--pages 2-4] [--format parquet|json|csv] [--num-cpus 32] \
+        [--max-spans 2048] [--keyword-library lib.json] [--resume]
+
+    python -m pdf_context_extractor_agent_ray.cli synth \
+        --n-docs 10000 --output /tmp/corpus
+
+    python -m pdf_context_extractor_agent_ray.cli metrics --output /tmp/out
+
+Owns its Ray session (the driver contract in ``__ray_entry__`` does
+NOT; scripts must, per the repo rules).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    from . import io as dio
+    from .config import EngineConfig, load_keyword_library
+    from .pipelines.export import write_flat_csv, write_output_json
+    from .pipelines.extraction import extraction_pipeline, run_resumable
+    from .stages.pages import select_page_range
+    from .stages.skew import rebalanced_documents
+
+    _init_ray(args.num_cpus)
+    config = load_keyword_library(args.keyword_library) if args.keyword_library else None
+
+    def build_input():
+        ds = dio.read_documents(args.input)
+        if args.pages:
+            start, _, end = args.pages.partition("-")
+            ds = select_page_range(ds, int(start), int(end or start))
+        if args.max_spans:
+            ds = rebalanced_documents(ds, args.max_spans)
+        return ds
+
+    if args.format == "parquet":
+        manifest = run_resumable(
+            build_input, args.output, batch_size=args.batch_size,
+            lineage={"input": args.input, "pages": args.pages or "all"})
+        if not args.resume and manifest.get("skipped_docs"):
+            print("note: output dir had finished partitions; "
+                  "skipped already-extracted docs (use --resume to silence)",
+                  file=sys.stderr)
+        print(json.dumps(manifest))
+    else:
+        out = extraction_pipeline(build_input(), batch_size=args.batch_size,
+                                  config=config)
+        if args.format == "json":
+            write_output_json(out, args.output)
+        else:
+            write_flat_csv(out, args.output)
+        print(json.dumps({"output": args.output, "format": args.format}))
+    import ray
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from . import io as dio
+    from .sources.synth_source import synth_documents
+
+    _init_ray(args.num_cpus)
+    ds = synth_documents(args.n_docs, seed=args.seed)
+    dio.write_documents(ds, args.output)
+    print(json.dumps({"output": args.output, "n_docs": args.n_docs, "seed": args.seed}))
+    import ray
+    ray.shutdown()
+    return 0
+
+
+def cmd_metrics(args: argparse.Namespace) -> int:
+    from . import io as dio
+    from .pipelines.metrics import run_metrics
+
+    _init_ray(args.num_cpus)
+    ds = dio.read_documents(args.output)
+    row = run_metrics(ds)
+    print(json.dumps(row))
+    manifests = dio.load_manifests(args.output)
+    if manifests:
+        print(json.dumps({"partitions": len(manifests),
+                          "stage_versions": sorted({m["stage_version"] for m in manifests})}))
+    import ray
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdf_context_extractor_agent_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="run the extraction pipeline")
+    pe.add_argument("--input", required=True, help="documents table (parquet dir/file or .lance)")
+    pe.add_argument("--output", required=True)
+    pe.add_argument("--pages", help="1-based inclusive page range, e.g. 2-4")
+    pe.add_argument("--format", choices=["parquet", "json", "csv"], default="parquet")
+    pe.add_argument("--num-cpus", type=int)
+    pe.add_argument("--batch-size", type=int, default=64)
+    pe.add_argument("--max-spans", type=int, help="split docs above this span count")
+    pe.add_argument("--keyword-library", help="JSON keyword library (EngineConfig)")
+    pe.add_argument("--resume", action="store_true")
+    pe.set_defaults(fn=cmd_extract)
+
+    ps = sub.add_parser("synth", help="generate a deterministic corpus")
+    ps.add_argument("--n-docs", type=int, required=True)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--output", required=True)
+    ps.add_argument("--num-cpus", type=int)
+    ps.set_defaults(fn=cmd_synth)
+
+    pm = sub.add_parser("metrics", help="roll up metrics over an output dir")
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--num-cpus", type=int)
+    pm.set_defaults(fn=cmd_metrics)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
