@@ -24,6 +24,7 @@ import pyarrow as pa
 
 from pdf_context_extractor_agent_ray.functions import dedup as F_dedup
 from pdf_context_extractor_agent_ray.functions import relational as F_rel
+from pdf_context_extractor_agent_ray.functions import scoring as F_score
 from pdf_context_extractor_agent_ray.functions import simsearch as F_sim
 from pdf_context_extractor_agent_ray.functions import streamops as F_stream
 from pdf_context_extractor_agent_ray.functions import text as F_text
@@ -114,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": text_q(F_text.rolling_fingerprint_batch),
         "bpe_token_count": text_q(F_text.bpe_token_count_batch),
         "dataset_split": text_q(F_text.dataset_split_batch),
+        "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -247,6 +249,28 @@ def oracle_sql() -> dict[str, str]:
                     FROM norm, unnest(range(1, length(n) - 14, 4)) AS u(i)
                     WHERE length(n) > 16 GROUP BY doc_id)
             SELECT * FROM small UNION ALL SELECT * FROM big
+        """,
+        "model_scores": f"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(array_length(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS n_tokens,
+                     CAST(array_length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+                     CAST(array_length(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digits,
+                     CAST(array_length(regexp_extract_all(text, '{_EN}')) AS DOUBLE) AS n_stopwords
+              FROM documents),
+            z AS (SELECT doc_id,
+                         0.0 + n_chars * {F_score.WEIGHTS['n_chars']}
+                             + n_tokens * {F_score.WEIGHTS['n_tokens']}
+                             + n_punct * ({F_score.WEIGHTS['n_punct']})
+                             + n_digits * ({F_score.WEIGHTS['n_digits']})
+                             + n_stopwords * {F_score.WEIGHTS['n_stopwords']}
+                             + ({F_score.BIAS}) AS zv
+                  FROM f)
+            SELECT doc_id,
+                   CAST(round(least(greatest(0.5 + zv * {F_score.HS_SLOPE}, 0.0), 1.0)
+                              * 1000000) AS BIGINT) AS score_e6
+            FROM z
         """,
         "bpe_token_count": f"""
             SELECT doc_id,

@@ -117,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--pages", help="1-based inclusive page range, e.g. 2-4")
     pe.add_argument("--format", choices=["parquet", "json", "csv"], default="parquet")
     pe.add_argument("--num-cpus", type=int)
-    pe.add_argument("--batch-size", type=int, default=64)
+    pe.add_argument("--batch-size", type=int, default=48)
     pe.add_argument("--max-spans", type=int, help="split docs above this span count")
     pe.add_argument("--keyword-library", help="JSON keyword library (EngineConfig)")
     pe.add_argument("--resume", action="store_true")

@@ -1,0 +1,81 @@
+"""Batched model inference pattern: an actor-pool scoring stage.
+
+The "model" is a deterministic linear scorer with a hard-sigmoid link —
+the weights load ONCE per actor from a broadcast ``ray.put`` handle
+(never re-shipped per batch), inference is one vectorized matmul per
+batch. This is the exact plumbing a real learned quality model
+(fastText-style) drops into; the hard-sigmoid (piecewise-linear) link
+keeps the score integer-exact against the SQL oracle (no libm
+divergence).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import DIGIT_RE, PUNCT_RE, STOPWORD_RES, TOKEN_RE
+from .util import round_half_away_e
+
+# fixed demo weights (a real model would be trained; exact decimals so
+# the arithmetic is reproducible in SQL)
+FEATURES = ("n_chars", "n_tokens", "n_punct", "n_digits", "n_stopwords")
+WEIGHTS = {"n_chars": 0.002, "n_tokens": 0.01, "n_punct": -0.05,
+           "n_digits": -0.02, "n_stopwords": 0.08}
+BIAS = -1.0
+# hard sigmoid: clamp(0.5 + z/8, 0, 1)
+HS_SLOPE = 0.125
+
+
+def _features(batch: pa.Table) -> dict[str, np.ndarray]:
+    text = batch["text"]
+    def cnt(rx):
+        return pc.count_substring_regex(text, rx).to_numpy(zero_copy_only=False).astype(np.float64)
+    return {
+        "n_chars": pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64),
+        "n_tokens": cnt(TOKEN_RE),
+        "n_punct": cnt(PUNCT_RE),
+        "n_digits": cnt(DIGIT_RE),
+        "n_stopwords": cnt(STOPWORD_RES["en"]),
+    }
+
+
+class QualityModel:
+    """Actor-pool stage: weights resolved once per actor (from a
+    broadcast handle when given, else module defaults); per batch one
+    vectorized score pass."""
+
+    def __init__(self, weights_ref=None) -> None:
+        if weights_ref is not None:
+            import ray
+            self.weights, self.bias = ray.get(weights_ref)
+        else:
+            self.weights, self.bias = dict(WEIGHTS), BIAS
+        self.w = np.array([self.weights[f] for f in FEATURES], dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = _features(batch)
+        # explicit left-to-right accumulation: the SQL oracle evaluates
+        # w1*f1 + w2*f2 + ... left-associatively; a matmul's pairwise
+        # summation could differ by an ulp and flip an e6 boundary
+        z = np.zeros(len(batch), dtype=np.float64)
+        for f in FEATURES:
+            z = z + feats[f] * self.weights[f]
+        z = z + self.bias
+        score = np.clip(0.5 + z * HS_SLOPE, 0.0, 1.0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "score_e6": pa.array(round_half_away_e(score), pa.int64()),
+        })
+
+
+def model_scores(ds, weights: dict | None = None, bias: float | None = None,
+                 concurrency=(1, 8), batch_size: int = 1024):
+    """Score a documents Dataset with the actor-pool quality model."""
+    kwargs = {}
+    if weights is not None or bias is not None:
+        import ray
+        ref = ray.put((weights or dict(WEIGHTS), BIAS if bias is None else bias))
+        kwargs["fn_constructor_kwargs"] = {"weights_ref": ref}
+    return ds.map_batches(QualityModel, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency, **kwargs)
