@@ -23,6 +23,7 @@ from typing import Any
 import pyarrow as pa
 
 from pdf_context_extractor_agent_ray.functions import dedup as F_dedup
+from pdf_context_extractor_agent_ray.functions import jsonops as F_json
 from pdf_context_extractor_agent_ray.functions import relational as F_rel
 from pdf_context_extractor_agent_ray.functions import scoring as F_score
 from pdf_context_extractor_agent_ray.functions import simsearch as F_sim
@@ -130,6 +131,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped operators (ordered-log windows / as-of join)
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
+        "events_json_stats": F_json.events_json_stats,
+        "approx_distinct_tokens": (lambda sf: __import__(
+            "pdf_context_extractor_agent_ray.functions.sketches",
+            fromlist=["approx_distinct_tokens"]).approx_distinct_tokens(sf)),
         # relational primitives
         "pricing_summary": F_rel.pricing_summary,
         "top_customers": F_rel.top_customers,
@@ -366,6 +371,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n,
                    sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_c0_e6
             FROM embeddings GROUP BY label
+        """,
+        "events_json_stats": """
+            SELECT event_type, count(*) AS n,
+                   sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS sum_k,
+                   max(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS max_k
+            FROM events GROUP BY 1
         """,
         "asof_click_view": """
             SELECT c.event_id AS click_event_id,

@@ -1,0 +1,33 @@
+"""JSON scalar functions over string payload columns (§2.8 parity —
+the reference parses JSON configs/LLM responses; the engine exposes
+field extraction + aggregation over a JSON column at scale)."""
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+
+def events_json_stats(sf_dir: str):
+    """Parse ``events.props`` JSON per row, extract the ``k`` field,
+    aggregate per event_type (partials per batch → small groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Max, Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k")
+                ks.append(int(v) if v is not None else 0)
+            except (json.JSONDecodeError, TypeError, ValueError):
+                ks.append(0)
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pa.array(ks, pa.int64())})
+
+    return ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n"),
+                                         Sum("k", alias_name="sum_k"),
+                                         Max("k", alias_name="max_k"))

@@ -1,0 +1,45 @@
+"""HLL sketch accuracy/determinism + the FIXTURES.md corpus-tier
+(2000-doc) end-to-end equality run."""
+import duckdb
+import pytest
+
+from pdf_context_extractor_agent_ray.functions.sketches import approx_distinct_tokens
+from pdf_context_extractor_agent_ray.oracle.extractor import extract_doc_dict
+from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
+from pdf_context_extractor_agent_ray.sources.synth_source import synth_documents
+from pdf_context_extractor_agent_ray.synth import generate_corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_accuracy_and_determinism(ray_session):
+    est1 = approx_distinct_tokens(SF).take_all()[0]["n_distinct_tokens_approx"]
+    est2 = approx_distinct_tokens(SF).take_all()[0]["n_distinct_tokens_approx"]
+    assert est1 == est2  # register maxima are partitioning-invariant
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        SELECT count(DISTINCT tok) FROM (
+          SELECT unnest(string_split(trim(regexp_replace(text,
+                 '[ \t\r\n\f\v]+', ' ', 'g'), ' '), ' ')) AS tok
+          FROM read_parquet('{SF}/documents.parquet'))
+    """).fetchone()[0]
+    assert abs(est1 - exact) / exact < 0.05, (est1, exact)
+
+
+@pytest.mark.slow
+def test_corpus_tier_equality(ray_session):
+    """FIXTURES.md §4 corpus tier: ~2000 generated docs, end-to-end
+    pipeline vs oracle span equality."""
+    n = 2000
+    corpus = generate_corpus(n)
+    oracle = {d["doc_id"]: extract_doc_dict(d) for d in corpus}
+    out = extraction_pipeline(synth_documents(n), concurrency=3, batch_size=48)
+    count = 0
+    for row in out.iter_rows():
+        o = oracle[row["doc_id"]]
+        got = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in row["spans"]]
+        assert got == o["spans"], row["doc_id"]
+        assert row["valid"] == o["valid"]
+        assert row["statement_type"] == o["statement_type"]
+        count += 1
+    assert count == n
