@@ -245,3 +245,17 @@ def test_classify_title():
     assert docproc.classify_title("（2） 账龄分析") == (2, "2", "账龄分析")
     assert docproc.classify_title("普通文本") is None
     assert docproc.classify_title("1、 2,345.00") is None  # digits-only title rejected
+
+
+def test_langid_heuristic_on_known_languages():
+    import pyarrow as pa
+    from pdf_context_extractor_agent_ray.functions.text import langid_batch
+    batch = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat and the dog went to the park",
+                 "der Hund und die Katze sind nicht ein Problem",
+                 "le chat est dans la maison et les jardins",
+                 "xyzzy plugh 42"],
+    })
+    out = langid_batch(batch).to_pydict()
+    assert out["pred_lang"] == ["en", "de", "fr", "und"]
