@@ -31,6 +31,7 @@ from pdf_context_extractor_agent_ray.functions import streamops as F_stream
 from pdf_context_extractor_agent_ray.functions import text as F_text
 from pdf_context_extractor_agent_ray.functions.multimodal import media_stats
 from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
+from pdf_context_extractor_agent_ray.stages.context import table_contexts
 from pdf_context_extractor_agent_ray.stages.pages import page_stats
 from pdf_context_extractor_agent_ray.sources.synth_source import documents_from_flat
 
@@ -107,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summary": _extract_summary,
         "media_stats": lambda sf: media_stats(documents_from_flat(sf)),
         "page_stats": lambda sf: page_stats(documents_from_flat(sf)),
+        "table_contexts": lambda sf: table_contexts(documents_from_flat(sf)),
         # text analysis
         "text_normalize": text_q(F_text.normalize_batch),
         "token_stats": text_q(F_text.token_stats_batch),
@@ -126,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
+        "knn_ivf": F_sim.ivf_knn,
         "embedding_near_dup": F_sim.embedding_near_dup,
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         # stream-shaped operators (ordered-log windows / as-of join)

@@ -133,16 +133,21 @@ def lsh_candidate_pairs(ds):
         Max("jaccard_e6", alias_name="jaccard_e6"))
 
 
-def dup_clusters(ds, max_rounds: int = 16):
-    """Near-duplicate clusters: connected components over the MinHash-LSH
-    pair graph via iterative min-label propagation.
+SMALL_GRAPH_PAIRS = 1_000_000
 
-    Each round: labels join edges (hash-partitioned on the node key),
-    every node takes the min label among itself and its neighbours'
-    labels, stop at fixpoint. Rounds needed = graph diameter — for dedup
-    graphs that's tiny; ``max_rounds`` bounds pathological chains.
-    Driver-side union-find is deliberately avoided: at corpus scale the
-    pair set does not fit one machine (ray_guide's propagation pattern).
+
+def dup_clusters(ds, max_rounds: int = 16,
+                 small_graph_pairs: int = SMALL_GRAPH_PAIRS):
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    pair graph.
+
+    Size-gated execution: when the pair set is small (the common case —
+    dedup graphs are sparse) the components are computed by union-find
+    inside ONE task on the coalesced pair set, avoiding per-round join
+    overhead. Past ``small_graph_pairs`` the exact same result comes
+    from iterative min-label propagation (labels join edges
+    hash-partitioned on the node key, per-node min, fixpoint) — the
+    pattern that scales when the pair set does not fit one worker.
 
     Output: doc_id, cluster_id (min doc_id of the component; singleton
     docs are not listed — only docs that participate in some pair).
@@ -151,7 +156,34 @@ def dup_clusters(ds, max_rounds: int = 16):
     cpus = int(ray.cluster_resources().get("CPU", 4))
     num_partitions = max(2, cpus // 2)
 
-    pairs = lsh_candidate_pairs(ds)
+    pairs = lsh_candidate_pairs(ds).materialize()
+
+    if pairs.count() <= small_graph_pairs:
+        def union_find(batch: pa.Table) -> pa.Table:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            a_col = batch["doc_a"].to_pylist()
+            b_col = batch["doc_b"].to_pylist()
+            for a, b in zip(a_col, b_col):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min so the root IS the min doc_id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = sorted(parent)
+            return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                             "cluster_id": pa.array([find(n) for n in nodes], pa.int64())})
+
+        return pairs.repartition(1).map_batches(union_find, batch_format="pyarrow",
+                                                batch_size=None)
     # undirected edge list, one row per direction
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()

@@ -166,6 +166,84 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
         .groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
+    """Deterministic coarse quantizer: centroids = normalized means of
+    hash-assigned groups (one pass, no RNG — vec_id % nlist seeds the
+    groups, a Lloyd-free stand-in for trained k-means that keeps the
+    index reproducible across runs/partitions)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    cents = np.stack([M[ids % nlist == c].mean(axis=0) if (ids % nlist == c).any()
+                      else np.zeros(M.shape[1]) for c in range(nlist)])
+    return _normalize_rows(cents)
+
+
+def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
+            k: int = DEFAULT_K, nprobe: int = IVF_NPROBE):
+    """IVF-style approximate top-k: vectors are assigned to their
+    nearest coarse centroid (the inverted list / partition key at
+    scale); each query scores only the ``nprobe`` nearest lists.
+
+    Same output schema as knn_topk; approximate by design (rows-only
+    check). At 100 TB the list id becomes the storage partition key so
+    a query touches nprobe/nlist of the corpus.
+    """
+    import ray
+    import ray.data as rd
+
+    if query_vectors is None:
+        query_vectors = load_query_vectors(sf_dir)
+    qids = sorted(query_vectors)
+    Q = np.array([query_vectors[q] for q in qids], dtype=np.float64)
+    C = _ivf_centroids(sf_dir)
+    qlists = np.argsort(-(_normalize_rows(Q) @ C.T), axis=1)[:, :nprobe]
+    probes = {qid: set(qlists[i].tolist()) for i, qid in enumerate(qids)}
+    ref = ray.put((qids, Q, C, probes))
+    qid_set = set(qids)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids_, Q_, C_, probes_ = ray.get(ref)
+        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = ~np.isin(vec_ids, list(qid_set))
+        out_q, out_v, out_s = [], [], []
+        if keep.any():
+            M = _matrix(batch)[keep]
+            vids = vec_ids[keep]
+            assign = np.argmax(_normalize_rows(M) @ C_.T, axis=1)
+            sims = (M @ Q_.T) / (np.linalg.norm(M, axis=1)[:, None]
+                                 * np.linalg.norm(Q_, axis=1)[None, :])
+            for col, qid in enumerate(qids_):
+                mask = np.isin(assign, list(probes_[qid]))
+                if not mask.any():
+                    continue
+                se6 = round_half_away_e(sims[mask, col])
+                v = vids[mask]
+                idx = np.lexsort((v, -se6))[:min(k, len(v))]
+                out_q.extend([qid] * len(idx))
+                out_v.extend(v[idx].tolist())
+                out_s.extend(se6[idx].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim_e6": pa.array(out_s, pa.int64())})
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim_e6", "vec_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 EMBED_DUP_THRESHOLD_E6 = 450_000
 
 

@@ -47,3 +47,32 @@ def test_page_stats(ray_session):
         assert r["n_pages"] == len(pages)
         assert r["n_spans"] == len(d["spans"])
         assert r["n_tables"] == sum(len(p["tables"]) for p in pages)
+
+
+def test_table_contexts(ray_session):
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.stages.context import table_contexts
+    docs = [generate_doc(f"ctx-{i:03d}", family="bs_simple") for i in range(5)]
+    ds = rd.from_arrow(docs_to_table(docs))
+    rows = table_contexts(ds).take_all()
+    assert rows
+    r = rows[0]
+    # the statement title line sits right above the first table
+    assert "资产负债表" in r["context_before"]
+    assert r["n_rows"] > 10
+    assert "项目" in r["table_head"]
+
+
+def test_strip_boilerplate_preserves_structure(ray_session):
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.stages.context import strip_boilerplate
+    docs = [generate_doc(f"bp-{i:03d}") for i in range(20)]
+    ds = rd.from_arrow(docs_to_table(docs))
+    out = {r["doc_id"]: r for r in strip_boilerplate(ds).take_all()}
+    for d in docs:
+        spans = out[d["doc_id"]]["spans"]
+        # non-text spans all survive, order preserved
+        orig_nontext = [(s[0], s[1]) for s in d["spans"] if s[0] != "text"]
+        got_nontext = [(s["kind"], s["text"]) for s in spans if s["kind"] != "text"]
+        assert got_nontext == orig_nontext
+        assert len(spans) <= len(d["spans"])

@@ -43,3 +43,32 @@ def test_corpus_tier_equality(ray_session):
         assert row["statement_type"] == o["statement_type"]
         count += 1
     assert count == n
+
+
+def test_ivf_knn_recall(ray_session):
+    """IVF approximate top-k: exact-schema output, reasonable recall vs
+    the exact brute-force ranking."""
+    from pdf_context_extractor_agent_ray.functions.simsearch import ivf_knn, knn_topk, load_query_vectors
+    import ray.data as rd
+    qv = load_query_vectors(SF)
+    exact = {}
+    for r in knn_topk(rd.read_parquet(f"{SF}/embeddings.parquet"), qv).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ivf_knn(SF, qv).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls  # nprobe=4/16 lists
+
+
+def test_dup_clusters_both_paths_agree(ray_session):
+    """The union-find fast path and the distributed label-propagation
+    path must produce identical components."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import dup_clusters
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    fast = sorted((r["doc_id"], r["cluster_id"]) for r in dup_clusters(ds).take_all())
+    slow = sorted((r["doc_id"], r["cluster_id"])
+                  for r in dup_clusters(rd.read_parquet(f"{SF}/documents.parquet"),
+                                        small_graph_pairs=0).take_all())
+    assert fast == slow and fast
