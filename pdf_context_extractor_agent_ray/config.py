@@ -36,9 +36,11 @@ class EngineConfig:
     fallback_to_rules: bool = True
     default_choice: str = "rules"       # headless default (llm_config.template.json:43)
 
-    def activate(self) -> None:
+    def activate(self, title_model=None) -> None:
         patterns.activate(self.extra_item_patterns or None,
                           self.extra_column_keywords or None)
+        from . import docproc
+        docproc.set_title_model(title_model)
 
 
 def load_keyword_library(path: str) -> EngineConfig:

@@ -997,12 +997,39 @@ def extract_note_text(page: dict[str, Any], title_offset: int) -> str:
     return "\n".join(lines)
 
 
+# Title-model seam (ST3): the default classifies with the deterministic
+# rule model; EngineConfig/stages may install a provider-backed model
+# via set_title_model (same contract as config.TitleModel.classify_lines).
+_TITLE_MODEL = None
+
+
+def set_title_model(model) -> None:
+    """Install a TitleModel (or None to restore the rule default) for
+    this worker process."""
+    global _TITLE_MODEL
+    _TITLE_MODEL = model
+
+
+def _classify_lines(lines: list[tuple[str, int]]) -> list[dict[str, Any]]:
+    if _TITLE_MODEL is not None:
+        return _TITLE_MODEL.classify_lines(lines)
+    out = []
+    for text, off in lines:
+        t = classify_title(text)
+        if t:
+            level, number, title = t
+            out.append({"level": level, "number": number, "title": title,
+                        "full_title": text.strip(), "offset": off})
+    return out
+
+
 def extract_notes(pages: list[dict[str, Any]],
                   start_after_page: Optional[int]) -> tuple[list[dict[str, Any]], list[str]]:
     """Per-page title detection + interval table assignment + page-to-page
     continuity threading (notes_extractor.py:450-518,
     batch_notes_extractor.py:264-411). Ordering-sensitive per-document
-    fold — runs inside one per-doc call, never across Ray tasks."""
+    fold — runs inside one per-doc call, never across Ray tasks. Title
+    classification goes through the installed TitleModel (ST3 seam)."""
     notes: list[dict[str, Any]] = []
     warnings: list[str] = []
     last_number: Optional[int] = None
@@ -1011,13 +1038,7 @@ def extract_notes(pages: list[dict[str, Any]],
         if start_after_page is not None and page["num"] <= start_after_page:
             continue
         candidates = candidate_title_lines(page)
-        titles = []
-        for text, off in candidates:
-            t = classify_title(text)
-            if t:
-                level, number, title = t
-                titles.append({"level": level, "number": number, "title": title,
-                               "full_title": text, "offset": off, "page": page["num"]})
+        titles = [{**t, "page": page["num"]} for t in _classify_lines(candidates)]
         if not titles:
             continue
 

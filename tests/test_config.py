@@ -136,3 +136,29 @@ def test_hybrid_column_analyzer_arbitration():
     c = compare_column_maps({"a": 1}, {"a": 2})
     assert not c["is_match"] and c["differences"][0]["column_type"] == "a"
     assert compare_column_maps({"a": 1}, {"a": 1})["is_match"]
+
+
+def test_title_model_seam_plumbs_into_extraction():
+    """A custom TitleModel installed via the ST3 seam changes note
+    extraction; restoring the default restores rule behavior."""
+    from pdf_context_extractor_agent_ray import docproc
+    from pdf_context_extractor_agent_ray.config import TitleModel
+    from pdf_context_extractor_agent_ray.synth import generate_doc
+    from pdf_context_extractor_agent_ray.oracle.extractor import extract_doc_dict
+
+    doc = generate_doc("seam-001", family="notes_only")
+    base = extract_doc_dict(doc)
+    n_titles = sum(1 for s in base["spans"] if s[0] == "note_title")
+    assert n_titles > 0
+
+    class NoTitles(TitleModel):
+        def classify_lines(self, lines):
+            return []
+
+    docproc.set_title_model(NoTitles())
+    try:
+        muted = extract_doc_dict(doc)
+        assert sum(1 for s in muted["spans"] if s[0] == "note_title") == 0
+    finally:
+        docproc.set_title_model(None)
+    assert extract_doc_dict(doc)["spans"] == base["spans"]
