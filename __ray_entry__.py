@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": text_q(F_text.bpe_token_count_batch),
         "dataset_split": text_q(F_text.dataset_split_batch),
         "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
+        "stratified_sample": text_q(F_text.stratified_sample_batch),
+        "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -296,6 +298,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source, lang
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.SAMPLE_SALT}'), 1, 16))::UBIGINT
+                       % 1000 AS BIGINT) < {F_text.SAMPLE_PERMILLE}
+        """,
+        "length_stats": """
+            SELECT source, count(*) AS n,
+                   sum(length(text)) AS sum_chars,
+                   sum(length(text) * length(text)) AS sum_chars_sq
+            FROM documents GROUP BY 1
         """,
         "dup_clusters": f"""
             WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -141,6 +141,46 @@ def dataset_split_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+SAMPLE_SALT = "sample-v1"
+SAMPLE_PERMILLE = 100  # 10% per stratum
+
+
+def stratified_sample_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic stratified sampling: keep a doc iff
+    md5(doc_id+salt) mod 1000 < rate, independently within every
+    ``source`` stratum — reproducible across runs/partitions and
+    proportionally representative per stratum (hash sampling, the
+    at-scale replacement for RNG sampling)."""
+    ids = batch["doc_id"].to_pylist()
+    keep = [int.from_bytes(hashlib.md5(f"{i}#{SAMPLE_SALT}".encode()).digest()[:8],
+                           "big") % 1000 < SAMPLE_PERMILLE for i in ids]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "source": batch["source"],
+        "lang": batch["lang"],
+    }).filter(pa.array(keep, pa.bool_()))
+
+
+def length_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch sufficient statistics for per-source length moments
+    (n, sum, sum of squares — integers, so mean/stddev derive exactly
+    downstream and the oracle hashes identically)."""
+    n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+    return pa.table({
+        "source": batch["source"],
+        "n_chars": n_chars,
+        "n_chars_sq": pc.multiply(n_chars, n_chars),
+    })
+
+
+def length_stats(ds):
+    from ray.data.aggregate import Count, Sum
+    return ds.map_batches(length_stats_batch, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count(alias_name="n"),
+                                     Sum("n_chars", alias_name="sum_chars"),
+                                     Sum("n_chars_sq", alias_name="sum_chars_sq"))
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
     """Rolling-hash document fingerprint: min md5 over sliding
     character windows of the normalized text (a robust-to-edit
