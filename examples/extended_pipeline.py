@@ -10,6 +10,14 @@ src/parsers/balance_sheet_v2_example.py, expressed over this engine):
 Run: python examples/extended_pipeline.py
 """
 import json
+import os
+import sys
+
+# make the repo importable when run as `python examples/extended_pipeline.py`
+# (and for Ray workers, which inherit this process's PYTHONPATH below)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 import ray
 
