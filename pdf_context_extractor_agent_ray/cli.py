@@ -24,12 +24,19 @@ import sys
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    import os
+
     import ray
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "ignore_reinit_error": True, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        # under `ray job submit` RAY_ADDRESS points at the cluster;
+        # standalone runs default to a local session
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+        if address == "local":
+            kwargs["include_dashboard"] = False
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
