@@ -97,6 +97,36 @@ def cmd_synth(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """Spot-check an environment: run the distributed pipeline AND the
+    sequential oracle on a sample of the input and compare span-for-span
+    (the per-row invariant). Exit 1 on any mismatch."""
+    from . import io as dio
+    from .oracle.extractor import extract_doc_dict
+    from .pipelines.extraction import extraction_pipeline
+
+    _init_ray(args.num_cpus)
+    ds = dio.read_documents(args.input).limit(args.sample)
+    rows = ds.take_all()
+    out = extraction_pipeline(dio.read_documents(args.input).limit(args.sample))
+    got = {}
+    for r in out.take_all():
+        got[r["doc_id"]] = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in r["spans"]]
+    mismatches = []
+    for r in rows:
+        spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        oracle = extract_doc_dict({"doc_id": r["doc_id"], "spans": spans})
+        if got.get(r["doc_id"]) != oracle["spans"]:
+            mismatches.append(r["doc_id"])
+    verdict = {"checked": len(rows), "mismatches": mismatches,
+               "ok": not mismatches}
+    print(json.dumps(verdict))
+    import ray
+    ray.shutdown()
+    return 0 if verdict["ok"] else 1
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     from . import io as dio
     from .pipelines.metrics import run_metrics
@@ -136,6 +166,12 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--output", required=True)
     ps.add_argument("--num-cpus", type=int)
     ps.set_defaults(fn=cmd_synth)
+
+    pv = sub.add_parser("verify", help="oracle-vs-pipeline spot check on a sample")
+    pv.add_argument("--input", required=True, help="documents table to sample")
+    pv.add_argument("--sample", type=int, default=100)
+    pv.add_argument("--num-cpus", type=int)
+    pv.set_defaults(fn=cmd_verify)
 
     pm = sub.add_parser("metrics", help="roll up metrics over an output dir")
     pm.add_argument("--output", required=True)

@@ -27,3 +27,10 @@ def test_cli_roundtrip(tmp_path):
 
     r = _run("metrics", "--output", outdir, "--num-cpus", "4")
     assert r[0]["n_docs"] == 50
+
+
+def test_cli_verify(tmp_path):
+    corpus = str(tmp_path / "c")
+    _run("synth", "--n-docs", "30", "--output", corpus, "--num-cpus", "4")
+    r = _run("verify", "--input", corpus, "--sample", "30", "--num-cpus", "4")
+    assert r[-1] == {"checked": 30, "mismatches": [], "ok": True}
