@@ -44,7 +44,7 @@ def _init_ray(num_cpus: int | None) -> None:
 
 def cmd_extract(args: argparse.Namespace) -> int:
     from . import io as dio
-    from .config import EngineConfig, load_keyword_library
+    from .config import load_keyword_library
     from .pipelines.export import write_flat_csv, write_output_json
     from .pipelines.extraction import extraction_pipeline, run_resumable
     from .stages.pages import select_page_range

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 

@@ -15,11 +15,9 @@ the resume anti-join, done as a broadcast-set filter
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Optional
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .. import io as dio
 from ..stages.extract import ExtractDocuments

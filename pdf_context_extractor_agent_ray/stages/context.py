@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..patterns import CELL_SEP, ROW_SEP
+from ..patterns import CELL_SEP
 from ..schema import DOCUMENT_SCHEMA, build_spans_array, spans_column_views
 
 CONTEXT_LINES = 3
