@@ -37,6 +37,7 @@ FAMILIES = [
     ("no_statement", 4),
     ("many_pages", 2),
     ("bs_with_notes", 12),
+    ("bs_plus_income", 4),
 ]
 _TOTAL_W = sum(w for _, w in FAMILIES)
 
@@ -415,7 +416,19 @@ def generate_doc(doc_key: str, family: Optional[str] = None) -> dict[str, Any]:
     for _ in range(rng.randint(1, 3)):
         b.text(rng.choice(BOILERPLATE))
 
-    if fam.startswith("bs"):
+    if fam == "bs_plus_income":
+        # multi-statement document: consolidated balance sheet, then an
+        # income statement on later pages — the BS boundary must isolate
+        # the BS table (the income table never enters the statement
+        # parse; its pages are still scanned for notes)
+        header = HEADER_STYLES[0]
+        b.page_break()
+        _emit_statement_pages(b, rng, _bs_rows(rng, header), "合并资产负债表",
+                              split=False, repeat_header=True)
+        b.page_break()
+        _emit_statement_pages(b, rng, _income_rows(rng), "合并利润表",
+                              split=False, repeat_header=False)
+    elif fam.startswith("bs"):
         header = HEADER_STYLES[0]
         if fam == "bs_header_variant":
             header = HEADER_STYLES[rng.randrange(len(HEADER_STYLES))]

@@ -259,3 +259,17 @@ def test_langid_heuristic_on_known_languages():
     })
     out = langid_batch(batch).to_pydict()
     assert out["pred_lang"] == ["en", "de", "fr", "und"]
+
+
+def test_multi_statement_doc_boundary_isolation():
+    """A document with a balance sheet AND an income statement: the BS
+    boundary isolates the BS table; income rows never leak into the
+    statement parse (they live outside the boundary pages)."""
+    from pdf_context_extractor_agent_ray.synth import generate_doc
+    from pdf_context_extractor_agent_ray.oracle.extractor import extract_doc_dict
+    d = generate_doc("multistmt-001", family="bs_plus_income")
+    r = extract_doc_dict(d)
+    assert r["statement_type"] == "balance_sheet"
+    assert r["valid"]
+    sections = {s[1].split("|")[0] for s in r["spans"] if s[0] in ("item", "subtotal", "total")}
+    assert all(sec.startswith(("assets", "liabilities", "equity")) for sec in sections)
