@@ -23,6 +23,7 @@ N_PERM = 8          # minhash permutations
 SHINGLE_TOKENS = 3  # tokens per shingle
 LSH_BANDS = 4       # bands of N_PERM // LSH_BANDS rows each
 JACCARD_THRESHOLD_E6 = 500_000  # 0.5 in integer-scaled jaccard
+MAX_BUCKET_DOCS = 512  # beyond this a bucket chain-links instead of all-pairs
 
 
 def _norm(batch_text: pa.ChunkedArray | pa.Array) -> list[str]:
@@ -107,6 +108,26 @@ def lsh_candidate_pairs(ds):
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "jaccard_e6": pd.Series([], dtype="int64")})
         df = df.sort_values("doc_id")
+        if len(df) > MAX_BUCKET_DOCS:
+            # degenerate bucket (e.g. a corpus of near-identical docs):
+            # full pairing is O(n²). Chain-link instead: consecutive
+            # doc_id pairs within the bucket — every member still links
+            # into one connected component (dup_clusters recovers the
+            # full cluster), at O(n) pairs. Deterministic by doc_id order.
+            docs = df["doc_id"].tolist()
+            norms_l = df["norm_text"].tolist()
+            sets_l = [set(_shingles(n)) for n in norms_l]
+            rows = []
+            for i in range(len(docs) - 1):
+                inter = len(sets_l[i] & sets_l[i + 1])
+                union = len(sets_l[i] | sets_l[i + 1])
+                jac = int(inter / union * 1e6 + 0.5) if union else 0
+                if jac >= JACCARD_THRESHOLD_E6:
+                    rows.append((docs[i], docs[i + 1], jac))
+            return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_e6"]) if rows \
+                else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                   "doc_b": pd.Series([], dtype="int64"),
+                                   "jaccard_e6": pd.Series([], dtype="int64")})
         docs = df["doc_id"].tolist()
         norms = df["norm_text"].tolist()
         sets = [set(_shingles(n)) for n in norms]

@@ -72,3 +72,22 @@ def test_dup_clusters_both_paths_agree(ray_session):
                   for r in dup_clusters(rd.read_parquet(f"{SF}/documents.parquet"),
                                         small_graph_pairs=0).take_all())
     assert fast == slow and fast
+
+
+def test_degenerate_bucket_chain_links(ray_session):
+    """A corpus of thousands of identical docs must not blow up the
+    in-bucket pairing (O(n) chain links; clusters still connect)."""
+    import time
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import dup_clusters
+
+    n = 2000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array(["the same exact document body here"] * n)})
+    t0 = time.time()
+    clusters = dup_clusters(rd.from_arrow(t)).take_all()
+    dt = time.time() - t0
+    assert len(clusters) == n
+    assert {c["cluster_id"] for c in clusters} == {0}  # one component
+    assert dt < 60, dt  # all-pairs would be ~2M comparisons x 4 bands
