@@ -305,10 +305,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.SAMPLE_SALT}'), 1, 16))::UBIGINT
                        % 1000 AS BIGINT) < {F_text.SAMPLE_PERMILLE}
         """,
+        # NB: every aggregate sum() is CAST(... AS BIGINT) — DuckDB
+        # sum(BIGINT) returns HUGEINT (int128) while the engine emits
+        # int64; the driver's value-hash distinguishes the two even
+        # when the values are identical.
         "length_stats": """
             SELECT source, count(*) AS n,
-                   sum(length(text)) AS sum_chars,
-                   sum(length(text) * length(text)) AS sum_chars_sq
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+                   CAST(sum(length(text) * length(text)) AS BIGINT) AS sum_chars_sq
             FROM documents GROUP BY 1
         """,
         "dup_clusters": f"""
@@ -385,13 +389,13 @@ def oracle_sql() -> dict[str, str]:
                              * 1000000) AS BIGINT) >= {F_sim.EMBED_DUP_THRESHOLD_E6}
         """,
         "label_stats": """
-            SELECT label, count(*) AS n,
-                   sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS sum_c0_e6
-            FROM embeddings GROUP BY label
+            SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+                   CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_c0_e6
+            FROM embeddings GROUP BY 1
         """,
         "events_json_stats": """
             SELECT event_type, count(*) AS n,
-                   sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS sum_k,
+                   CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
                    max(coalesce(CAST(json_extract(props, '$.k') AS BIGINT), 0)) AS max_k
             FROM events GROUP BY 1
         """,
@@ -422,9 +426,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   sum({_CENTS.format('l_quantity')}) AS sum_qty_cents,
-                   sum({_CENTS.format('l_extendedprice')}) AS sum_price_cents,
-                   sum({_CENTS.format('l_extendedprice * (1.0 - l_discount)')}) AS sum_disc_price_cents,
+                   CAST(sum({_CENTS.format('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum({_CENTS.format('l_extendedprice')}) AS BIGINT) AS sum_price_cents,
+                   CAST(sum({_CENTS.format('l_extendedprice * (1.0 - l_discount)')}) AS BIGINT) AS sum_disc_price_cents,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -432,7 +436,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": f"""
             WITH agg AS (SELECT o_custkey,
-                                sum({_CENTS.format('o_totalprice')}) AS revenue_cents,
+                                CAST(sum({_CENTS.format('o_totalprice')}) AS BIGINT) AS revenue_cents,
                                 count(*) AS n_orders
                          FROM orders GROUP BY 1)
             SELECT a.o_custkey, a.revenue_cents, a.n_orders, c.c_name, c.c_mktsegment
@@ -444,7 +448,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
                    event_type,
                    count(*) AS n_events,
-                   sum({_CENTS.format('value')}) AS sum_value_cents
+                   CAST(sum({_CENTS.format('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "filter_sort_topk": f"""
@@ -457,7 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "order_revenue_topk": f"""
             SELECT l.l_orderkey,
                    CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
-                   sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS revenue_cents
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents
             FROM lineitem l
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
@@ -471,7 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "region_rollup": f"""
             SELECT r.r_name,
                    count(*) AS n_customers,
-                   sum({_CENTS.format('c.c_acctbal')}) AS sum_acctbal_cents
+                   CAST(sum({_CENTS.format('c.c_acctbal')}) AS BIGINT) AS sum_acctbal_cents
             FROM customer c
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
@@ -480,7 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats": f"""
             SELECT c_mktsegment,
                    count(*) AS n_customers,
-                   sum({_CENTS.format('c_acctbal')}) AS sum_acctbal_cents
+                   CAST(sum({_CENTS.format('c_acctbal')}) AS BIGINT) AS sum_acctbal_cents
             FROM customer GROUP BY 1
         """,
     }

@@ -45,6 +45,12 @@ def _compare(name, ray_df, sql_df):
     assert sorted(ray_df.columns) == sorted(sql_df.columns), \
         f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
     assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    # the driver's value-hash is dtype-sensitive: DuckDB sum(BIGINT)
+    # returns HUGEINT (→ object/float in pandas) while the engine emits
+    # int64 — `5 == 5.0` passing in pandas is NOT good enough.
+    for c in sorted(ray_df.columns):
+        ad, bd = str(ray_df[c].dtype), str(sql_df[c].dtype)
+        assert ad == bd, f"{name}.{c}: dtype {ad} (engine) != {bd} (oracle)"
     a, b = _canon(ray_df), _canon(sql_df)
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
