@@ -64,7 +64,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
     if args.format == "parquet":
         manifest = run_resumable(
-            build_input, args.output, batch_size=args.batch_size,
+            build_input, args.output, batch_size=args.batch_size, config=config,
             lineage={"input": args.input, "pages": args.pages or "all"})
         if not args.resume and manifest.get("skipped_docs"):
             print("note: output dir had finished partitions; "

@@ -174,9 +174,8 @@ def order_revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING",
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    keys = {c for c, s in zip(cust["c_custkey"].to_pylist(),
-                              cust["c_mktsegment"].to_pylist()) if s == segment}
-    ref = ray.put(keys)
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"]
+    ref = ray.put(keys.combine_chunks())
     cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
@@ -184,8 +183,7 @@ def order_revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING",
     def filter_orders(batch: pa.Table) -> pa.Table:
         wanted = ray.get(ref)
         batch = batch.filter(pc.less(batch["o_orderdate"], cutoff_ts))
-        mask = pa.array([c in wanted for c in batch["o_custkey"].to_pylist()], pa.bool_())
-        batch = batch.filter(mask)
+        batch = batch.filter(pc.is_in(batch["o_custkey"], value_set=wanted))
         return pa.table({"o_orderkey": batch["o_orderkey"],
                          "o_orderdate_us": pc.cast(batch["o_orderdate"], pa.int64())})
 

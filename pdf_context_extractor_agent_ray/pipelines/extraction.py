@@ -42,7 +42,8 @@ def _default_concurrency() -> int:
 
 
 def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
-                        batch_size: int = 48, config=None):
+                        batch_size: int = 48, config=None,
+                        expected_rows: Optional[int] = None):
     """Attach the extraction stage to a documents Dataset.
 
     ``batch_size=48`` documents/batch: measured best on 200k docs at 32
@@ -51,9 +52,13 @@ def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
     the actor pool is sized below cluster CPUs so the generate/read
     stages can't starve.
     ``config``: optional EngineConfig shipped to every actor.
+    ``expected_rows``: when the input size is known (e.g. parquet row
+    count), cap the pool so a tiny corpus doesn't pay full-pool startup.
     """
     if concurrency is None:
         concurrency = _default_concurrency()
+    if expected_rows is not None:
+        concurrency = max(1, min(concurrency, -(-expected_rows // batch_size)))
     kwargs = {}
     if config is not None:
         kwargs["fn_constructor_kwargs"] = {"config": config}
@@ -74,12 +79,13 @@ def _broadcast_anti_join(ds, completed: set[str]):
     if not completed:
         return ds
     import ray
-    ref = ray.put(completed)
+    import pyarrow.compute as pc
+    ref = ray.put(pa.array(sorted(completed), pa.string()))
 
     def drop_done(batch: pa.Table) -> pa.Table:
         done = ray.get(ref)
-        mask = [d not in done for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=done))
+        return batch.filter(mask)
 
     return ds.map_batches(drop_done, batch_format="pyarrow")
 
@@ -87,6 +93,7 @@ def _broadcast_anti_join(ds, completed: set[str]):
 def run_resumable(ds_factory, output_path: str, *,
                   concurrency: Optional[int] = None,
                   batch_size: int = 64,
+                  config=None,
                   lineage: Optional[dict[str, Any]] = None) -> dict[str, Any]:
     """Run extraction over ``ds_factory()`` writing a new atomic
     partition; docs already present in finished partitions are skipped.
@@ -95,7 +102,8 @@ def run_resumable(ds_factory, output_path: str, *,
     completed = dio.completed_doc_ids(output_path)
     ds = ds_factory()
     ds = _broadcast_anti_join(ds, completed)
-    out = extraction_pipeline(ds, concurrency=concurrency, batch_size=batch_size)
+    out = extraction_pipeline(ds, concurrency=concurrency,
+                              batch_size=batch_size, config=config)
     part = dio.next_partition_index(output_path)
     manifest = dio.write_partition(out, output_path, part, lineage=lineage)
     manifest["skipped_docs"] = len(completed)

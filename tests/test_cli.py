@@ -29,6 +29,53 @@ def test_cli_roundtrip(tmp_path):
     assert r[0]["n_docs"] == 50
 
 
+def test_cli_keyword_library_reaches_parquet_path(tmp_path):
+    """A keyword-library entry must change --format=parquet output
+    (run_resumable has to forward config to the extraction actors)."""
+    import pyarrow.parquet as pq
+    from pdf_context_extractor_agent_ray.schema import docs_to_table
+    from pdf_context_extractor_agent_ray.synth import generate_doc
+
+    doc = generate_doc("cli-lib-001", family="bs_simple")
+    spans = list(doc["spans"])
+    # splice an item unknown to the default banks into the statement table
+    ti = next(i for i, s in enumerate(spans) if s[0] == "table_row" and "货币资金" in s[1])
+    ref = spans[ti][2]
+    cells = spans[ti][1].split("\x1f")
+    row = "\x1f".join(["数字货币"] + cells[1:])
+    spans.insert(ti, ("table_row", row, ref, 0))
+    spans = [(k, t, r, i) for i, (k, t, r, _) in enumerate(spans)]
+
+    corpus = str(tmp_path / "corpus.parquet")
+    pq.write_table(docs_to_table([{"doc_id": doc["doc_id"], "spans": spans}]), corpus)
+    lib = tmp_path / "lib.json"
+    lib.write_text(json.dumps({"item_patterns": {"balance_sheet": [
+        ["assets.current_assets", "数字货币", ["数字货币"]]]}}))
+
+    def item_texts(outdir):
+        texts = []
+        import os
+        for part in os.listdir(outdir):
+            pdir = f"{outdir}/{part}"
+            if not part.startswith("part-"):
+                continue
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(f"{pdir}/{f}")
+                    for doc_spans in t.column("spans").to_pylist():
+                        texts += [s["text"] for s in doc_spans if s["kind"] == "item"]
+        return texts
+
+    out_plain = str(tmp_path / "out_plain")
+    _run("extract", "--input", corpus, "--output", out_plain, "--num-cpus", "4")
+    assert not any("数字货币" in t for t in item_texts(out_plain))
+
+    out_lib = str(tmp_path / "out_lib")
+    _run("extract", "--input", corpus, "--output", out_lib, "--num-cpus", "4",
+         "--keyword-library", str(lib))
+    assert any("数字货币" in t for t in item_texts(out_lib))
+
+
 def test_cli_verify(tmp_path):
     corpus = str(tmp_path / "c")
     _run("synth", "--n-docs", "30", "--output", corpus, "--num-cpus", "4")
