@@ -33,7 +33,11 @@ from pdf_context_extractor_agent_ray.functions.multimodal import media_stats
 from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
 from pdf_context_extractor_agent_ray.stages.context import table_contexts
 from pdf_context_extractor_agent_ray.stages.pages import page_stats
-from pdf_context_extractor_agent_ray.sources.synth_source import documents_from_flat
+from pdf_context_extractor_agent_ray.sources.synth_source import (
+    documents_from_flat,
+    ensure_spans_parquet,
+    flat_num_docs,
+)
 
 
 def _docs(sf_dir: str):
@@ -60,7 +64,8 @@ def entry() -> Any:
 def _extract_summary(sf_dir: str):
     """Per-doc extraction summary: span counts by kind + verdict +
     span-sequence md5 (the per-row invariant, hashable)."""
-    out = extraction_pipeline(documents_from_flat(sf_dir))
+    out = extraction_pipeline(documents_from_flat(sf_dir),
+                              expected_rows=flat_num_docs(sf_dir))
 
     def summarize(batch: pa.Table) -> pa.Table:
         from pdf_context_extractor_agent_ray.schema import spans_column_views
@@ -167,7 +172,79 @@ _CENTS = "CAST(round({} * 100) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
+    # The flagship span corpus is deterministic per doc_id, so its
+    # oracles run DuckDB SQL over a flat spans-parquet artifact derived
+    # from the SAME generator (materialized once under /tmp). The
+    # driver's correctness gate runs at sf0.01.
+    spans_pq = ensure_spans_parquet("/root/testdata/sf0.01")
+    _TRIM = "trim(text, ' \t\r\n\f\v')"
     return {
+        "media_stats": f"""
+            SELECT doc_id, count(*) AS n_media,
+                   CAST(sum(('0x' || substr(md5(media_ref), 5, 8))::UBIGINT
+                            % 1000000) AS BIGINT) AS total_bytes
+            FROM read_parquet('{spans_pq}')
+            WHERE kind = 'media'
+            GROUP BY doc_id
+        """,
+        "page_stats": f"""
+            WITH s AS (SELECT * FROM read_parquet('{spans_pq}')),
+            pb AS (SELECT doc_id,
+                          count(*) FILTER (WHERE kind = 'page_break') AS n_breaks,
+                          count(*) AS n_spans,
+                          count(DISTINCT media_ref) FILTER (WHERE kind = 'table_row') AS n_tables
+                   FROM s GROUP BY doc_id),
+            pages AS (SELECT doc_id, kind,
+                             sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY span_idx
+                                     ROWS UNBOUNDED PRECEDING) AS page
+                      FROM s),
+            pp AS (SELECT doc_id, page, count(*) AS n
+                   FROM pages WHERE kind <> 'page_break' GROUP BY doc_id, page),
+            mx AS (SELECT doc_id, max(n) AS max_pp FROM pp GROUP BY doc_id)
+            SELECT pb.doc_id,
+                   CAST(pb.n_breaks + 1 AS INTEGER) AS n_pages,
+                   CAST(pb.n_spans AS INTEGER) AS n_spans,
+                   CAST(pb.n_tables AS INTEGER) AS n_tables,
+                   CAST(coalesce(mx.max_pp, 0) AS INTEGER) AS max_spans_per_page
+            FROM pb LEFT JOIN mx ON mx.doc_id = pb.doc_id
+        """,
+        "table_contexts": f"""
+            WITH s AS (SELECT doc_id, span_idx, kind, text, media_ref,
+                              sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY doc_id ORDER BY span_idx
+                                      ROWS UNBOUNDED PRECEDING) AS page
+                       FROM read_parquet('{spans_pq}')),
+            t AS (SELECT doc_id, media_ref AS table_ref, min(span_idx) AS start_i,
+                         max(span_idx) AS end_i, count(*) AS n_rows, min(page) AS page
+                  FROM s WHERE kind = 'table_row' GROUP BY doc_id, media_ref),
+            txt AS (SELECT doc_id, page, span_idx, {_TRIM} AS tt
+                    FROM s WHERE kind = 'text' AND {_TRIM} <> ''),
+            bef AS (SELECT t.doc_id, t.table_ref, x.span_idx, x.tt,
+                           row_number() OVER (PARTITION BY t.doc_id, t.table_ref
+                                              ORDER BY x.span_idx DESC) AS rn
+                    FROM t JOIN txt x ON x.doc_id = t.doc_id AND x.page = t.page
+                                     AND x.span_idx < t.start_i),
+            befa AS (SELECT doc_id, table_ref,
+                            string_agg(tt, chr(10) ORDER BY span_idx) AS context_before
+                     FROM bef WHERE rn <= 3 GROUP BY doc_id, table_ref),
+            aft AS (SELECT t.doc_id, t.table_ref, x.span_idx, x.tt,
+                           row_number() OVER (PARTITION BY t.doc_id, t.table_ref
+                                              ORDER BY x.span_idx ASC) AS rn
+                    FROM t JOIN txt x ON x.doc_id = t.doc_id AND x.page = t.page
+                                     AND x.span_idx > t.end_i),
+            afta AS (SELECT doc_id, table_ref,
+                            string_agg(tt, chr(10) ORDER BY span_idx) AS context_after
+                     FROM aft WHERE rn <= 3 GROUP BY doc_id, table_ref)
+            SELECT t.doc_id, t.table_ref, CAST(t.n_rows AS INTEGER) AS n_rows,
+                   coalesce(b.context_before, '') AS context_before,
+                   coalesce(a.context_after, '') AS context_after,
+                   replace(h.text, chr(31), ' ') AS table_head
+            FROM t
+            JOIN s h ON h.doc_id = t.doc_id AND h.span_idx = t.start_i
+            LEFT JOIN befa b ON b.doc_id = t.doc_id AND b.table_ref = t.table_ref
+            LEFT JOIN afta a ON a.doc_id = t.doc_id AND a.table_ref = t.table_ref
+        """,
         "text_normalize": f"""
             SELECT doc_id, {_NORM} AS norm_text, length({_NORM}) AS n_chars
             FROM documents

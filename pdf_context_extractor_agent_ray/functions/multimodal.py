@@ -17,6 +17,19 @@ from ..schema import spans_column_views
 
 MEDIA_BATCH_SIZE = 16  # large binary payloads => small batches
 
+
+def _pool_size(requested: int | None = None) -> int:
+    """Fixed actor-pool size, always BELOW cluster CPUs: a pool that
+    reserves every CPU starves the read stage and the pipeline hangs
+    (observed; see CLAUDE.md invariants)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    cap = max(1, cpus - 2)
+    return min(requested, cap) if requested else cap
+
 MEDIA_FEATURE_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("media_ref", pa.string()),
@@ -66,15 +79,55 @@ class MediaFeatureStage:
         return pa.Table.from_pydict(out, schema=MEDIA_FEATURE_SCHEMA)
 
 
-def media_features(docs_ds, concurrency=(1, 4)):
-    """Per-media-span features over an interleaved-documents Dataset."""
+def media_features(docs_ds, concurrency: int | None = None):
+    """Per-media-span features over an interleaved-documents Dataset.
+
+    Fixed-size actor pool: autoscaling (1, N) pools measured 4x slower
+    on this engine's stages (see CLAUDE.md)."""
     return docs_ds.map_batches(MediaFeatureStage, batch_format="pyarrow",
-                               batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency)
+                               batch_size=MEDIA_BATCH_SIZE,
+                               concurrency=_pool_size(concurrency))
 
 
-def media_stats(docs_ds, concurrency=(1, 4)):
-    """Corpus-level media rollup: count + total bytes per doc."""
-    from ray.data.aggregate import Count, Sum
-    feats = media_features(docs_ds, concurrency=concurrency)
-    return feats.groupby("doc_id").aggregate(
-        Count(alias_name="n_media"), Sum("n_bytes", alias_name="total_bytes"))
+MEDIA_STATS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("n_media", pa.int64()),
+    ("total_bytes", pa.int64()),
+])
+
+
+class MediaStatsStage:
+    """Per-document media rollup computed INSIDE the span pass: a doc's
+    spans live in one row, so count/sum per doc needs no groupby — the
+    stage emits one row per document with >=1 media span and the
+    pipeline has zero shuffles."""
+
+    def __init__(self, decoder_cls=FakeDecoder) -> None:
+        self.decoder = decoder_cls()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, list_offsets, kinds, _texts, refs, _offs = spans_column_views(batch)
+        out = {name: [] for name in MEDIA_STATS_SCHEMA.names}
+        for i in range(len(doc_ids)):
+            lo, hi = int(list_offsets[i]), int(list_offsets[i + 1])
+            n = 0
+            total = 0
+            for j in range(lo, hi):
+                if kinds[j] == "media":
+                    n += 1
+                    total += self.decoder.decode(refs[j])[2]
+            if n:
+                out["doc_id"].append(doc_ids[i])
+                out["n_media"].append(n)
+                out["total_bytes"].append(total)
+        return pa.Table.from_pydict(out, schema=MEDIA_STATS_SCHEMA)
+
+
+def media_stats(docs_ds, concurrency: int | None = None, batch_size: int = 128):
+    """Corpus-level media rollup: count + total bytes per doc (docs
+    with no media are omitted). The stub decoder carries no payload, so
+    the batch can be much larger than MEDIA_BATCH_SIZE; shrink it when
+    a real decoder materializes frames."""
+    return docs_ds.map_batches(MediaStatsStage, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=_pool_size(concurrency))

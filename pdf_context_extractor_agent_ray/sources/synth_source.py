@@ -35,6 +35,70 @@ def synth_documents(n_docs: int, seed: int = 42, prefix: str = "synth",
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=256)
 
 
+def flat_num_docs(sf_dir: str) -> int:
+    """Row count of the flat documents table from parquet metadata only
+    (no data read) — used to cap actor-pool size on small inputs."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def ensure_spans_parquet(sf_dir: str) -> str:
+    """Materialize the deterministic interleaved span corpus for
+    ``sf_dir`` as a FLAT parquet artifact under /tmp (one row per span:
+    doc_id, span_idx, kind, text, media_ref, offset) and return its
+    path.
+
+    This is the SQL-oracle twin of ``documents_from_flat``: DuckDB
+    queries over this table must agree with Ray pipelines over the
+    nested Dataset because both derive from the same per-doc_id
+    generator. Written once per (synth version, sf dir) via tmp-file +
+    atomic rename; safe under concurrent callers.
+    """
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..synth import SYNTH_VERSION, generate_doc
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_spans/v{SYNTH_VERSION}/{base}"
+    path = f"{out_dir}/documents_spans.parquet"
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cols = {"doc_id": [], "span_idx": [], "kind": [], "text": [],
+            "media_ref": [], "offset": []}
+    for i in src.column("doc_id").to_pylist():
+        d = generate_doc(f"doc-{int(i):08d}")
+        for idx, (k, t, r, o) in enumerate(d["spans"]):
+            cols["doc_id"].append(d["doc_id"])
+            cols["span_idx"].append(idx)
+            cols["kind"].append(k)
+            cols["text"].append(t)
+            cols["media_ref"].append(r)
+            cols["offset"].append(o)
+    table = pa.table({
+        "doc_id": pa.array(cols["doc_id"], pa.string()),
+        "span_idx": pa.array(cols["span_idx"], pa.int32()),
+        "kind": pa.array(cols["kind"], pa.string()),
+        "text": pa.array(cols["text"], pa.string()),
+        "media_ref": pa.array(cols["media_ref"], pa.string()),
+        "offset": pa.array(cols["offset"], pa.int32()),
+    })
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=out_dir)
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.rename(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return path
+
+
 def documents_from_flat(sf_dir: str, limit: Optional[int] = None):
     """Derive the interleaved span corpus deterministically from the
     driver's flat ``documents.parquet`` (doc_id keys only — the span

@@ -21,6 +21,11 @@ from typing import Any, Optional
 
 from .patterns import CELL_SEP
 
+# bump when generation changes: versions the derived spans-parquet
+# artifact (sources.synth_source.ensure_spans_parquet) so stale caches
+# under /tmp never feed the SQL oracles
+SYNTH_VERSION = "1"
+
 FAMILIES = [
     # (family, weight)
     ("bs_simple", 18),

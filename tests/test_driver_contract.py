@@ -83,7 +83,7 @@ def test_every_oracle_has_query(entrymod):
 
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
-    for name in ("extract_summary", "media_stats", "page_stats", "knn_lsh"):
+    for name in ("extract_summary", "knn_lsh", "knn_ivf", "approx_distinct_tokens"):
         df = _to_pandas(qs[name](SF_DIR))
         assert df is not None
         if name in ("extract_summary",):
