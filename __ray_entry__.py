@@ -170,6 +170,31 @@ _MINHASH_AGGS = ",\n  ".join(
 
 _CENTS = "CAST(round({} * 100) AS BIGINT)"
 
+# LSH candidate generation with the engine's degenerate-bucket cap
+# mirrored exactly: buckets over MAX_BUCKET_DOCS chain-link consecutive
+# doc_ids (O(n) pairs) instead of all-pairs. Assumes a CTE ``bands``
+# (doc_id, band, bucket) is in scope.
+_LSH_CAND = f"""
+            bcnt AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2),
+            small_cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                           FROM bands a
+                           JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                       AND a.doc_id < b.doc_id
+                           JOIN bcnt c ON c.band = a.band AND c.bucket = a.bucket
+                           WHERE c.n <= {F_dedup.MAX_BUCKET_DOCS}),
+            chain AS (SELECT s.band, s.bucket, s.doc_id,
+                             row_number() OVER (PARTITION BY s.band, s.bucket
+                                                ORDER BY s.doc_id) AS rn
+                      FROM bands s JOIN bcnt c ON c.band = s.band AND c.bucket = s.bucket
+                      WHERE c.n > {F_dedup.MAX_BUCKET_DOCS}),
+            chain_cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+                           FROM chain x JOIN chain y
+                             ON x.band = y.band AND x.bucket = y.bucket
+                            AND y.rn = x.rn + 1),
+            cand AS (SELECT DISTINCT doc_a, doc_b
+                     FROM (SELECT * FROM small_cand
+                           UNION ALL SELECT * FROM chain_cand))"""
+
 
 def oracle_sql() -> dict[str, str]:
     # The flagship span corpus is deterministic per doc_id, so its
@@ -316,9 +341,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
               SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
               SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            {_LSH_CAND},
             sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
             ver AS (SELECT doc_a, doc_b,
                            CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
@@ -404,9 +427,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
               SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
               SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            {_LSH_CAND},
             sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
             pairs AS (SELECT doc_a, doc_b FROM cand
                       JOIN sets x ON x.doc_id = cand.doc_a

@@ -79,79 +79,106 @@ def _band_key(sig: list[str], band: int) -> str:
     return hashlib.md5(("|".join(sig[band * rows:(band + 1) * rows])).encode()).hexdigest()
 
 
-def lsh_candidate_pairs(ds):
+def _jaccard_e6(norm_a: str, norm_b: str) -> int:
+    sa, sb = set(_shingles(norm_a)), set(_shingles(norm_b))
+    union = len(sa | sb)
+    # round-half-away to match the DuckDB oracle's round()
+    return int(len(sa & sb) / union * 1e6 + 0.5) if union else 0
+
+
+def lsh_candidate_pairs(ds, num_partitions: int | None = None):
     """MinHash-LSH near-dup pairs: shingle → minhash → band-bucket
-    groupby → in-bucket pairs → exact n-gram Jaccard verification.
+    groupby → candidate pairs → exact n-gram Jaccard verification.
+
+    Scale: the band exchange carries ONLY (doc_id, band, bucket) —
+    ~50 B/doc/band, never the document text (shipping norm_text through
+    the groupby would move 4x the corpus text at 100 TB). Verification
+    re-reads each candidate doc's text via doc_id-keyed hash joins, so
+    text moves once per pair-participation — proportional to the
+    (sparse) candidate set, not the corpus.
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 (integer-scaled),
     only pairs with Jaccard >= threshold, deduped across bands.
     """
+    import ray
+    if num_partitions is None:
+        # join aggregators are actors: keep well under cluster CPUs
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, cpus // 2)
+
     def sig_and_bands(batch: pa.Table) -> pa.Table:
         norms = _norm(batch["text"])
         doc_ids = batch["doc_id"].to_pylist()
-        out_doc, out_band, out_key, out_norm = [], [], [], []
+        out_doc, out_band, out_key = [], [], []
         for d, n in zip(doc_ids, norms):
             sig = minhash_signature(n)
             for b in range(LSH_BANDS):
                 out_doc.append(d)
                 out_band.append(b)
                 out_key.append(_band_key(sig, b))
-                out_norm.append(n)
-        return pa.table({"doc_id": pa.array(out_doc),
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
                          "band": pa.array(out_band, pa.int32()),
-                         "bucket": pa.array(out_key, pa.string()),
-                         "norm_text": pa.array(out_norm, pa.string())})
+                         "bucket": pa.array(out_key, pa.string())})
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
         if len(df) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard_e6": pd.Series([], dtype="int64")})
-        df = df.sort_values("doc_id")
-        if len(df) > MAX_BUCKET_DOCS:
+            return empty
+        docs = sorted(df["doc_id"].tolist())
+        if len(docs) > MAX_BUCKET_DOCS:
             # degenerate bucket (e.g. a corpus of near-identical docs):
             # full pairing is O(n²). Chain-link instead: consecutive
             # doc_id pairs within the bucket — every member still links
             # into one connected component (dup_clusters recovers the
             # full cluster), at O(n) pairs. Deterministic by doc_id order.
-            docs = df["doc_id"].tolist()
-            norms_l = df["norm_text"].tolist()
-            sets_l = [set(_shingles(n)) for n in norms_l]
-            rows = []
-            for i in range(len(docs) - 1):
-                inter = len(sets_l[i] & sets_l[i + 1])
-                union = len(sets_l[i] | sets_l[i + 1])
-                jac = int(inter / union * 1e6 + 0.5) if union else 0
-                if jac >= JACCARD_THRESHOLD_E6:
-                    rows.append((docs[i], docs[i + 1], jac))
-            return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_e6"]) if rows \
-                else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                   "doc_b": pd.Series([], dtype="int64"),
-                                   "jaccard_e6": pd.Series([], dtype="int64")})
-        docs = df["doc_id"].tolist()
-        norms = df["norm_text"].tolist()
-        sets = [set(_shingles(n)) for n in norms]
-        rows = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                # round-half-away to match the DuckDB oracle's round()
-                jac = int(inter / union * 1e6 + 0.5) if union else 0
-                if jac >= JACCARD_THRESHOLD_E6:
-                    rows.append((docs[i], docs[j], jac))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard_e6"]) if rows \
-            else pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                               "doc_b": pd.Series([], dtype="int64"),
-                               "jaccard_e6": pd.Series([], dtype="int64")})
+            pairs = [(docs[i], docs[i + 1]) for i in range(len(docs) - 1)]
+        else:
+            pairs = [(docs[i], docs[j])
+                     for i in range(len(docs)) for j in range(i + 1, len(docs))]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) if pairs else empty
 
     exploded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # dedupe pairs found in multiple bands
-    from ray.data.aggregate import Max
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard_e6", alias_name="jaccard_e6"))
+    cand = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_candidates, batch_format="pandas")
+    # dedupe candidates found in multiple bands (tiny rows: two int64s)
+    from ray.data.aggregate import Count
+    cand = cand.groupby(["doc_a", "doc_b"]) \
+        .aggregate(Count(alias_name="_n_bands")) \
+        .select_columns(["doc_a", "doc_b"])
+
+    def norm_texts(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_text": pa.array(_norm(batch["text"]), pa.string())})
+
+    texts = ds.map_batches(norm_texts, batch_format="pyarrow")
+    ta = texts.map_batches(
+        lambda b: pa.table({"_ka": b["doc_id"], "text_a": b["norm_text"]}),
+        batch_format="pyarrow")
+    tb = texts.map_batches(
+        lambda b: pa.table({"_kb": b["doc_id"], "text_b": b["norm_text"]}),
+        batch_format="pyarrow")
+    j = cand.join(ta, "inner", num_partitions=num_partitions,
+                  on=("doc_a",), right_on=("_ka",)) \
+        .select_columns(["doc_a", "doc_b", "text_a"])
+    j = j.join(tb, "inner", num_partitions=num_partitions,
+               on=("doc_b",), right_on=("_kb",)) \
+        .select_columns(["doc_a", "doc_b", "text_a", "text_b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        oa, ob, oj = [], [], []
+        for a, b, na, nb in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+                                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()):
+            jac = _jaccard_e6(na, nb)
+            if jac >= JACCARD_THRESHOLD_E6:
+                oa.append(a)
+                ob.append(b)
+                oj.append(jac)
+        return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                         "doc_b": pa.array(ob, pa.int64()),
+                         "jaccard_e6": pa.array(oj, pa.int64())})
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 SMALL_GRAPH_PAIRS = 1_000_000
@@ -223,19 +250,34 @@ def dup_clusters(ds, max_rounds: int = 16,
 
     labels = labels.map_batches(init_label, batch_format="pyarrow")
 
+    n_changed = 0
     for _ in range(max_rounds):
         # propagate: each node's label -> its peers, take the min
         joined = edges.join(labels, "inner", num_partitions=num_partitions,
                             on=("peer",), right_on=("node",),
                             right_suffix="_l")
         prop = joined.groupby("node").aggregate(Min("label", alias_name="peer_label"))
+        # pointer doubling: label(label) — each node also adopts its
+        # current label's label, so a path component converges in
+        # O(log diameter) rounds instead of O(diameter) (critical once
+        # chain-linked degenerate buckets create long paths)
+        parents = labels.map_batches(
+            lambda b: pa.table({"pnode": b["node"], "plabel": b["label"]}),
+            batch_format="pyarrow")
+        hop = labels.join(parents, "inner", num_partitions=num_partitions,
+                          on=("label",), right_on=("pnode",)) \
+            .select_columns(["node", "plabel"])
         merged = labels.join(prop, "left_outer", num_partitions=num_partitions,
                              on=("node",), right_on=("node",), right_suffix="_p")
+        merged = merged.join(hop, "left_outer", num_partitions=num_partitions,
+                             on=("node",), right_on=("node",), right_suffix="_h")
 
         def take_min(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            new = pc.min_element_wise(batch["label"],
-                                      pc.fill_null(batch["peer_label"], 2**62))
+            new = pc.min_element_wise(
+                pc.min_element_wise(batch["label"],
+                                    pc.fill_null(batch["peer_label"], 2**62)),
+                pc.fill_null(batch["plabel"], 2**62))
             changed = pc.cast(pc.not_equal(new, batch["label"]), pa.int64())
             return pa.table({"node": batch["node"], "label": new, "changed": changed})
 
@@ -244,6 +286,13 @@ def dup_clusters(ds, max_rounds: int = 16,
         labels = updated.select_columns(["node", "label"])
         if not n_changed:
             break
+    if n_changed:
+        # never return silently-wrong components: with pointer doubling
+        # this needs diameter > 2**max_rounds, i.e. it cannot trip in
+        # practice — but a truncated fixpoint must be an error, not data
+        raise RuntimeError(
+            f"dup_clusters label propagation did not converge in {max_rounds} "
+            f"rounds ({n_changed} labels still changing)")
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["node"], "cluster_id": batch["label"]})
