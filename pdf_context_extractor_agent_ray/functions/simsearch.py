@@ -174,14 +174,42 @@ def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
     """Deterministic coarse quantizer: centroids = normalized means of
     hash-assigned groups (one pass, no RNG — vec_id % nlist seeds the
     groups, a Lloyd-free stand-in for trained k-means that keeps the
-    index reproducible across runs/partitions)."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    cents = np.stack([M[ids % nlist == c].mean(axis=0) if (ids % nlist == c).any()
-                      else np.zeros(M.shape[1]) for c in range(nlist)])
-    return _normalize_rows(cents)
+    index reproducible across runs/partitions).
+
+    Computed as a Ray PRE-AGGREGATE: each batch emits nlist partial
+    (sum, count) rows, so only tiny partials reach the driver — the
+    full embedding table is never materialized anywhere (at 100 TB the
+    per-batch partials are the only way to train the quantizer)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial_means(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        M = _matrix(batch)
+        lists, sums, counts = [], [], []
+        assign = ids % nlist
+        for c in np.unique(assign):
+            sel = assign == c
+            lists.append(int(c))
+            sums.append(M[sel].sum(axis=0).tolist())
+            counts.append(int(sel.sum()))
+        return pa.table({"list_id": pa.array(lists, pa.int64()),
+                         "psum": pa.array(sums, pa.list_(pa.float64())),
+                         "n": pa.array(counts, pa.int64())})
+
+    # the partial-aggregate result is tiny (n_blocks x nlist rows):
+    # consuming it on the driver is the aggregate, not a materialization
+    parts = ds.map_batches(partial_means, batch_format="pyarrow").take_all()
+    dim = len(parts[0]["psum"]) if parts else 0
+    sums = np.zeros((nlist, dim), dtype=np.float64)
+    counts = np.zeros(nlist, dtype=np.int64)
+    for row in parts:
+        sums[row["list_id"]] += np.asarray(row["psum"], dtype=np.float64)
+        counts[row["list_id"]] += row["n"]
+    counts[counts == 0] = 1
+    return _normalize_rows(sums / counts[:, None])
 
 
 def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
@@ -247,18 +275,33 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
 EMBED_DUP_THRESHOLD_E6 = 450_000
 
 
-def embedding_near_dup(sf_dir: str, threshold_e6: int = EMBED_DUP_THRESHOLD_E6):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs).
+EMBED_EXACT_MAX_VECTORS = 1_000_000  # broadcast matrix ~ dim*8 bytes/vec
+EMBED_BANDS = 4        # bucketed path: signature bands
+EMBED_BAND_BITS = 4    # hyperplanes per band
+EMBED_MAX_BUCKET = 4096
 
-    The corpus matrix is broadcast once (``ray.put``) and each batch
-    computes its rows against all columns — one matmul per batch, pairs
-    emitted only for (a < b) so nothing is double-counted. Exact up to
-    ~10^6 vectors on one broadcast; beyond that the LSH-bucketed path
-    (``lsh_bucketed_knn``'s signature bucketing as the partition key)
-    replaces the all-pairs scan.
+
+def embedding_near_dup(sf_dir: str, threshold_e6: int = EMBED_DUP_THRESHOLD_E6,
+                       exact_max_vectors: int = EMBED_EXACT_MAX_VECTORS):
+    """Embedding-cosine near-duplicate pairs, size-gated like the text
+    dedup: up to ``exact_max_vectors`` the corpus matrix broadcasts once
+    (``ray.put``) and each batch does one matmul against it — exact,
+    oracle-checked. Above the gate, random-hyperplane signature BANDS
+    bucket the vectors (the partition key at scale) and only in-bucket
+    pairs are scored — candidate recall is banded-LSH approximate, but
+    every emitted pair's similarity is exact.
 
     Output: vec_a, vec_b, sim_e6 (>= threshold).
     """
+    import pyarrow.parquet as pq
+
+    n_vecs = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_vecs <= exact_max_vectors:
+        return _exact_embedding_near_dup(sf_dir, threshold_e6)
+    return _bucketed_embedding_near_dup(sf_dir, threshold_e6)
+
+
+def _exact_embedding_near_dup(sf_dir: str, threshold_e6: int):
     import ray
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -289,6 +332,66 @@ def embedding_near_dup(sf_dir: str, threshold_e6: int = EMBED_DUP_THRESHOLD_E6):
                          "sim_e6": pa.array(out_s, pa.int64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
+    """Scale path: (band, bucket) groupby over hyperplane sign
+    signatures. The exchange carries (band, bucket, vec_id, embedding)
+    — ~EMBED_BANDS x dim x 8 bytes per vector; in-bucket scoring is an
+    exact matmul; pairs found by multiple bands dedupe on (a, b).
+    Degenerate buckets chain-link like the text LSH."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def sig_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        M = _matrix(batch)
+        H = np.random.RandomState(11).randn(EMBED_BANDS * EMBED_BAND_BITS, M.shape[1])
+        bits = (M @ H.T > 0).astype(np.uint8)
+        out_band, out_bucket, out_id, out_emb = [], [], [], []
+        for b in range(EMBED_BANDS):
+            seg = bits[:, b * EMBED_BAND_BITS:(b + 1) * EMBED_BAND_BITS]
+            keys = np.packbits(seg, axis=1, bitorder="little")[:, 0]
+            out_band.extend([b] * len(ids))
+            out_bucket.extend(keys.tolist())
+            out_id.extend(ids.tolist())
+            out_emb.extend(M.tolist())
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "bucket": pa.array(out_bucket, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "embedding": pa.array(out_emb, pa.list_(pa.float64()))})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "sim_e6": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        M = np.array(df["embedding"].tolist(), dtype=np.float64)
+        rows = []
+        if len(ids) > EMBED_MAX_BUCKET:
+            for i in range(len(ids) - 1):
+                a, b = M[i], M[i + 1]
+                s = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                se6 = int(round_half_away_e(np.array([s]))[0])
+                if se6 >= threshold_e6:
+                    rows.append((int(ids[i]), int(ids[i + 1]), se6))
+        else:
+            sims = (M @ M.T) / (np.linalg.norm(M, axis=1)[:, None]
+                                * np.linalg.norm(M, axis=1)[None, :])
+            se6 = round_half_away_e(sims)
+            ii, jj = np.nonzero(np.triu(se6 >= threshold_e6, k=1))
+            rows = [(int(ids[i]), int(ids[j]), int(se6[i, j])) for i, j in zip(ii, jj)]
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "sim_e6"]) if rows else empty
+
+    pairs = ds.map_batches(sig_bands, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("sim_e6", alias_name="sim_e6"))
 
 
 def label_stats(ds):

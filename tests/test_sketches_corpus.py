@@ -61,6 +61,21 @@ def test_ivf_knn_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.3, recalls  # nprobe=4/16 lists
 
 
+def test_embedding_near_dup_bucketed_path(ray_session):
+    """The >gate LSH-bucketed path must emit a subset of the exact
+    pairs (every emitted similarity is exact; only candidate recall is
+    approximate) with the same schema."""
+    from pdf_context_extractor_agent_ray.functions.simsearch import embedding_near_dup
+
+    exact = {(r["vec_a"], r["vec_b"]): r["sim_e6"]
+             for r in embedding_near_dup(SF).take_all()}
+    bucketed = {(r["vec_a"], r["vec_b"]): r["sim_e6"]
+                for r in embedding_near_dup(SF, exact_max_vectors=0).take_all()}
+    assert bucketed, "bucketed path found no pairs at all"
+    for pair, sim in bucketed.items():
+        assert exact[pair] == sim, pair
+
+
 def test_dup_clusters_both_paths_agree(ray_session):
     """The union-find fast path and the distributed label-propagation
     path must produce identical components."""
