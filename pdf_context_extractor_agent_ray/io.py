@@ -32,6 +32,70 @@ except ImportError:
 STAGE_VERSION = "r1"
 MANIFEST_NAME = "_manifest.json"
 
+BLOOM_BITS_PER_KEY = 20
+BLOOM_K = 8
+
+
+class BloomFilter:
+    """Manifest-embedded Bloom filter over a partition's doc_ids.
+
+    Double hashing over the two 64-bit halves of blake2b(doc_id):
+    position_i = (h1 + i*h2) % m. No false negatives; false-positive
+    rate ~1.4e-4 at 20 bits/key, k=8 — at resume time a false positive
+    skips an unprocessed doc, so this is the AT-SCALE path gated behind
+    an exact-set default (see pipelines.extraction.run_resumable)."""
+
+    def __init__(self, m_bits: int, k: int = BLOOM_K,
+                 bits: Optional[bytearray] = None) -> None:
+        self.m = m_bits
+        self.k = k
+        self.bits = bits if bits is not None else bytearray((m_bits + 7) // 8)
+
+    @staticmethod
+    def _hashes(doc_id: str) -> tuple[int, int]:
+        import hashlib
+        d = hashlib.blake2b(doc_id.encode(), digest_size=16).digest()
+        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+    def add(self, doc_id: str) -> None:
+        h1, h2 = self._hashes(doc_id)
+        for i in range(self.k):
+            p = (h1 + i * h2) % self.m
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def might_contain(self, doc_id: str) -> bool:
+        h1, h2 = self._hashes(doc_id)
+        for i in range(self.k):
+            p = (h1 + i * h2) % self.m
+            if not self.bits[p >> 3] & (1 << (p & 7)):
+                return False
+        return True
+
+    def union(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m, self.k) != (other.m, other.k):
+            raise ValueError("bloom parameter mismatch")
+        merged = bytearray(a | b for a, b in zip(self.bits, other.bits))
+        return BloomFilter(self.m, self.k, merged)
+
+    @classmethod
+    def build(cls, doc_ids, n_expected: Optional[int] = None) -> "BloomFilter":
+        ids = list(doc_ids)
+        m = max(1024, BLOOM_BITS_PER_KEY * (n_expected or len(ids)))
+        bf = cls(m)
+        for d in ids:
+            bf.add(str(d))
+        return bf
+
+    def to_manifest(self) -> dict[str, Any]:
+        import base64
+        return {"m": self.m, "k": self.k,
+                "b64": base64.b64encode(bytes(self.bits)).decode()}
+
+    @classmethod
+    def from_manifest(cls, d: dict[str, Any]) -> "BloomFilter":
+        import base64
+        return cls(d["m"], d["k"], bytearray(base64.b64decode(d["b64"])))
+
 
 def read_documents(path: str, columns: Optional[list[str]] = None):
     """Read a documents/output table as a Ray Dataset (Lance if the path
@@ -98,6 +162,7 @@ def write_partition(ds, output_path: str, part_index: int,
     num_valid = 0
     min_id: Optional[str] = None
     max_id: Optional[str] = None
+    all_ids: list[str] = []
     for f in os.listdir(tmp_dir):
         if not f.endswith(".parquet"):
             continue
@@ -106,6 +171,7 @@ def write_partition(ds, output_path: str, part_index: int,
         num_valid += sum(1 for v in t.column("valid").to_pylist() if v)
         if t.num_rows:
             ids = t.column("doc_id").to_pylist()
+            all_ids.extend(ids)
             lo, hi = min(ids), max(ids)
             min_id = lo if min_id is None or lo < min_id else min_id
             max_id = hi if max_id is None or hi > max_id else max_id
@@ -119,6 +185,9 @@ def write_partition(ds, output_path: str, part_index: int,
         "stage_version": STAGE_VERSION,
         "wall_time_sec": round(time.time() - t0, 3),
         "lineage": lineage or {},
+        # per-partition Bloom: resume can filter from manifests alone,
+        # independent of corpus size (see completed_filter)
+        "bloom": BloomFilter.build(all_ids).to_manifest(),
     }
     with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -132,3 +201,34 @@ def load_manifests(output_path: str) -> list[dict[str, Any]]:
         with open(os.path.join(part, MANIFEST_NAME)) as f:
             out.append(json.load(f))
     return out
+
+
+class CompletedFilter:
+    """Manifest-only membership test over finished partitions: per
+    partition, a doc_id-range prune then the partition's Bloom. No
+    false negatives; a false positive (~1.4e-4/doc within a matching id
+    range) skips an already-range-colliding doc — acceptable for the
+    at-scale resume path, which is why the exact-set path stays the
+    default below RESUME_EXACT_MAX_DOCS."""
+
+    def __init__(self, parts: list[tuple[str, str, BloomFilter]]) -> None:
+        self.parts = parts
+
+    def might_contain(self, doc_id: str) -> bool:
+        for lo, hi, bf in self.parts:
+            if lo <= doc_id <= hi and bf.might_contain(doc_id):
+                return True
+        return False
+
+
+def completed_filter(output_path: str) -> Optional[CompletedFilter]:
+    """Build the manifest-only resume filter; None when any finished
+    partition predates Bloom manifests (caller falls back to the exact
+    column scan)."""
+    parts = []
+    for m in load_manifests(output_path):
+        if "bloom" not in m or m["doc_id_min"] is None:
+            return None
+        parts.append((m["doc_id_min"], m["doc_id_max"],
+                      BloomFilter.from_manifest(m["bloom"])))
+    return CompletedFilter(parts)

@@ -58,6 +58,43 @@ def test_resume_skips_completed(ray_session, corpus, tmp_path):
     assert m3["num_docs"] == 0
 
 
+def test_bloom_filter_no_false_negatives():
+    ids = [f"doc-{i:08d}" for i in range(5000)]
+    bf = dio.BloomFilter.build(ids)
+    assert all(bf.might_contain(d) for d in ids)
+    others = [f"other-{i:08d}" for i in range(20000)]
+    fp = sum(1 for d in others if bf.might_contain(d)) / len(others)
+    assert fp < 0.01, fp  # ~1.4e-4 expected at 20 bits/key
+    # manifest roundtrip preserves the bit set
+    rt = dio.BloomFilter.from_manifest(bf.to_manifest())
+    assert rt.bits == bf.bits and all(rt.might_contain(d) for d in ids)
+
+
+def test_resume_bloom_path_converges(ray_session, corpus, tmp_path):
+    """Forcing the manifest-only Bloom path (exact gate at 0) must
+    still converge: rerun skips all finished docs, processes the rest,
+    nothing is processed twice."""
+    import ray.data as rd
+    out = str(tmp_path / "out")
+
+    m1 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus[:25])), out,
+                       concurrency=2, resume_exact_max_docs=0)
+    assert m1["num_docs"] == 25
+
+    m2 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus)), out,
+                       concurrency=2, resume_exact_max_docs=0)
+    assert m2["skipped_docs"] == 25
+    assert m2["num_docs"] == 35  # no false positives at this scale
+
+    ids = _read_all_doc_ids(out)
+    assert sorted(ids) == sorted(d["doc_id"] for d in corpus)
+    assert len(ids) == len(set(ids))
+
+    m3 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus)), out,
+                       concurrency=2, resume_exact_max_docs=0)
+    assert m3["num_docs"] == 0
+
+
 def test_no_half_visible_partitions(ray_session, corpus, tmp_path):
     out = str(tmp_path / "out")
     import ray.data as rd
