@@ -504,7 +504,10 @@ def oracle_sql() -> dict[str, str]:
                    v.event_id AS view_event_id,
                    CAST(round(v.value * 100) AS BIGINT) AS view_value_cents
             FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ASOF JOIN (SELECT * FROM (
+                         SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                                      ORDER BY event_id DESC) AS rn
+                         FROM events WHERE event_type = 'view') WHERE rn = 1) v
               ON c.user_id = v.user_id AND c.ts > v.ts
         """,
         "session_windows": f"""

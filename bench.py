@@ -91,7 +91,7 @@ def main() -> None:
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
     ray.shutdown()
 
-    print(json.dumps({
+    row = {
         "metric": "extraction pipeline wall time (headline); docs/sec in extra",
         "value": round(headline["sec"], 3),
         "unit": "sec",
@@ -100,21 +100,31 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "docs": headline["docs"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
-    }))
+    }
+    # the scaling-efficiency criterion is part of every round's record
+    # (regressions in the >=0.8 bar must be machine-checkable), so the
+    # default run includes a 1-trial-per-level measurement; --scaling
+    # runs the cleaner best-of-2
+    if not os.environ.get("BENCH_HEADLINE_ONLY") \
+            and not os.environ.get("BENCH_NO_SCALING"):
+        row["scaling"] = run_scaling(
+            trials=int(os.environ.get("BENCH_SCALING_TRIALS_MAIN", "1")))
+    print(json.dumps(row))
 
 
 SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
 
-def scaling() -> None:
+def run_scaling(trials: int = SCALING_TRIALS) -> dict:
     # best-of-N per level: the work is deterministic, so differences
     # between trials are pure system noise; the best trial is the
     # cleanest estimate of each level's capability
     results = {}
     for ncpu in SCALING_CPUS:
         best = None
-        for _ in range(SCALING_TRIALS):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1")
+        for _ in range(trials):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_HEADLINE_ONLY="1", BENCH_NO_SCALING="1")
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                  env=env, capture_output=True, text=True, check=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -126,7 +136,7 @@ def scaling() -> None:
     tp_lo = results[lo]["docs_per_sec"]
     tp_hi = results[hi]["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
-    print(json.dumps({
+    return {
         "metric": f"scaling efficiency {lo}->{hi} cpus (docs/sec ratio / cpu ratio)",
         "value": round(eff, 3),
         "unit": "efficiency",
@@ -136,7 +146,12 @@ def scaling() -> None:
         f"sec_{lo}": results[lo]["value"],
         f"sec_{hi}": results[hi]["value"],
         "docs": results[hi]["docs"],
-    }))
+        "trials_per_level": trials,
+    }
+
+
+def scaling() -> None:
+    print(json.dumps(run_scaling()))
 
 
 if __name__ == "__main__":

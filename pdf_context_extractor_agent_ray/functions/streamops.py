@@ -33,13 +33,20 @@ def asof_click_view(sf_dir: str):
 
     Output: click_event_id, user_id, click_ts_us, view_event_id,
     view_value_cents.
+
+    Tie-break contract: among multiple views by the same user sharing
+    the maximal prior timestamp, the MAX event_id wins. Equal-ts views
+    are deduped to that winner BEFORE the as-of join on both the engine
+    and the SQL-oracle side, so the result is deterministic even when
+    the events table contains duplicate (user_id, ts) view rows.
     """
     ds = _events(sf_dir)
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["ts", "event_id"])
         clicks = df[df["event_type"] == "click"][["event_id", "ts", "user_id"]]
-        views = df[df["event_type"] == "view"][["event_id", "ts", "value"]]
+        views = df[df["event_type"] == "view"][["event_id", "ts", "value"]] \
+            .drop_duplicates(subset="ts", keep="last")  # max event_id per ts
         empty = pd.DataFrame({
             "click_event_id": pd.Series([], dtype="int64"),
             "user_id": pd.Series([], dtype="int64"),
