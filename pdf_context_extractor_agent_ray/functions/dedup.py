@@ -86,59 +86,150 @@ def _jaccard_e6(norm_a: str, norm_b: str) -> int:
     return int(len(sa & sb) / union * 1e6 + 0.5) if union else 0
 
 
-def lsh_candidate_pairs(ds, num_partitions: int | None = None):
+LSH_BROADCAST_MAX_DOCS = 200_000
+
+
+def lsh_candidate_pairs(ds, num_partitions: int | None = None,
+                        broadcast_max_docs: int = LSH_BROADCAST_MAX_DOCS):
     """MinHash-LSH near-dup pairs: shingle → minhash → band-bucket
     groupby → candidate pairs → exact n-gram Jaccard verification.
 
     Scale: the band exchange carries ONLY (doc_id, band, bucket) —
     ~50 B/doc/band, never the document text (shipping norm_text through
     the groupby would move 4x the corpus text at 100 TB). Verification
-    re-reads each candidate doc's text via doc_id-keyed hash joins, so
-    text moves once per pair-participation — proportional to the
-    (sparse) candidate set, not the corpus.
+    is size-gated: up to ``broadcast_max_docs`` the normalized texts
+    broadcast once via ``ray.put`` and buckets verify inline (zero
+    extra exchanges); above, each candidate doc's text is re-read via
+    doc_id-keyed hash joins — text movement proportional to the sparse
+    candidate set, not the corpus.
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 (integer-scaled),
     only pairs with Jaccard >= threshold, deduped across bands.
     """
+    n_docs = ds.count()  # metadata fast-path for parquet inputs
+    if n_docs <= broadcast_max_docs:
+        return _lsh_pairs_broadcast(ds)
+    return _lsh_pairs_join(ds, num_partitions)
+
+
+def _sig_and_bands(batch: pa.Table) -> pa.Table:
+    norms = _norm(batch["text"])
+    doc_ids = batch["doc_id"].to_pylist()
+    out_doc, out_band, out_key = [], [], []
+    for d, n in zip(doc_ids, norms):
+        sig = minhash_signature(n)
+        for b in range(LSH_BANDS):
+            out_doc.append(d)
+            out_band.append(b)
+            out_key.append(_band_key(sig, b))
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "band": pa.array(out_band, pa.int32()),
+                     "bucket": pa.array(out_key, pa.string())})
+
+
+def _candidate_pairs(docs: list[int]) -> list[tuple[int, int]]:
+    if len(docs) > MAX_BUCKET_DOCS:
+        # degenerate bucket (e.g. a corpus of near-identical docs):
+        # full pairing is O(n²). Chain-link instead: consecutive doc_id
+        # pairs — every member still links into one connected component
+        # (dup_clusters recovers the full cluster) at O(n) pairs.
+        return [(docs[i], docs[i + 1]) for i in range(len(docs) - 1)]
+    return [(docs[i], docs[j])
+            for i in range(len(docs)) for j in range(i + 1, len(docs))]
+
+
+_PAIR_EMPTY = {"doc_a": pd.Series([], dtype="int64"),
+               "doc_b": pd.Series([], dtype="int64"),
+               "jaccard_e6": pd.Series([], dtype="int64")}
+
+
+def _lsh_pairs_broadcast(ds):
+    """Gated small/medium path, ZERO shuffles: one distributed pass
+    computes norm text + band keys per doc; the (tiny) key rows come to
+    the driver, which groups buckets and emits the deduped candidate
+    set in plain Python; verification fans back out as a map_batches
+    over the pair list with the texts broadcast once via ``ray.put``.
+    Every exchange a groupby would pay (~seconds of fixed sort-shuffle
+    cost at any size) is avoided — the gate guarantees the key rows and
+    the text dict fit the driver."""
+    import ray
+    import ray.data as rd
+    from collections import defaultdict
+
+    def norm_and_sig(batch: pa.Table) -> pa.Table:
+        norms = _norm(batch["text"])
+        cols = {"doc_id": batch["doc_id"],
+                "norm_text": pa.array(norms, pa.string())}
+        keys = [[_band_key(minhash_signature(n), b) for b in range(LSH_BANDS)]
+                for n in norms]
+        for b in range(LSH_BANDS):
+            cols[f"band_{b}"] = pa.array([k[b] for k in keys], pa.string())
+        return pa.table(cols)
+
+    rows = ds.map_batches(norm_and_sig, batch_format="pyarrow").take_all()
+
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    for r in rows:
+        for b in range(LSH_BANDS):
+            buckets[(b, r[f"band_{b}"])].append(r["doc_id"])
+    cand: set[tuple[int, int]] = set()
+    for docs in buckets.values():
+        if len(docs) >= 2:
+            cand.update(_candidate_pairs(sorted(docs)))
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard_e6": pa.array([], pa.int64())})
+    if not cand:
+        return rd.from_arrow(empty)
+
+    ref = ray.put({r["doc_id"]: r["norm_text"] for r in rows})
+    ordered = sorted(cand)
+    pairs_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in ordered], pa.int64()),
+        "doc_b": pa.array([b for _, b in ordered], pa.int64())}))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        memo: dict[int, set] = {}
+
+        def sset(d: int) -> set:
+            if d not in memo:
+                memo[d] = set(_shingles(lookup[d]))
+            return memo[d]
+
+        oa, ob, oj = [], [], []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa, sb = sset(a), sset(b)
+            union = len(sa | sb)
+            jac = int(len(sa & sb) / union * 1e6 + 0.5) if union else 0
+            if jac >= JACCARD_THRESHOLD_E6:
+                oa.append(a)
+                ob.append(b)
+                oj.append(jac)
+        return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                         "doc_b": pa.array(ob, pa.int64()),
+                         "jaccard_e6": pa.array(oj, pa.int64())})
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _lsh_pairs_join(ds, num_partitions: int | None = None):
     import ray
     if num_partitions is None:
         # join aggregators are actors: keep well under cluster CPUs
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_partitions = max(2, cpus // 2)
 
-    def sig_and_bands(batch: pa.Table) -> pa.Table:
-        norms = _norm(batch["text"])
-        doc_ids = batch["doc_id"].to_pylist()
-        out_doc, out_band, out_key = [], [], []
-        for d, n in zip(doc_ids, norms):
-            sig = minhash_signature(n)
-            for b in range(LSH_BANDS):
-                out_doc.append(d)
-                out_band.append(b)
-                out_key.append(_band_key(sig, b))
-        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "band": pa.array(out_band, pa.int32()),
-                         "bucket": pa.array(out_key, pa.string())})
-
     def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                               "doc_b": pd.Series([], dtype="int64")})
         if len(df) < 2:
             return empty
-        docs = sorted(df["doc_id"].tolist())
-        if len(docs) > MAX_BUCKET_DOCS:
-            # degenerate bucket (e.g. a corpus of near-identical docs):
-            # full pairing is O(n²). Chain-link instead: consecutive
-            # doc_id pairs within the bucket — every member still links
-            # into one connected component (dup_clusters recovers the
-            # full cluster), at O(n) pairs. Deterministic by doc_id order.
-            pairs = [(docs[i], docs[i + 1]) for i in range(len(docs) - 1)]
-        else:
-            pairs = [(docs[i], docs[j])
-                     for i in range(len(docs)) for j in range(i + 1, len(docs))]
+        pairs = _candidate_pairs(sorted(df["doc_id"].tolist()))
         return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) if pairs else empty
 
-    exploded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
+    exploded = ds.map_batches(_sig_and_bands, batch_format="pyarrow")
     cand = exploded.groupby(["band", "bucket"]).map_groups(
         bucket_candidates, batch_format="pandas")
     # dedupe candidates found in multiple bands (tiny rows: two int64s)
@@ -207,31 +298,32 @@ def dup_clusters(ds, max_rounds: int = 16,
     pairs = lsh_candidate_pairs(ds).materialize()
 
     if pairs.count() <= small_graph_pairs:
-        def union_find(batch: pa.Table) -> pa.Table:
-            parent: dict[int, int] = {}
+        # small-graph path: the pair set fits one process by the gate's
+        # definition, so union-find runs on the coalesced pairs directly
+        # (driver-side; no repartition exchange for a tiny edge list)
+        import ray.data as rd
 
-            def find(x: int) -> int:
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
+        parent: dict[int, int] = {}
 
-            a_col = batch["doc_a"].to_pylist()
-            b_col = batch["doc_b"].to_pylist()
-            for a, b in zip(a_col, b_col):
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    # union by min so the root IS the min doc_id
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            nodes = sorted(parent)
-            return pa.table({"doc_id": pa.array(nodes, pa.int64()),
-                             "cluster_id": pa.array([find(n) for n in nodes], pa.int64())})
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-        return pairs.repartition(1).map_batches(union_find, batch_format="pyarrow",
-                                                batch_size=None)
+        for row in pairs.take_all():
+            a, b = row["doc_a"], row["doc_b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the root IS the min doc_id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted(parent)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([find(n) for n in nodes], pa.int64())}))
     # undirected edge list, one row per direction
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()

@@ -61,6 +61,20 @@ def test_ivf_knn_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.3, recalls  # nprobe=4/16 lists
 
 
+def test_lsh_pairs_broadcast_and_join_paths_agree(ray_session):
+    """The gated broadcast-verify path and the at-scale join-verify
+    path must produce identical verified pairs."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import lsh_candidate_pairs
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard_e6"])
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    fast = sorted(key(r) for r in lsh_candidate_pairs(ds).take_all())
+    slow = sorted(key(r) for r in lsh_candidate_pairs(
+        rd.read_parquet(f"{SF}/documents.parquet"), broadcast_max_docs=0).take_all())
+    assert fast == slow and fast
+
+
 def test_embedding_near_dup_bucketed_path(ray_session):
     """The >gate LSH-bucketed path must emit a subset of the exact
     pairs (every emitted similarity is exact; only candidate recall is
