@@ -127,6 +127,29 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0 if verdict["ok"] else 1
 
 
+def cmd_export_excel(args: argparse.Namespace) -> int:
+    """Excel report export (S7-S9) over an extracted output dir."""
+    from . import io as dio
+    from .pipelines.excel import (
+        export_multi_statement_workbook,
+        export_notes_workbooks,
+        export_statement_workbooks,
+    )
+
+    _init_ray(args.num_cpus)
+    ds = dio.read_documents(args.output)
+    if args.mode == "statements":
+        n = export_statement_workbooks(ds, args.dest, limit=args.limit)
+    elif args.mode == "workbook":
+        n = export_multi_statement_workbook(ds, args.dest, limit=args.limit)
+    else:
+        n = export_notes_workbooks(ds, args.dest, limit=args.limit)
+    print(json.dumps({"mode": args.mode, "written": n, "dest": args.dest}))
+    import ray
+    ray.shutdown()
+    return 0
+
+
 def cmd_metrics(args: argparse.Namespace) -> int:
     from . import io as dio
     from .pipelines.metrics import run_metrics
@@ -172,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--sample", type=int, default=100)
     pv.add_argument("--num-cpus", type=int)
     pv.set_defaults(fn=cmd_verify)
+
+    px = sub.add_parser("export-excel", help="write xlsx reports from an output dir")
+    px.add_argument("--output", required=True, help="extracted output dir")
+    px.add_argument("--dest", required=True,
+                    help="directory (statements/notes) or .xlsx path (workbook)")
+    px.add_argument("--mode", choices=["statements", "workbook", "notes"],
+                    default="statements")
+    px.add_argument("--limit", type=int, default=100)
+    px.add_argument("--num-cpus", type=int)
+    px.set_defaults(fn=cmd_export_excel)
 
     pm = sub.add_parser("metrics", help="roll up metrics over an output dir")
     pm.add_argument("--output", required=True)

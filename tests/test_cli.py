@@ -28,6 +28,13 @@ def test_cli_roundtrip(tmp_path):
     r = _run("metrics", "--output", outdir, "--num-cpus", "4")
     assert r[0]["n_docs"] == 50
 
+    wb = str(tmp_path / "all.xlsx")
+    r = _run("export-excel", "--output", outdir, "--dest", wb,
+             "--mode", "workbook", "--limit", "10", "--num-cpus", "4")
+    assert r[-1]["written"] == 10
+    import zipfile
+    assert zipfile.is_zipfile(wb)
+
 
 def test_cli_keyword_library_reaches_parquet_path(tmp_path):
     """A keyword-library entry must change --format=parquet output
