@@ -131,6 +131,34 @@ class HybridColumnAnalyzer:
         self.auto_accept_if_match = auto_accept_if_match
         self.rules = ColumnAnalyzer()
         self.choices: dict[str, int] = {"rules": 0, "model": 0, "skip": 0, "auto": 0}
+        # per-decision audit trail (user_choice_handler.py:133-178
+        # analogue): each arbitration event records both results, the
+        # comparator's differences and the recorded-policy outcome.
+        # Workers are headless, so 'choice' is the policy decision, and
+        # the sequence id replaces the interactive log's timestamp.
+        self.decisions: list[dict[str, Any]] = []
+
+    def _record(self, row: list[str], rule_result: dict[str, int],
+                model_resp: Optional[dict[str, Any]],
+                choice: str) -> None:
+        model_map = (model_resp or {}).get("column_map", {})
+        self.decisions.append({
+            "seq": len(self.decisions),
+            "header_row": list(row),
+            "rule_result": dict(rule_result),
+            "model_result": dict(model_map),
+            "model_confidence": float((model_resp or {}).get("confidence", 0.0) or 0.0),
+            "model_reasoning": str((model_resp or {}).get("reasoning", "")),
+            "comparison": compare_column_maps(rule_result, model_map),
+            "choice": choice,
+        })
+
+    def drain_decisions(self) -> list[dict[str, Any]]:
+        """Return and clear the accumulated decision records (callers
+        flush them into run metrics / a JSONL sink per worker)."""
+        out = self.decisions
+        self.decisions = []
+        return out
 
     def reset_cache(self) -> None:
         self.rules.reset_cache()
@@ -151,23 +179,30 @@ class HybridColumnAnalyzer:
             return rule_result
         if not self.always_use_model and all(k in rule_result for k in self.REQUIRED):
             self.choices["auto"] += 1
+            self._record(row, rule_result, None, "auto_rules_confident")
             return rule_result
         try:
             resp = self.model.analyze_header(row)
             if not resp.get("success"):
                 raise RuntimeError(resp.get("error", "model failure"))
-        except Exception:
+        except Exception as e:
             if self.config.fallback_to_rules:
                 self.choices["rules"] += 1
+                self._record(row, rule_result,
+                             {"reasoning": f"model failure: {e}"}, "rules_fallback")
                 return rule_result
+            self._record(row, rule_result,
+                         {"reasoning": f"model failure: {e}"}, "skip_no_fallback")
             return {}
         model_result = resp["column_map"]
         cmp = compare_column_maps(rule_result, model_result)
         if cmp["is_match"] and self.auto_accept_if_match:
             self.choices["auto"] += 1
+            self._record(row, rule_result, resp, "auto_match")
             return rule_result
         choice = self.config.default_choice
         self.choices[choice if choice in self.choices else "rules"] += 1
+        self._record(row, rule_result, resp, choice)
         if choice == "model":
             return dict(model_result)
         if choice == "skip":
@@ -177,6 +212,19 @@ class HybridColumnAnalyzer:
     def choice_stats(self) -> dict[str, int]:
         """A8: decision counts by arbitration outcome."""
         return dict(self.choices)
+
+
+def write_decision_log(records: list[dict[str, Any]], path: str) -> int:
+    """Append decision records as JSONL (one line per arbitration
+    event). The reference rewrites a whole JSON array per decision
+    (user_choice_handler.py:152-175) — append-only JSONL is the
+    distributed-safe equivalent: each worker appends to its own
+    ``_decisions-<worker>.jsonl`` (underscore-prefixed so output-dir
+    parquet readers skip it). Returns the number of lines written."""
+    with open(path, "a", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    return len(records)
 
 
 class HybridTitleModel(TitleModel):

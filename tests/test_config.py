@@ -138,6 +138,50 @@ def test_hybrid_column_analyzer_arbitration():
     assert compare_column_maps({"a": 1}, {"a": 1})["is_match"]
 
 
+def test_decision_log_records_and_jsonl_roundtrip(tmp_path):
+    """Every arbitration event leaves an auditable record: both
+    results, the comparator differences, and the policy outcome;
+    records flush to append-only JSONL."""
+    from pdf_context_extractor_agent_ray.config import (
+        ColumnModel, HybridColumnAnalyzer, write_decision_log)
+    from pdf_context_extractor_agent_ray.patterns import COL_ITEM_NAME
+
+    class Disagreeing(ColumnModel):
+        def analyze_header(self, row):
+            return {"success": True, "column_map": {COL_ITEM_NAME: 1},
+                    "confidence": 0.4, "reasoning": "why"}
+
+    short = ["项目", "本期末"]
+    h = HybridColumnAnalyzer(EngineConfig(enable_model=True), Disagreeing())
+    h.analyze_row_structure(short, use_cache=False)
+    recs = h.drain_decisions()
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["choice"] == "rules" and r["model_confidence"] == 0.4
+    assert not r["comparison"]["is_match"] and r["comparison"]["differences"]
+    assert r["header_row"] == short and r["model_reasoning"] == "why"
+    assert h.drain_decisions() == []  # drained
+
+    # confident-rules skip and model failure are also recorded
+    h2 = HybridColumnAnalyzer(EngineConfig(enable_model=True), Disagreeing())
+    h2.analyze_row_structure(["项目", "本期末", "上期末", "附注"], use_cache=False)
+    assert h2.drain_decisions()[0]["choice"] == "auto_rules_confident"
+
+    class Broken(ColumnModel):
+        def analyze_header(self, row):
+            raise RuntimeError("down")
+
+    h3 = HybridColumnAnalyzer(EngineConfig(enable_model=True), Broken())
+    h3.analyze_row_structure(short, use_cache=False)
+    assert h3.drain_decisions()[0]["choice"] == "rules_fallback"
+
+    path = str(tmp_path / "_decisions-w0.jsonl")
+    assert write_decision_log(recs, path) == 1
+    assert write_decision_log(recs, path) == 1  # append-only
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2 and lines[0]["choice"] == "rules"
+
+
 def test_title_model_seam_plumbs_into_extraction():
     """A custom TitleModel installed via the ST3 seam changes note
     extraction; restoring the default restores rule behavior."""
