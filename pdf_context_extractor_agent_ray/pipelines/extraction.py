@@ -20,7 +20,7 @@ from typing import Any, Optional
 import pyarrow as pa
 
 from .. import io as dio
-from ..stages.extract import ExtractDocuments
+from ..stages.extract import ExtractDocuments, process_batch
 
 
 def _default_concurrency() -> int:
@@ -48,27 +48,35 @@ def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
 
     ``batch_size=48`` documents/batch: measured best on 200k docs at 32
     cpus (48: ~10.8k docs/s, 64: ~9.4k, 96: ~5.9k) — small enough for
-    load balance, large enough to amortize the per-batch Arrow flatten;
-    the actor pool is sized below cluster CPUs so the generate/read
-    stages can't starve.
-    ``config``: optional EngineConfig shipped to every actor.
+    load balance, large enough to amortize the per-batch Arrow flatten.
+
+    Execution mode: with no ``config`` the stage runs as a TASK pool
+    over the pure ``process_batch`` — the pattern banks compile lazily
+    once per (reused) worker process, there is no actor-pool startup
+    tax, and the scheduler interleaves the read/generate stages with
+    extraction across every CPU (measured 12.4-13.0k docs/s vs
+    9.3-11.5k for a 30-actor pool on the same 200k-doc corpus: pinned
+    actors starve the upstream stage). A ``config`` forces the actor
+    pool, because user bank extensions must activate per-actor — never
+    via process-global state a later job could inherit.
     ``expected_rows``: when the input size is known (e.g. parquet row
-    count), cap the pool so a tiny corpus doesn't pay full-pool startup.
+    count), cap the actor pool so a tiny corpus doesn't pay full-pool
+    startup (ignored in task mode, which has no pool).
     """
+    if config is None:
+        return ds.map_batches(process_batch, batch_format="pyarrow",
+                              batch_size=batch_size, num_cpus=1)
     if concurrency is None:
         concurrency = _default_concurrency()
     if expected_rows is not None:
         concurrency = max(1, min(concurrency, -(-expected_rows // batch_size)))
-    kwargs = {}
-    if config is not None:
-        kwargs["fn_constructor_kwargs"] = {"config": config}
     return ds.map_batches(
         ExtractDocuments,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
-        **kwargs,
+        fn_constructor_kwargs={"config": config},
     )
 
 
