@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
         "stratified_sample": text_q(F_text.stratified_sample_batch),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
+        "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
+        "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -414,6 +416,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
                    CAST(sum(length(text) * length(text)) AS BIGINT) AS sum_chars_sq
             FROM documents GROUP BY 1
+        """,
+        "decontaminate": f"""
+            WITH h AS (SELECT doc_id,
+                              md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS text_hash
+                       FROM documents),
+            bl AS (SELECT DISTINCT text_hash FROM h
+                   WHERE doc_id % {F_text.DECONTAM_MODULUS} = 0)
+            SELECT doc_id, text_hash FROM h
+            WHERE text_hash NOT IN (SELECT text_hash FROM bl)
+        """,
+        "top_ngrams": f"""
+            WITH toks AS (SELECT string_split({_NORM}, ' ') AS tk FROM documents),
+            bi AS (SELECT tk[i] || ' ' || tk[i + 1] AS ngram
+                   FROM toks, unnest(range(1, greatest(len(tk), 1))) AS u(i))
+            SELECT ngram, count(*) AS n FROM bi
+            GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT {F_text.TOP_NGRAMS_K}
         """,
         "dup_clusters": f"""
             WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

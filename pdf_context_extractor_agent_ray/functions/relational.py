@@ -168,9 +168,18 @@ def order_revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING",
 
     if num_partitions is None:
         # join aggregators are actors: keep the pool well under the
-        # cluster CPU count or the exchange can't schedule
+        # cluster CPU count or the exchange can't schedule — and size
+        # by input bytes so a small join doesn't pay 16 actor startups
+        # (~128 MB of fact-table input per aggregator)
+        import os
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, cpus // 2)
+        try:
+            nbytes = os.path.getsize(f"{sf_dir}/lineitem.parquet") \
+                + os.path.getsize(f"{sf_dir}/orders.parquet")
+        except OSError:
+            nbytes = 0
+        by_size = max(2, -(-nbytes // (128 << 20)))
+        num_partitions = min(max(2, cpus // 2), by_size)
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])

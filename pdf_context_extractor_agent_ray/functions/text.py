@@ -195,3 +195,75 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
                            for i in range(0, len(s) - window + 1, 4)))
     return pa.table({"doc_id": batch["doc_id"],
                      "rolling_hash": pa.array(out, pa.string())})
+
+
+# every doc whose doc_id is divisible by this is "benchmark" content;
+# decontamination drops every corpus doc sharing its fingerprint
+DECONTAM_MODULUS = 50
+
+
+def decontaminate(ds):
+    """Benchmark decontamination: drop every document whose content
+    fingerprint collides with the (small) benchmark set.
+
+    The benchmark fingerprints are a broadcast set (``ray.put`` once,
+    ``pc.is_in`` per batch) — the classic decontamination shape at
+    100 TB: the benchmark side is tiny and static, so no shuffle ever
+    touches the corpus. Output: doc_id, text_hash for surviving docs.
+    """
+    import ray
+
+    def blocklist(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        t = fingerprint_batch(batch)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECONTAM_MODULUS == 0))
+
+    # the benchmark side is filtered DISTRIBUTED; only the small hash
+    # list (1/DECONTAM_MODULUS of the corpus) reaches the driver
+    bench = ds.map_batches(blocklist, batch_format="pyarrow")
+    ref = ray.put(pa.array(sorted({r["text_hash"] for r in bench.take_all()}),
+                           pa.string()))
+
+    def drop_contaminated(batch: pa.Table) -> pa.Table:
+        bl = ray.get(ref)
+        t = fingerprint_batch(batch)
+        return t.filter(pc.invert(pc.is_in(t["text_hash"], value_set=bl)))
+
+    return ds.map_batches(drop_contaminated, batch_format="pyarrow")
+
+
+TOP_NGRAMS_K = 20
+NGRAM_N = 2
+
+
+def top_ngrams_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL n-gram counts (one row per distinct n-gram per
+    batch) so the global groupby moves distinct keys, not token
+    streams."""
+    from collections import Counter
+    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    counts: Counter = Counter()
+    for s in norm.to_pylist():
+        toks = s.split(" ") if s else []
+        for i in range(len(toks) - NGRAM_N + 1):
+            counts[" ".join(toks[i:i + NGRAM_N])] += 1
+    return pa.table({"ngram": pa.array(list(counts.keys()), pa.string()),
+                     "n": pa.array(list(counts.values()), pa.int64())})
+
+
+def top_ngrams(ds, k: int = TOP_NGRAMS_K):
+    """Global top-k token bigrams: per-batch partial counts →
+    groupby-sum over distinct n-grams → tiny final top-k. Deterministic
+    tie-break (count desc, ngram asc) matches the SQL oracle exactly at
+    the k boundary."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(top_ngrams_batch, batch_format="pyarrow") \
+        .groupby("ngram").aggregate(Sum("n", alias_name="n"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "ngram"], ascending=[False, True]).head(k)
+
+    return agg.repartition(1).map_batches(final, batch_format="pandas")
