@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
+        "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -432,6 +433,13 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks, unnest(range(1, greatest(len(tk), 1))) AS u(i))
             SELECT ngram, count(*) AS n FROM bi
             GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT {F_text.TOP_NGRAMS_K}
+        """,
+        "length_quantiles": """
+            SELECT source, count(*) AS n,
+                   CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(length(text), 0.9) AS BIGINT) AS p90,
+                   CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99
+            FROM documents GROUP BY 1
         """,
         "dup_clusters": f"""
             WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

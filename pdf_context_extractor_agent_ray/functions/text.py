@@ -267,3 +267,30 @@ def top_ngrams(ds, k: int = TOP_NGRAMS_K):
         return df.sort_values(["n", "ngram"], ascending=[False, True]).head(k)
 
     return agg.repartition(1).map_batches(final, batch_format="pandas")
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def length_quantiles(ds):
+    """Per-source EXACT discrete quantiles of document length
+    (p50/p90/p99 as sorted[ceil(q*n)-1], matching DuckDB
+    quantile_disc). Grouped exact quantiles need each group's values
+    in one place, so this is a groupby(source).map_groups — the
+    partitioning assumption is bounded group count (sources are an
+    enum), NOT bounded corpus; each group's lengths column is a few MB
+    per billion docs of that source... at 10^12 docs/source switch to
+    a mergeable sketch (see functions.sketches for the pattern).
+    """
+    import math
+    import pandas as pd
+
+    def per_source(df: pd.DataFrame) -> pd.DataFrame:
+        lens = df["text"].str.len().sort_values().to_numpy()
+        n = len(lens)
+        row = {"source": [df["source"].iloc[0]], "n": [n]}
+        for q in QUANTILES:
+            row[f"p{int(q * 100)}"] = [int(lens[max(0, math.ceil(q * n) - 1)])]
+        return pd.DataFrame(row)
+
+    return ds.groupby("source").map_groups(per_source, batch_format="pandas")
