@@ -29,7 +29,11 @@ from pdf_context_extractor_agent_ray.functions import scoring as F_score
 from pdf_context_extractor_agent_ray.functions import simsearch as F_sim
 from pdf_context_extractor_agent_ray.functions import streamops as F_stream
 from pdf_context_extractor_agent_ray.functions import text as F_text
-from pdf_context_extractor_agent_ray.functions.multimodal import media_stats
+from pdf_context_extractor_agent_ray.functions.multimodal import (
+    media_frame_sample,
+    media_resize,
+    media_stats,
+)
 from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
 from pdf_context_extractor_agent_ray.stages.context import table_contexts
 from pdf_context_extractor_agent_ray.stages.pages import page_stats
@@ -112,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (non-SQL: per-doc span extraction semantics)
         "extract_summary": _extract_summary,
         "media_stats": lambda sf: media_stats(documents_from_flat(sf)),
+        "media_resize": lambda sf: media_resize(documents_from_flat(sf)),
+        "media_frame_sample": lambda sf: media_frame_sample(documents_from_flat(sf)),
         "page_stats": lambda sf: page_stats(documents_from_flat(sf)),
         "table_contexts": lambda sf: table_contexts(documents_from_flat(sf)),
         # text analysis
@@ -214,6 +220,30 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{spans_pq}')
             WHERE kind = 'media'
             GROUP BY doc_id
+        """,
+        "media_resize": f"""
+            WITH m AS (SELECT doc_id, media_ref,
+                              64 + CAST(('0x' || substr(md5(media_ref), 1, 2))::UBIGINT AS INTEGER) * 8 AS w,
+                              64 + CAST(('0x' || substr(md5(media_ref), 3, 2))::UBIGINT AS INTEGER) * 8 AS h
+                       FROM read_parquet('{spans_pq}') WHERE kind = 'media')
+            SELECT doc_id, media_ref,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+                             ELSE w * 256 // greatest(w, h) END AS INTEGER) AS target_w,
+                   CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+                             ELSE h * 256 // greatest(w, h) END AS INTEGER) AS target_h
+            FROM m
+        """,
+        "media_frame_sample": f"""
+            WITH m AS (SELECT doc_id, media_ref,
+                              CAST(('0x' || substr(md5(media_ref), 13, 4))::UBIGINT % 300 + 1
+                                   AS INTEGER) AS n_frames
+                       FROM read_parquet('{spans_pq}') WHERE kind = 'media')
+            SELECT doc_id, media_ref, n_frames,
+                   CAST(s AS INTEGER) AS sample_idx,
+                   CAST(s * n_frames // 4 AS INTEGER) AS frame_idx
+            FROM m, unnest(range(0, 4)) AS u(s)
         """,
         "page_stats": f"""
             WITH s AS (SELECT * FROM read_parquet('{spans_pq}')),

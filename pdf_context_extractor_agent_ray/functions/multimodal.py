@@ -41,10 +41,12 @@ MEDIA_FEATURE_SCHEMA = pa.schema([
 
 
 class FakeDecoder:
-    """Deterministic stand-in for an image decoder: derives (width,
-    height, n_bytes, perceptual-hash) purely from the media_ref so
-    results are stable across runs/partitions. A real implementation
-    would decode ``payload`` bytes (PIL/ffmpeg) — unavailable here."""
+    """Deterministic stand-in for an image/video decoder: derives
+    (width, height, n_bytes, perceptual-hash, n_frames) purely from the
+    media_ref so results are stable across runs/partitions AND
+    SQL-checkable (each field is an md5-digit slice the DuckDB oracle
+    reproduces). A real implementation would decode ``payload`` bytes
+    (PIL/ffmpeg) — unavailable here."""
 
     def decode(self, media_ref: str, payload: bytes | None = None):
         h = hashlib.md5(media_ref.encode()).digest()
@@ -52,6 +54,16 @@ class FakeDecoder:
         height = 64 + h[1] * 8
         n_bytes = int.from_bytes(h[2:6], "big") % 1_000_000
         return width, height, n_bytes, h.hex()[:16]
+
+    def probe(self, media_ref: str, payload: bytes | None = None) -> dict:
+        h = hashlib.md5(media_ref.encode()).digest()
+        return {
+            "width": 64 + h[0] * 8,
+            "height": 64 + h[1] * 8,
+            "n_bytes": int.from_bytes(h[2:6], "big") % 1_000_000,
+            "phash": h.hex()[:16],
+            "n_frames": int.from_bytes(h[6:8], "big") % 300 + 1,
+        }
 
 
 class MediaFeatureStage:
@@ -129,5 +141,109 @@ def media_stats(docs_ds, concurrency: int | None = None, batch_size: int = 128):
     the batch can be much larger than MEDIA_BATCH_SIZE; shrink it when
     a real decoder materializes frames."""
     return docs_ds.map_batches(MediaStatsStage, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=_pool_size(concurrency))
+
+
+RESIZE_MAX_SIDE = 256
+
+RESIZE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("target_w", pa.int32()),
+    ("target_h", pa.int32()),
+])
+
+
+class MediaResizeStage:
+    """Actor-pool resize stage: integer aspect-preserving downscale to
+    RESIZE_MAX_SIDE (no-op for smaller images). The dimension math is
+    pure integer arithmetic so the DuckDB oracle reproduces it; a real
+    implementation resizes the decoded pixels and re-encodes."""
+
+    def __init__(self, decoder_cls=FakeDecoder, max_side: int = RESIZE_MAX_SIDE) -> None:
+        self.decoder = decoder_cls()
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, list_offsets, kinds, _t, refs, _o = spans_column_views(batch)
+        out = {name: [] for name in RESIZE_SCHEMA.names}
+        for i in range(len(doc_ids)):
+            lo, hi = int(list_offsets[i]), int(list_offsets[i + 1])
+            for j in range(lo, hi):
+                if kinds[j] != "media":
+                    continue
+                p = self.decoder.probe(refs[j])
+                w, h = p["width"], p["height"]
+                long_side = max(w, h)
+                if long_side <= self.max_side:
+                    tw, th = w, h
+                else:
+                    tw = w * self.max_side // long_side
+                    th = h * self.max_side // long_side
+                out["doc_id"].append(doc_ids[i])
+                out["media_ref"].append(refs[j])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["target_w"].append(tw)
+                out["target_h"].append(th)
+        return pa.Table.from_pydict(out, schema=RESIZE_SCHEMA)
+
+
+def media_resize(docs_ds, concurrency: int | None = None,
+                 batch_size: int = 128):
+    """Per-media-span resize plan over an interleaved-documents
+    Dataset (one row per media span)."""
+    return docs_ds.map_batches(MediaResizeStage, batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=_pool_size(concurrency))
+
+
+FRAME_SAMPLE_K = 4
+
+FRAME_SAMPLE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("media_ref", pa.string()),
+    ("n_frames", pa.int32()),
+    ("sample_idx", pa.int32()),
+    ("frame_idx", pa.int32()),
+])
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler: k evenly spaced frame indices per
+    media span (frame_idx = sample_idx * n_frames // k) — the standard
+    uniform temporal sampling for video training data. Index math is
+    integer so the SQL oracle matches; a real implementation seeks and
+    decodes those frames."""
+
+    def __init__(self, decoder_cls=FakeDecoder, k: int = FRAME_SAMPLE_K) -> None:
+        self.decoder = decoder_cls()
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, list_offsets, kinds, _t, refs, _o = spans_column_views(batch)
+        out = {name: [] for name in FRAME_SAMPLE_SCHEMA.names}
+        for i in range(len(doc_ids)):
+            lo, hi = int(list_offsets[i]), int(list_offsets[i + 1])
+            for j in range(lo, hi):
+                if kinds[j] != "media":
+                    continue
+                n_frames = self.decoder.probe(refs[j])["n_frames"]
+                for s in range(self.k):
+                    out["doc_id"].append(doc_ids[i])
+                    out["media_ref"].append(refs[j])
+                    out["n_frames"].append(n_frames)
+                    out["sample_idx"].append(s)
+                    out["frame_idx"].append(s * n_frames // self.k)
+        return pa.Table.from_pydict(out, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def media_frame_sample(docs_ds, concurrency: int | None = None,
+                       batch_size: int = 128):
+    """k uniformly spaced frame indices per media span."""
+    return docs_ds.map_batches(FrameSampleStage, batch_format="pyarrow",
                                batch_size=batch_size,
                                concurrency=_pool_size(concurrency))
