@@ -91,14 +91,31 @@ class MediaFeatureStage:
         return pa.Table.from_pydict(out, schema=MEDIA_FEATURE_SCHEMA)
 
 
-def media_features(docs_ds, concurrency: int | None = None):
+def _stage(docs_ds, stage_cls, concurrency, batch_size, decoder_cls=None,
+           **stage_kwargs):
+    """Execution-mode dispatch shared by the media stages: the default
+    (stub) decoder is stateless, so the stage ships as a plain callable
+    and runs as a TASK pool — no actor startup, no CPU pinning (same
+    rationale as pipelines.extraction). A custom decoder_cls forces the
+    actor-pool path so a real decoder's per-worker state (codec
+    contexts, model weights) is built once per actor in __init__."""
+    if decoder_cls is None:
+        return docs_ds.map_batches(stage_cls(**stage_kwargs),
+                                   batch_format="pyarrow", batch_size=batch_size)
+    return docs_ds.map_batches(
+        stage_cls, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=_pool_size(concurrency),
+        fn_constructor_kwargs={"decoder_cls": decoder_cls, **stage_kwargs})
+
+
+def media_features(docs_ds, concurrency: int | None = None, decoder_cls=None):
     """Per-media-span features over an interleaved-documents Dataset.
 
-    Fixed-size actor pool: autoscaling (1, N) pools measured 4x slower
-    on this engine's stages (see CLAUDE.md)."""
-    return docs_ds.map_batches(MediaFeatureStage, batch_format="pyarrow",
-                               batch_size=MEDIA_BATCH_SIZE,
-                               concurrency=_pool_size(concurrency))
+    With a real decoder: fixed-size actor pool (autoscaling (1, N)
+    pools measured 4x slower on this engine's stages — see CLAUDE.md)
+    and MEDIA_BATCH_SIZE-small batches for the binary payloads."""
+    return _stage(docs_ds, MediaFeatureStage, concurrency,
+                  MEDIA_BATCH_SIZE, decoder_cls)
 
 
 MEDIA_STATS_SCHEMA = pa.schema([
@@ -135,14 +152,13 @@ class MediaStatsStage:
         return pa.Table.from_pydict(out, schema=MEDIA_STATS_SCHEMA)
 
 
-def media_stats(docs_ds, concurrency: int | None = None, batch_size: int = 128):
+def media_stats(docs_ds, concurrency: int | None = None, batch_size: int = 128,
+                decoder_cls=None):
     """Corpus-level media rollup: count + total bytes per doc (docs
     with no media are omitted). The stub decoder carries no payload, so
     the batch can be much larger than MEDIA_BATCH_SIZE; shrink it when
     a real decoder materializes frames."""
-    return docs_ds.map_batches(MediaStatsStage, batch_format="pyarrow",
-                               batch_size=batch_size,
-                               concurrency=_pool_size(concurrency))
+    return _stage(docs_ds, MediaStatsStage, concurrency, batch_size, decoder_cls)
 
 
 RESIZE_MAX_SIDE = 256
@@ -193,12 +209,10 @@ class MediaResizeStage:
 
 
 def media_resize(docs_ds, concurrency: int | None = None,
-                 batch_size: int = 128):
+                 batch_size: int = 128, decoder_cls=None):
     """Per-media-span resize plan over an interleaved-documents
     Dataset (one row per media span)."""
-    return docs_ds.map_batches(MediaResizeStage, batch_format="pyarrow",
-                               batch_size=batch_size,
-                               concurrency=_pool_size(concurrency))
+    return _stage(docs_ds, MediaResizeStage, concurrency, batch_size, decoder_cls)
 
 
 FRAME_SAMPLE_K = 4
@@ -242,8 +256,6 @@ class FrameSampleStage:
 
 
 def media_frame_sample(docs_ds, concurrency: int | None = None,
-                       batch_size: int = 128):
+                       batch_size: int = 128, decoder_cls=None):
     """k uniformly spaced frame indices per media span."""
-    return docs_ds.map_batches(FrameSampleStage, batch_format="pyarrow",
-                               batch_size=batch_size,
-                               concurrency=_pool_size(concurrency))
+    return _stage(docs_ds, FrameSampleStage, concurrency, batch_size, decoder_cls)
