@@ -205,12 +205,18 @@ _LSH_CAND = f"""
                            UNION ALL SELECT * FROM chain_cand))"""
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     # The flagship span corpus is deterministic per doc_id, so its
     # oracles run DuckDB SQL over a flat spans-parquet artifact derived
     # from the SAME generator (materialized once under /tmp). The
-    # driver's correctness gate runs at sf0.01.
-    spans_pq = ensure_spans_parquet("/root/testdata/sf0.01")
+    # driver calls this with no argument and runs its gate at sf0.01;
+    # pass the matching sf_dir to compare at any other scale.
+    try:
+        spans_pq = ensure_spans_parquet(sf_dir)
+    except OSError:
+        # sf dir absent: still return valid SQL strings (only the five
+        # span oracles would fail to execute, at their call site)
+        spans_pq = f"/tmp/graft_spans/missing/{sf_dir.strip('/').replace('/', '_')}.parquet"
     _TRIM = "trim(text, ' \t\r\n\f\v')"
     return {
         "media_stats": f"""

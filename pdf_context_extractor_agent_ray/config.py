@@ -136,14 +136,23 @@ class HybridColumnAnalyzer:
         # comparator's differences and the recorded-policy outcome.
         # Workers are headless, so 'choice' is the policy decision, and
         # the sequence id replaces the interactive log's timestamp.
+        # Bounded: long-lived actors must not grow an audit list
+        # forever if the caller never drains — past the cap only the
+        # drop counter advances.
         self.decisions: list[dict[str, Any]] = []
+        self.decisions_dropped = 0
+
+    MAX_DECISIONS = 10_000
 
     def _record(self, row: list[str], rule_result: dict[str, int],
                 model_resp: Optional[dict[str, Any]],
                 choice: str) -> None:
+        if len(self.decisions) >= self.MAX_DECISIONS:
+            self.decisions_dropped += 1
+            return
         model_map = (model_resp or {}).get("column_map", {})
         self.decisions.append({
-            "seq": len(self.decisions),
+            "seq": len(self.decisions) + self.decisions_dropped,
             "header_row": list(row),
             "rule_result": dict(rule_result),
             "model_result": dict(model_map),

@@ -90,7 +90,8 @@ LSH_BROADCAST_MAX_DOCS = 200_000
 
 
 def lsh_candidate_pairs(ds, num_partitions: int | None = None,
-                        broadcast_max_docs: int = LSH_BROADCAST_MAX_DOCS):
+                        broadcast_max_docs: int = LSH_BROADCAST_MAX_DOCS,
+                        n_docs: int | None = None):
     """MinHash-LSH near-dup pairs: shingle → minhash → band-bucket
     groupby → candidate pairs → exact n-gram Jaccard verification.
 
@@ -105,8 +106,14 @@ def lsh_candidate_pairs(ds, num_partitions: int | None = None,
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 (integer-scaled),
     only pairs with Jaccard >= threshold, deduped across bands.
+
+    ``n_docs``: pass the known corpus size when ``ds`` is a DERIVED
+    dataset (map_batches chain, filter) — otherwise the size gate's
+    ``ds.count()`` executes the whole upstream pipeline once just to
+    pick a path. Plain parquet reads resolve count() from metadata.
     """
-    n_docs = ds.count()  # metadata fast-path for parquet inputs
+    if n_docs is None:
+        n_docs = ds.count()
     if n_docs <= broadcast_max_docs:
         return _lsh_pairs_broadcast(ds)
     return _lsh_pairs_join(ds, num_partitions)
@@ -160,8 +167,8 @@ def _lsh_pairs_broadcast(ds):
         norms = _norm(batch["text"])
         cols = {"doc_id": batch["doc_id"],
                 "norm_text": pa.array(norms, pa.string())}
-        keys = [[_band_key(minhash_signature(n), b) for b in range(LSH_BANDS)]
-                for n in norms]
+        sigs = [minhash_signature(n) for n in norms]  # once per doc, not per band
+        keys = [[_band_key(sig, b) for b in range(LSH_BANDS)] for sig in sigs]
         for b in range(LSH_BANDS):
             cols[f"band_{b}"] = pa.array([k[b] for k in keys], pa.string())
         return pa.table(cols)

@@ -256,7 +256,15 @@ def top_ngrams(ds, k: int = TOP_NGRAMS_K):
     """Global top-k token bigrams: per-batch partial counts →
     groupby-sum over distinct n-grams → tiny final top-k. Deterministic
     tie-break (count desc, ngram asc) matches the SQL oracle exactly at
-    the k boundary."""
+    the k boundary.
+
+    Scale note: the exchange moves each batch's DISTINCT bigrams —
+    Zipf-bounded, far below the token stream, and the groupby is
+    hash-uniform. If the 100-TB vocabulary still overwhelms the
+    exchange, the standard degradation is lossy counting per batch
+    (drop local count-1 tail) at a documented accuracy bound — the
+    same sketch-over-exact trade ``functions.sketches`` makes for
+    distinct counts."""
     import pandas as pd
     from ray.data.aggregate import Sum
 

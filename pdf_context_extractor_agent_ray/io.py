@@ -227,6 +227,8 @@ def completed_filter(output_path: str) -> Optional[CompletedFilter]:
     column scan)."""
     parts = []
     for m in load_manifests(output_path):
+        if m.get("num_docs", 0) == 0:
+            continue  # an empty partition (no-op resume) can't contain any doc
         if "bloom" not in m or m["doc_id_min"] is None:
             return None
         parts.append((m["doc_id_min"], m["doc_id_max"],

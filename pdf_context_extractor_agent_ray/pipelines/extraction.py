@@ -64,8 +64,11 @@ def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
     startup (ignored in task mode, which has no pool).
     """
     if config is None:
+        # an explicit concurrency still caps the task pool (callers on
+        # shared boxes rely on it); None = let the scheduler fan out
+        kwargs = {} if concurrency is None else {"concurrency": concurrency}
         return ds.map_batches(process_batch, batch_format="pyarrow",
-                              batch_size=batch_size, num_cpus=1)
+                              batch_size=batch_size, num_cpus=1, **kwargs)
     if concurrency is None:
         concurrency = _default_concurrency()
     if expected_rows is not None:

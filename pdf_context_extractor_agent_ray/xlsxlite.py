@@ -116,8 +116,11 @@ class Workbook:
             f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
             'worksheet+xml"/>' for i in range(n))
+        # attribute context: double quotes must be escaped too (escape()
+        # alone leaves them, corrupting the workbook XML)
         sheets_xml = "".join(
-            f'<sheet name="{escape(name)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+            f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, (name, _, _) in enumerate(self._sheets))
         workbook_xml = (
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

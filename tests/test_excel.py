@@ -73,6 +73,18 @@ def test_sanitize_sheet_name():
     assert sanitize_sheet_name("   ") == "Sheet"
 
 
+def test_sheet_name_with_quotes_survives(tmp_path):
+    """Sheet names land in an XML attribute: double quotes must be
+    escaped or the whole workbook is corrupt (model-provided note
+    titles can contain anything sanitize doesn't strip)."""
+    wb = Workbook()
+    name = wb.add_sheet('9_Series "A" <notes>', [["x"]])
+    path = str(tmp_path / "q.xlsx")
+    wb.save(path)
+    sheets = _read_workbook(path)
+    assert sheets[name] == [["x"]]
+
+
 def test_workbook_roundtrip_and_name_uniquing(tmp_path):
     wb = Workbook()
     n1 = wb.add_sheet("Data", [["a", 1.5], ["b", True]])

@@ -94,6 +94,13 @@ def test_resume_bloom_path_converges(ray_session, corpus, tmp_path):
                        concurrency=2, resume_exact_max_docs=0)
     assert m3["num_docs"] == 0
 
+    # the no-op run above wrote an EMPTY partition; the Bloom path must
+    # skip it (not fall back to the exact scan) and still converge
+    assert dio.completed_filter(out) is not None
+    m4 = run_resumable(lambda: rd.from_arrow(docs_to_table(corpus)), out,
+                       concurrency=2, resume_exact_max_docs=0)
+    assert m4["num_docs"] == 0 and m4["skipped_docs"] == 60
+
 
 def test_no_half_visible_partitions(ray_session, corpus, tmp_path):
     out = str(tmp_path / "out")
