@@ -252,26 +252,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM m, unnest(range(0, 4)) AS u(s)
         """,
         "page_stats": f"""
+            -- page semantics == docproc.paginate: a page is a NON-EMPTY
+            -- run of spans (empty pages don't count); tables are
+            -- per-page distinct refs
             WITH s AS (SELECT * FROM read_parquet('{spans_pq}')),
-            pb AS (SELECT doc_id,
-                          count(*) FILTER (WHERE kind = 'page_break') AS n_breaks,
-                          count(*) AS n_spans,
-                          count(DISTINCT media_ref) FILTER (WHERE kind = 'table_row') AS n_tables
-                   FROM s GROUP BY doc_id),
-            pages AS (SELECT doc_id, kind,
+            tot AS (SELECT doc_id, count(*) AS n_spans FROM s GROUP BY doc_id),
+            pages AS (SELECT doc_id, kind, media_ref,
                              sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
                                OVER (PARTITION BY doc_id ORDER BY span_idx
                                      ROWS UNBOUNDED PRECEDING) AS page
                       FROM s),
             pp AS (SELECT doc_id, page, count(*) AS n
                    FROM pages WHERE kind <> 'page_break' GROUP BY doc_id, page),
-            mx AS (SELECT doc_id, max(n) AS max_pp FROM pp GROUP BY doc_id)
-            SELECT pb.doc_id,
-                   CAST(pb.n_breaks + 1 AS INTEGER) AS n_pages,
-                   CAST(pb.n_spans AS INTEGER) AS n_spans,
-                   CAST(pb.n_tables AS INTEGER) AS n_tables,
-                   CAST(coalesce(mx.max_pp, 0) AS INTEGER) AS max_spans_per_page
-            FROM pb LEFT JOIN mx ON mx.doc_id = pb.doc_id
+            agg AS (SELECT doc_id, count(*) AS n_pages, max(n) AS max_pp
+                    FROM pp GROUP BY doc_id),
+            tb AS (SELECT doc_id, page, count(DISTINCT media_ref) AS nt
+                   FROM pages WHERE kind = 'table_row' GROUP BY doc_id, page),
+            tbd AS (SELECT doc_id, sum(nt) AS n_tables FROM tb GROUP BY doc_id)
+            SELECT tot.doc_id,
+                   CAST(coalesce(agg.n_pages, 0) AS INTEGER) AS n_pages,
+                   CAST(tot.n_spans AS INTEGER) AS n_spans,
+                   CAST(coalesce(tbd.n_tables, 0) AS INTEGER) AS n_tables,
+                   CAST(coalesce(agg.max_pp, 0) AS INTEGER) AS max_spans_per_page
+            FROM tot
+            LEFT JOIN agg ON agg.doc_id = tot.doc_id
+            LEFT JOIN tbd ON tbd.doc_id = tot.doc_id
         """,
         "table_contexts": f"""
             WITH s AS (SELECT doc_id, span_idx, kind, text, media_ref,
@@ -279,9 +284,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                 OVER (PARTITION BY doc_id ORDER BY span_idx
                                       ROWS UNBOUNDED PRECEDING) AS page
                        FROM read_parquet('{spans_pq}')),
+            -- gaps-and-islands: one output row per CONTIGUOUS run of
+            -- table_row spans sharing a ref (the engine's table unit),
+            -- not per (doc, ref) — a ref interrupted by other spans is
+            -- two tables on both sides
+            t0 AS (SELECT doc_id, media_ref, span_idx, page,
+                          span_idx - row_number() OVER (PARTITION BY doc_id, media_ref
+                                                        ORDER BY span_idx) AS isl
+                   FROM s WHERE kind = 'table_row'),
             t AS (SELECT doc_id, media_ref AS table_ref, min(span_idx) AS start_i,
                          max(span_idx) AS end_i, count(*) AS n_rows, min(page) AS page
-                  FROM s WHERE kind = 'table_row' GROUP BY doc_id, media_ref),
+                  FROM t0 GROUP BY doc_id, media_ref, isl),
             txt AS (SELECT doc_id, page, span_idx, {_TRIM} AS tt
                     FROM s WHERE kind = 'text' AND {_TRIM} <> ''),
             bef AS (SELECT t.doc_id, t.table_ref, x.span_idx, x.tt,

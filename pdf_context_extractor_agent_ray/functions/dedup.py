@@ -145,11 +145,6 @@ def _candidate_pairs(docs: list[int]) -> list[tuple[int, int]]:
             for i in range(len(docs)) for j in range(i + 1, len(docs))]
 
 
-_PAIR_EMPTY = {"doc_a": pd.Series([], dtype="int64"),
-               "doc_b": pd.Series([], dtype="int64"),
-               "jaccard_e6": pd.Series([], dtype="int64")}
-
-
 def _lsh_pairs_broadcast(ds):
     """Gated small/medium path, ZERO shuffles: one distributed pass
     computes norm text + band keys per doc; the (tiny) key rows come to

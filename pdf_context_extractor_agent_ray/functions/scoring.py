@@ -48,10 +48,12 @@ class QualityModel:
     def __init__(self, weights_ref=None) -> None:
         if weights_ref is not None:
             import ray
-            self.weights, self.bias = ray.get(weights_ref)
+            weights, self.bias = ray.get(weights_ref)
+            # partial overrides merge over the defaults — a missing
+            # feature weight must not crash actor startup
+            self.weights = {**WEIGHTS, **weights}
         else:
             self.weights, self.bias = dict(WEIGHTS), BIAS
-        self.w = np.array([self.weights[f] for f in FEATURES], dtype=np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = _features(batch)
@@ -70,12 +72,22 @@ class QualityModel:
 
 
 def model_scores(ds, weights: dict | None = None, bias: float | None = None,
-                 concurrency=(1, 8), batch_size: int = 1024):
-    """Score a documents Dataset with the actor-pool quality model."""
-    kwargs = {}
-    if weights is not None or bias is not None:
-        import ray
-        ref = ray.put((weights or dict(WEIGHTS), BIAS if bias is None else bias))
-        kwargs["fn_constructor_kwargs"] = {"weights_ref": ref}
+                 concurrency: int | None = None, batch_size: int = 1024):
+    """Score a documents Dataset with the quality model.
+
+    Default weights are stateless, so the stage ships as a plain
+    callable (task pool — no actor startup; same rationale as the
+    extraction stage). Custom weights broadcast once via ``ray.put``
+    and force a FIXED-size actor pool (autoscaling pools are the
+    measured 4x-slower anti-pattern; see CLAUDE.md)."""
+    if weights is None and bias is None:
+        return ds.map_batches(QualityModel(), batch_format="pyarrow",
+                              batch_size=batch_size)
+    import ray
+    ref = ray.put((weights or {}, BIAS if bias is None else bias))
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, cpus - 2)
     return ds.map_batches(QualityModel, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency, **kwargs)
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"weights_ref": ref})

@@ -30,6 +30,18 @@ def _matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(batch), -1)
 
 
+def _final_topk(k: int):
+    """Shared exact top-k finisher: (sim_e6 desc, vec_id asc) tie-break
+    + 1-based rank — ONE definition so the exact and approximate paths
+    cannot silently diverge on the ordering contract."""
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim_e6", "vec_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+    return final_topk
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -76,14 +88,8 @@ def knn_topk(ds, query_vectors: dict[int, list[float]], k: int = DEFAULT_K):
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim_e6": pa.array(out_s, pa.int64())})
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim_e6", "vec_id"],
-                            ascending=[False, True]).head(k).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
 def load_query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:
@@ -156,14 +162,8 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim_e6": pa.array(out_s, pa.int64())})
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim_e6", "vec_id"],
-                            ascending=[False, True]).head(k).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(final_topk, batch_format="pandas")
+        .groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
 IVF_NLIST = 16
@@ -262,14 +262,8 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim_e6": pa.array(out_s, pa.int64())})
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim_e6", "vec_id"],
-                            ascending=[False, True]).head(k).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(final_topk, batch_format="pandas")
+        .groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
 EMBED_DUP_THRESHOLD_E6 = 450_000

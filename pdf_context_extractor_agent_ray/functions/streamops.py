@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .util import round_half_away_e
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
@@ -67,9 +69,8 @@ def asof_click_view(sf_dir: str):
             "user_id": merged["user_id"].astype("int64"),
             "click_ts_us": merged["ts"].astype("int64"),
             "view_event_id": merged["view_event_id"].astype("int64"),
-            "view_value_cents": np.copysign(
-                np.floor(np.abs(merged["view_value"].to_numpy() * 100) + 0.5),
-                merged["view_value"].to_numpy()).astype("int64"),
+            "view_value_cents": round_half_away_e(
+                merged["view_value"].to_numpy(), scale=100),
         })
         return out
 

@@ -71,12 +71,6 @@ class BloomFilter:
                 return False
         return True
 
-    def union(self, other: "BloomFilter") -> "BloomFilter":
-        if (self.m, self.k) != (other.m, other.k):
-            raise ValueError("bloom parameter mismatch")
-        merged = bytearray(a | b for a, b in zip(self.bits, other.bits))
-        return BloomFilter(self.m, self.k, merged)
-
     @classmethod
     def build(cls, doc_ids, n_expected: Optional[int] = None) -> "BloomFilter":
         ids = list(doc_ids)

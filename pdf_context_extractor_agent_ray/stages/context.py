@@ -19,6 +19,11 @@ from ..schema import DOCUMENT_SCHEMA, build_spans_array, spans_column_views
 
 CONTEXT_LINES = 3
 
+# trim EXACTLY this class on both the engine and the SQL-oracle side:
+# Python str.strip() is Unicode-aware (U+3000, NBSP, ...) while DuckDB
+# trim() takes an explicit character list — the CLAUDE.md parity rule
+ASCII_WS = " \t\r\n\f\v"
+
 TABLE_CONTEXT_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("table_ref", pa.string()),
@@ -62,14 +67,14 @@ def table_contexts(docs_ds, k_lines: int = CONTEXT_LINES):
                 before: list[str] = []
                 b = start - 1
                 while b >= lo and kinds[b] != "page_break" and len(before) < k_lines:
-                    if kinds[b] == "text" and texts[b].strip():
-                        before.append(texts[b].strip())
+                    if kinds[b] == "text" and texts[b].strip(ASCII_WS):
+                        before.append(texts[b].strip(ASCII_WS))
                     b -= 1
                 after: list[str] = []
                 a = end
                 while a < hi and kinds[a] != "page_break" and len(after) < k_lines:
-                    if kinds[a] == "text" and texts[a].strip():
-                        after.append(texts[a].strip())
+                    if kinds[a] == "text" and texts[a].strip(ASCII_WS):
+                        after.append(texts[a].strip(ASCII_WS))
                     a += 1
                 out["doc_id"].append(doc_ids[i])
                 out["table_ref"].append(ref)

@@ -17,16 +17,23 @@ from ..schema import DOCUMENT_SCHEMA, build_spans_array, spans_column_views
 def _page_slice(kinds: list[str], lo: int, hi: int,
                 start_page: int, end_page: int) -> tuple[int, int]:
     """Span index range [a, b) covering 1-based pages start..end of one
-    doc (pages numbered as in docproc.paginate: the first non-empty run
-    is page 1, each page_break starts the next)."""
-    page = 1
-    a = lo if start_page <= 1 else None
+    doc, numbered EXACTLY as docproc.paginate numbers them: a page is a
+    non-empty run of spans, empty pages (leading / consecutive /
+    trailing page_breaks) don't count — so slice page N is paginate
+    page N for any input, not just break-dense synth docs."""
+    page = 0
+    open_page = False
+    a = None
     b = hi
     for j in range(lo, hi):
         if kinds[j] == "page_break":
+            open_page = False
+            continue
+        if not open_page:
             page += 1
+            open_page = True
             if a is None and page == start_page:
-                a = j  # include the page_break that opens the range
+                a = j
             if page == end_page + 1:
                 b = j
                 break
@@ -80,24 +87,33 @@ def page_stats(ds):
         out = {n: [] for n in PAGE_STATS_SCHEMA.names}
         for i in range(len(doc_ids)):
             lo, hi = int(offs[i]), int(offs[i + 1])
-            n_pages = 1
+            # page semantics == docproc.paginate: only non-empty runs
+            # count as pages; per-page tables are distinct refs
+            n_pages = 0
             per_page = 0
             max_pp = 0
-            tables = set()
+            n_tables = 0
+            page_tables: set = set()
             for j in range(lo, hi):
                 if kinds[j] == "page_break":
-                    n_pages += 1
-                    max_pp = max(max_pp, per_page)
-                    per_page = 0
+                    if per_page:
+                        n_pages += 1
+                        max_pp = max(max_pp, per_page)
+                        n_tables += len(page_tables)
+                        per_page = 0
+                        page_tables = set()
                 else:
                     per_page += 1
                     if kinds[j] == "table_row":
-                        tables.add(refs[j])
-            max_pp = max(max_pp, per_page)
+                        page_tables.add(refs[j])
+            if per_page:
+                n_pages += 1
+                max_pp = max(max_pp, per_page)
+                n_tables += len(page_tables)
             out["doc_id"].append(doc_ids[i])
             out["n_pages"].append(n_pages)
             out["n_spans"].append(hi - lo)
-            out["n_tables"].append(len(tables))
+            out["n_tables"].append(n_tables)
             out["max_spans_per_page"].append(max_pp)
         return pa.Table.from_pydict(out, schema=PAGE_STATS_SCHEMA)
 

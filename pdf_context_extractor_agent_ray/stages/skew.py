@@ -106,6 +106,13 @@ def reassemble(chunks_ds):
 
 def rebalanced_documents(ds, max_spans: int = DEFAULT_MAX_SPANS):
     """Documents Dataset with the heavy tail split+reassembled so no
-    single block carries a pathological doc through the pipeline."""
+    single block carries a pathological doc through the pipeline.
+
+    The small/large fork consumes ``ds`` twice, so the input is
+    materialized once first — otherwise the whole upstream (read /
+    synth / prior transforms) executes twice. The blocks live in the
+    object store (spilling to disk as needed), which is exactly the
+    cost of reading the corpus once."""
+    ds = ds.materialize()
     small, chunks = split_small_large(ds, max_spans)
     return small.union(reassemble(chunks))

@@ -35,6 +35,31 @@ def test_select_page_range(ray_session):
     assert len(_doc_pages(clamped)) == n
 
 
+def test_empty_pages_match_paginate(ray_session):
+    """Leading / consecutive / trailing page_breaks create EMPTY pages,
+    which paginate skips — the page-range slice and page_stats must
+    number pages identically or slice contents shift by a page."""
+    import ray.data as rd
+    spans = [("page_break", "1", "", 0), ("text", "A", "", 1),
+             ("page_break", "2", "", 2), ("page_break", "3", "", 3),
+             ("text", "B", "", 4), ("text", "C", "", 5),
+             ("page_break", "4", "", 6)]
+    doc = {"doc_id": "empty-pages", "spans": spans}
+    pages = paginate([s[0] for s in spans], [s[1] for s in spans],
+                     [s[2] for s in spans], [s[3] for s in spans])
+    assert len(pages) == 2  # the paginate contract this test pins
+
+    ds = rd.from_arrow(docs_to_table([doc]))
+    r = page_stats(ds).take_all()[0]
+    assert r["n_pages"] == 2
+    assert r["max_spans_per_page"] == 2
+
+    p1 = _doc_pages(select_page_range(ds, 1, 1).take_all()[0])
+    assert [i[:3] for i in p1[0]["items"]] == [("text", "A", "")]
+    p2 = _doc_pages(select_page_range(ds, 2, 2).take_all()[0])
+    assert [i[:3] for i in p2[0]["items"]] == [("text", "B", ""), ("text", "C", "")]
+
+
 def test_page_stats(ray_session):
     import ray.data as rd
     docs = [generate_doc(f"ps-{i:03d}") for i in range(20)]
