@@ -78,6 +78,35 @@ PAGE_STATS_SCHEMA = pa.schema([
 ])
 
 
+def _doc_page_stats(kinds: list[str], refs: list[str],
+                    lo: int, hi: int) -> tuple[int, int, int]:
+    """(n_pages, n_tables, max_spans_per_page) for one doc's span range,
+    with page semantics == docproc.paginate: only non-empty runs count
+    as pages; per-page tables are distinct refs."""
+    n_pages = 0
+    per_page = 0
+    max_pp = 0
+    n_tables = 0
+    page_tables: set = set()
+    for j in range(lo, hi):
+        if kinds[j] == "page_break":
+            if per_page:
+                n_pages += 1
+                max_pp = max(max_pp, per_page)
+                n_tables += len(page_tables)
+                per_page = 0
+                page_tables = set()
+        else:
+            per_page += 1
+            if kinds[j] == "table_row":
+                page_tables.add(refs[j])
+    if per_page:
+        n_pages += 1
+        max_pp = max(max_pp, per_page)
+        n_tables += len(page_tables)
+    return n_pages, n_tables, max_pp
+
+
 def page_stats(ds):
     """Per-document page metadata (S4 analogue): page/table counts and
     the per-page span skew signal used for size-aware splitting."""
@@ -87,29 +116,7 @@ def page_stats(ds):
         out = {n: [] for n in PAGE_STATS_SCHEMA.names}
         for i in range(len(doc_ids)):
             lo, hi = int(offs[i]), int(offs[i + 1])
-            # page semantics == docproc.paginate: only non-empty runs
-            # count as pages; per-page tables are distinct refs
-            n_pages = 0
-            per_page = 0
-            max_pp = 0
-            n_tables = 0
-            page_tables: set = set()
-            for j in range(lo, hi):
-                if kinds[j] == "page_break":
-                    if per_page:
-                        n_pages += 1
-                        max_pp = max(max_pp, per_page)
-                        n_tables += len(page_tables)
-                        per_page = 0
-                        page_tables = set()
-                else:
-                    per_page += 1
-                    if kinds[j] == "table_row":
-                        page_tables.add(refs[j])
-            if per_page:
-                n_pages += 1
-                max_pp = max(max_pp, per_page)
-                n_tables += len(page_tables)
+            n_pages, n_tables, max_pp = _doc_page_stats(kinds, refs, lo, hi)
             out["doc_id"].append(doc_ids[i])
             out["n_pages"].append(n_pages)
             out["n_spans"].append(hi - lo)

@@ -78,6 +78,37 @@ def test_extract_document_total_on_garbage(spans):
         sum(1 for k in kinds if k == "media")
 
 
+@given(st.lists(st.tuples(span_kinds, st.sampled_from(["t1", "t2", ""])),
+                max_size=25),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=0, max_value=6))
+@settings(max_examples=200)
+def test_page_slice_and_stats_match_paginate(spans, start, extra):
+    """For ANY span sequence, the page-range slice and the page-stats
+    fold agree with docproc.paginate — pages are non-empty runs, empty
+    pages (leading/consecutive/trailing breaks) don't count."""
+    from pdf_context_extractor_agent_ray.docproc import paginate
+    from pdf_context_extractor_agent_ray.stages.pages import (
+        _doc_page_stats, _page_slice)
+
+    kinds = [s[0] for s in spans]
+    refs = [s[1] if s[0] == "table_row" else "" for s in spans]
+    texts = [f"x{i}" for i in range(len(spans))]
+    offsets = list(range(len(spans)))
+    pages = paginate(kinds, texts, refs, offsets)
+
+    n_pages, n_tables, max_pp = _doc_page_stats(kinds, refs, 0, len(kinds))
+    assert n_pages == len(pages)
+    assert n_tables == sum(len(p["tables"]) for p in pages)
+    assert max_pp == max((len(p["items"]) for p in pages), default=0)
+
+    end = start + extra
+    a, b = _page_slice(kinds, 0, len(kinds), start, end)
+    got = [texts[j] for j in range(a, b) if kinds[j] != "page_break"]
+    want = [it[1] for p in pages[start - 1:end] for it in p["items"]]
+    assert got == want
+
+
 @given(st.text(max_size=30))
 @settings(max_examples=200)
 def test_classify_title_total(line):
