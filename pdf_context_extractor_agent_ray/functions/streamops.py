@@ -1,15 +1,21 @@
 """Stream-shaped operators over the ordered events log.
 
 Ray Data has no event-time windows; the engine expresses them the
-idiomatic way (ray_guide): treat `events` as a partitioned ordered log,
-``groupby(key).map_groups`` with the windowing fold over the sorted
-group. The partition key (user_id) is the ordering scope — the same
-assumption a real streaming shuffle would make.
+idiomatic way (ray_guide): treat `events` as a partitioned ordered log
+and window inside partitions. The partition key is a HASH BUCKET of
+user_id, not user_id itself — ``groupby(user).map_groups`` would pay
+one Python/pandas call per user (10^8 calls at web scale), while
+bucketing pays one call per bucket and runs the windowing fold
+vectorized over every user in the bucket. Bucket count is sized from
+the parquet row count (~1M rows/bucket) so a bucket block always fits
+a worker's heap; at 100 TB the bucket id is the storage partition key
+and this groupby becomes a co-located no-shuffle pass.
 
 - as-of join: for each 'click', the most recent strictly-prior 'view'
-  by the same user (pd.merge_asof per user group; DuckDB ASOF JOIN
-  oracle).
-- session windows: per-user sessions split at >30 min gaps.
+  by the same user (vectorized ``pd.merge_asof(by="user_id")`` per
+  bucket; DuckDB ASOF JOIN oracle).
+- session windows: per-user sessions split at >30 min gaps (vectorized
+  break detection: user-change OR gap, one cumsum per bucket).
 
 All outputs are integer-scaled (epoch microseconds / cents) for exact
 oracle hashing.
@@ -18,19 +24,38 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .util import round_half_away_e
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
+ROWS_PER_BUCKET = 1_000_000  # ~dozens of MB per bucket block
 
-def _events(sf_dir: str):
+
+def _events_bucketed(sf_dir: str, num_buckets: int | None = None):
+    """Events Dataset with a deterministic user-hash ``bucket`` column
+    (Knuth multiplicative hash so sequential user_ids still spread)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/events.parquet",
-                           columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    if num_buckets is None:
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = max(8, -(-n // ROWS_PER_BUCKET))
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((uid * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
-def asof_click_view(sf_dir: str):
+def asof_click_view(sf_dir: str, num_buckets: int | None = None):
     """Inner as-of join: click → latest strictly-prior view, per user.
 
     Output: click_event_id, user_id, click_ts_us, view_event_id,
@@ -42,29 +67,32 @@ def asof_click_view(sf_dir: str):
     and the SQL-oracle side, so the result is deterministic even when
     the events table contains duplicate (user_id, ts) view rows.
     """
-    ds = _events(sf_dir)
+    ds = _events_bucketed(sf_dir, num_buckets)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
+    empty = pd.DataFrame({
+        "click_event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "click_ts_us": pd.Series([], dtype="int64"),
+        "view_event_id": pd.Series([], dtype="int64"),
+        "view_value_cents": pd.Series([], dtype="int64")})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized as-of over every user in the bucket: merge_asof
+        # with by= does the per-user backward search in C
+        df = df.sort_values(["ts", "event_id"], kind="stable")
         clicks = df[df["event_type"] == "click"][["event_id", "ts", "user_id"]]
-        views = df[df["event_type"] == "view"][["event_id", "ts", "value"]] \
-            .drop_duplicates(subset="ts", keep="last")  # max event_id per ts
-        empty = pd.DataFrame({
-            "click_event_id": pd.Series([], dtype="int64"),
-            "user_id": pd.Series([], dtype="int64"),
-            "click_ts_us": pd.Series([], dtype="int64"),
-            "view_event_id": pd.Series([], dtype="int64"),
-            "view_value_cents": pd.Series([], dtype="int64")})
+        views = df[df["event_type"] == "view"][["event_id", "ts", "user_id", "value"]] \
+            .drop_duplicates(subset=["user_id", "ts"], keep="last")  # max event_id per ts
         if clicks.empty or views.empty:
             return empty
         merged = pd.merge_asof(
             clicks.rename(columns={"event_id": "click_event_id"}),
             views.rename(columns={"event_id": "view_event_id", "value": "view_value"}),
-            on="ts", direction="backward", allow_exact_matches=False)
+            on="ts", by="user_id", direction="backward", allow_exact_matches=False)
         merged = merged.dropna(subset=["view_event_id"])
         if merged.empty:
             return empty
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "click_event_id": merged["click_event_id"].astype("int64"),
             "user_id": merged["user_id"].astype("int64"),
             "click_ts_us": merged["ts"].astype("int64"),
@@ -72,30 +100,39 @@ def asof_click_view(sf_dir: str):
             "view_value_cents": round_half_away_e(
                 merged["view_value"].to_numpy(), scale=100),
         })
-        return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
-def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US):
+def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US,
+                    num_buckets: int | None = None):
     """Per-user session windows (gap-based): a new session starts when
     the gap to the previous event exceeds ``gap_us``.
 
     Output: user_id, session_idx (1-based), n_events, start_us, end_us.
     """
-    ds = _events(sf_dir)
+    ds = _events_bucketed(sf_dir, num_buckets)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        ts_us = df["ts"].astype("int64")
-        brk = (ts_us.diff().isna() | (ts_us.diff() > gap_us)).astype("int64")
-        sess = brk.cumsum()
-        g = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
-                          "session_idx": sess.astype("int64"),
-                          "ts_us": ts_us})
-        agg = g.groupby(["user_id", "session_idx"], as_index=False).agg(
-            n_events=("ts_us", "size"), start_us=("ts_us", "min"), end_us=("ts_us", "max"))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        ts_us = df["ts"].to_numpy(dtype=np.int64)
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[:1] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[:1] = True
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        sid = np.cumsum(new_user | gap)  # global session id within bucket
+        g = pd.DataFrame({"user_id": uid, "sid": sid, "ts_us": ts_us})
+        agg = g.groupby(["user_id", "sid"], as_index=False).agg(
+            n_events=("ts_us", "size"), start_us=("ts_us", "min"),
+            end_us=("ts_us", "max"))
+        # 1-based per-user session index from the global id
+        agg["session_idx"] = (agg["sid"]
+                              - agg.groupby("user_id")["sid"].transform("min")
+                              + 1).astype("int64")
         agg["n_events"] = agg["n_events"].astype("int64")
-        return agg
+        return agg[["user_id", "session_idx", "n_events", "start_us", "end_us"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
