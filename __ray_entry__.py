@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
         "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(_docs(sf)),
+        "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(_docs(sf)),
         "dup_clusters": lambda sf: F_dedup.dup_clusters(_docs(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         # similarity search
@@ -380,6 +381,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i))
             SELECT doc_id, {_MINHASH_AGGS}
             FROM sh GROUP BY doc_id
+        """,
+        "ngram_jaccard_dup": f"""
+            -- exact inverted-index Jaccard: any pair with J >= 0.5
+            -- shares a shingle, so per-shingle co-occurrence counting
+            -- is complete (mirrors functions/dedup.ngram_jaccard_pairs)
+            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(round(1000000.0 * i / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_e6
+            FROM inter
+            JOIN sz sa ON sa.doc_id = inter.doc_a
+            JOIN sz sb ON sb.doc_id = inter.doc_b
+            WHERE round(1000000.0 * i / (sa.n + sb.n - i)) >= {F_dedup.JACCARD_THRESHOLD_E6}
         """,
         "near_dup_pairs": f"""
             WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -394,6 +394,140 @@ def dup_clusters(ds, max_rounds: int = 16,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
+NGRAM_DRIVER_MAX_DOCS = 200_000  # same gate scale as the LSH broadcast path
+
+
+def _shingle_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, s) rows — each doc's DISTINCT shingles, exploded."""
+    norms = _norm(batch["text"])
+    doc_ids = batch["doc_id"].to_pylist()
+    out_d, out_s = [], []
+    for d, n in zip(doc_ids, norms):
+        for s in set(_shingles(n)):
+            out_d.append(d)
+            out_s.append(s)
+    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                     "s": pa.array(out_s, pa.string())})
+
+
+def ngram_jaccard_pairs(ds, threshold_e6: int = JACCARD_THRESHOLD_E6,
+                        driver_max_docs: int = NGRAM_DRIVER_MAX_DOCS,
+                        n_docs: int | None = None):
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted
+    index — no LSH recall loss: any pair with J >= 0.5 shares at least
+    one shingle, so grouping by shingle and counting co-occurrences
+    finds every qualifying pair (the classic exact-MapReduce dedup).
+
+    Size-gated like the LSH path: up to ``driver_max_docs`` the
+    (tiny) distinct-shingle rows come to the driver and the pair
+    counting is one dict pass; above, the inverted index is a Ray
+    groupby(s) → per-pair count groupby → size joins. The at-scale
+    caveat is inherent to EXACT Jaccard: a shingle shared by k docs
+    emits O(k^2) pairs, so a boilerplate-heavy corpus should use
+    ``lsh_candidate_pairs`` (approximate candidates, same verifier)
+    instead — this op is the exact oracle-checkable baseline.
+
+    Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 >= threshold.
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+    if n_docs <= driver_max_docs:
+        return _ngram_jaccard_driver(ds, threshold_e6)
+    return _ngram_jaccard_distributed(ds, threshold_e6)
+
+
+def _pairs_table(doc_a: list[int], doc_b: list[int], jac: list[int]) -> pa.Table:
+    return pa.table({"doc_a": pa.array(doc_a, pa.int64()),
+                     "doc_b": pa.array(doc_b, pa.int64()),
+                     "jaccard_e6": pa.array(jac, pa.int64())})
+
+
+def _ngram_jaccard_driver(ds, threshold_e6: int):
+    """Gated small/medium path, zero shuffles: one distributed shingle
+    pass; the driver folds the inverted index and pair counts."""
+    from collections import Counter, defaultdict
+    import ray.data as rd
+
+    sizes: dict[int, int] = Counter()
+    index: dict[str, list[int]] = defaultdict(list)
+    for batch in ds.map_batches(_shingle_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for d, s in zip(batch["doc_id"].to_pylist(), batch["s"].to_pylist()):
+            sizes[d] += 1
+            index[s].append(d)
+
+    inter: Counter = Counter()
+    for docs in index.values():
+        if len(docs) < 2:
+            continue
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                inter[(docs[i], docs[j])] += 1
+
+    oa, ob, oj = [], [], []
+    for (a, b), i in sorted(inter.items()):
+        union = sizes[a] + sizes[b] - i
+        jac = int(i / union * 1e6 + 0.5) if union else 0
+        if jac >= threshold_e6:
+            oa.append(a)
+            ob.append(b)
+            oj.append(jac)
+    return rd.from_arrow(_pairs_table(oa, ob, oj))
+
+
+def _ngram_jaccard_distributed(ds, threshold_e6: int):
+    """At-scale path: shingle groupby emits per-shingle pairs, a second
+    groupby counts intersections, two hash joins attach set sizes."""
+    import ray
+    from ray.data.aggregate import Count
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    num_partitions = max(2, cpus // 2)
+
+    sh = ds.map_batches(_shingle_rows, batch_format="pyarrow")
+    sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
+
+    def per_shingle(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        docs = sorted(df["doc_id"].tolist())
+        pairs = [(docs[i], docs[j])
+                 for i in range(len(docs)) for j in range(i + 1, len(docs))]
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    inter = sh.groupby("s").map_groups(per_shingle, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+
+    sa = sizes.map_batches(
+        lambda b: pa.table({"_ka": b["doc_id"], "n_a": b["n_shingles"]}),
+        batch_format="pyarrow")
+    sb = sizes.map_batches(
+        lambda b: pa.table({"_kb": b["doc_id"], "n_b": b["n_shingles"]}),
+        batch_format="pyarrow")
+    j = inter.join(sa, "inner", num_partitions=num_partitions,
+                   on=("doc_a",), right_on=("_ka",)) \
+        .select_columns(["doc_a", "doc_b", "inter", "n_a"])
+    j = j.join(sb, "inner", num_partitions=num_partitions,
+               on=("doc_b",), right_on=("_kb",)) \
+        .select_columns(["doc_a", "doc_b", "inter", "n_a", "n_b"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (batch["n_a"].to_numpy(zero_copy_only=False)
+                 + batch["n_b"].to_numpy(zero_copy_only=False) - i)
+        jac = np.where(union > 0,
+                       np.floor(i / np.maximum(union, 1) * 1e6 + 0.5), 0).astype("int64")
+        keep = jac >= threshold_e6
+        return _pairs_table(
+            batch["doc_a"].to_numpy(zero_copy_only=False)[keep].tolist(),
+            batch["doc_b"].to_numpy(zero_copy_only=False)[keep].tolist(),
+            jac[keep].tolist())
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     big-endian md5[0:8] token hashes — bit-for-bit identical to the SQL

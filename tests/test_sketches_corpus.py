@@ -75,6 +75,25 @@ def test_lsh_pairs_broadcast_and_join_paths_agree(ray_session):
     assert fast == slow and fast
 
 
+def test_ngram_jaccard_paths_agree_and_cover_lsh(ray_session):
+    """The exact inverted-index op: driver and distributed paths are
+    identical, and the exact pair set is a SUPERSET of the LSH path's
+    verified pairs (LSH loses recall, never precision)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs)
+
+    key = lambda r: (r["doc_a"], r["doc_b"], r["jaccard_e6"])
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    fast = sorted(key(r) for r in ngram_jaccard_pairs(ds).take_all())
+    slow = sorted(key(r) for r in ngram_jaccard_pairs(
+        rd.read_parquet(f"{SF}/documents.parquet"), driver_max_docs=0).take_all())
+    assert fast == slow and fast
+    lsh = set(key(r) for r in lsh_candidate_pairs(
+        rd.read_parquet(f"{SF}/documents.parquet")).take_all())
+    assert lsh <= set(fast)
+
+
 def test_embedding_near_dup_bucketed_path(ray_session):
     """The >gate LSH-bucketed path must emit a subset of the exact
     pairs (every emitted similarity is exact; only candidate recall is
