@@ -444,36 +444,54 @@ def _pairs_table(doc_a: list[int], doc_b: list[int], jac: list[int]) -> pa.Table
 
 def _ngram_jaccard_driver(ds, threshold_e6: int):
     """Gated small/medium path, zero shuffles: one distributed shingle
-    pass; the driver folds the inverted index and pair counts."""
-    from collections import Counter, defaultdict
+    pass; the driver folds the inverted index vectorized (factorize +
+    sorted group boundaries — only multi-doc shingles reach Python)."""
     import ray.data as rd
 
-    sizes: dict[int, int] = Counter()
-    index: dict[str, list[int]] = defaultdict(list)
-    for batch in ds.map_batches(_shingle_rows, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
-        for d, s in zip(batch["doc_id"].to_pylist(), batch["s"].to_pylist()):
-            sizes[d] += 1
-            index[s].append(d)
+    chunks = [batch for batch in
+              ds.map_batches(_shingle_rows, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow") if len(batch)]
+    if not chunks:
+        return rd.from_arrow(_pairs_table([], [], []))
+    t = pa.concat_tables(chunks)
+    docs = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = pd.factorize(t["s"].to_pandas())[0]
 
-    inter: Counter = Counter()
-    for docs in index.values():
-        if len(docs) < 2:
-            continue
-        docs = sorted(docs)
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                inter[(docs[i], docs[j])] += 1
+    uniq_docs, counts = np.unique(docs, return_counts=True)
+    sizes = dict(zip(uniq_docs.tolist(), counts.tolist()))
 
-    oa, ob, oj = [], [], []
-    for (a, b), i in sorted(inter.items()):
-        union = sizes[a] + sizes[b] - i
-        jac = int(i / union * 1e6 + 0.5) if union else 0
-        if jac >= threshold_e6:
-            oa.append(a)
-            ob.append(b)
-            oj.append(jac)
-    return rd.from_arrow(_pairs_table(oa, ob, oj))
+    order = np.lexsort((docs, codes))
+    c = codes[order]
+    d = docs[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    lens = np.diff(np.r_[starts, len(c)])
+    pa_list, pb_list = [], []
+    triu_memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for st, n in zip(starts[lens >= 2].tolist(), lens[lens >= 2].tolist()):
+        g = d[st:st + n]  # ascending (lexsort secondary key), distinct
+        if n not in triu_memo:  # group sizes repeat heavily — memoize
+            triu_memo[n] = np.triu_indices(n, 1)
+        ii, jj = triu_memo[n]
+        pa_list.append(g[ii])
+        pb_list.append(g[jj])
+    if not pa_list:
+        return rd.from_arrow(_pairs_table([], [], []))
+
+    # count identical (doc_a, doc_b) occurrences = |A ∩ B| per pair
+    A = np.concatenate(pa_list)
+    B = np.concatenate(pb_list)
+    o2 = np.lexsort((B, A))
+    A, B = A[o2], B[o2]
+    new_pair = np.r_[True, (A[1:] != A[:-1]) | (B[1:] != B[:-1])]
+    p_starts = np.flatnonzero(new_pair)
+    inter = np.diff(np.r_[p_starts, len(A)]).astype(np.float64)
+    ua, ub = A[p_starts], B[p_starts]
+    sz = pd.Series(sizes)
+    union = sz.loc[ua].to_numpy(np.float64) + sz.loc[ub].to_numpy(np.float64) - inter
+    jac = np.floor(inter / np.maximum(union, 1) * 1e6 + 0.5).astype(np.int64)
+    keep = jac >= threshold_e6
+    return rd.from_arrow(_pairs_table(
+        ua[keep].tolist(), ub[keep].tolist(), jac[keep].tolist()))
 
 
 def _ngram_jaccard_distributed(ds, threshold_e6: int):
