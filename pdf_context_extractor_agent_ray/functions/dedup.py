@@ -18,6 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .text import WS_RE
+from .util import round_half_away_e
 
 N_PERM = 8          # minhash permutations
 SHINGLE_TOKENS = 3  # tokens per shingle
@@ -394,7 +395,12 @@ def dup_clusters(ds, max_rounds: int = 16,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-NGRAM_DRIVER_MAX_DOCS = 200_000  # same gate scale as the LSH broadcast path
+# Driver-fold gate: unlike the LSH broadcast path (~50 B/doc of band
+# keys), this path gathers the distinct SHINGLE rows (~3x the corpus
+# text as factorized strings) — 50k ~2KB docs is ~300 MB of driver
+# heap, the comfortable ceiling. Above it the bucketed exchange path
+# runs (16 B/shingle hashes, never strings).
+NGRAM_DRIVER_MAX_DOCS = 50_000
 
 
 def _shingle_rows(batch: pa.Table) -> pa.Table:
@@ -419,13 +425,14 @@ def ngram_jaccard_pairs(ds, threshold_e6: int = JACCARD_THRESHOLD_E6,
     finds every qualifying pair (the classic exact-MapReduce dedup).
 
     Size-gated like the LSH path: up to ``driver_max_docs`` the
-    (tiny) distinct-shingle rows come to the driver and the pair
-    counting is one dict pass; above, the inverted index is a Ray
-    groupby(s) → per-pair count groupby → size joins. The at-scale
-    caveat is inherent to EXACT Jaccard: a shingle shared by k docs
-    emits O(k^2) pairs, so a boilerplate-heavy corpus should use
-    ``lsh_candidate_pairs`` (approximate candidates, same verifier)
-    instead — this op is the exact oracle-checkable baseline.
+    distinct-shingle rows come to the driver (~3x the corpus text —
+    see the gate constant) and the pair counting is one vectorized
+    fold; above, the inverted index is a shingle-HASH-bucket groupby
+    (16 B/row exchange) → per-pair count aggregate → byte-sized size
+    joins. The at-scale caveat is inherent to EXACT Jaccard: a shingle
+    shared by k docs emits O(k^2) pairs, so a boilerplate-heavy corpus
+    should use ``lsh_candidate_pairs`` (approximate candidates, same
+    verifier) instead — this op is the exact oracle-checkable baseline.
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 >= threshold.
     """
@@ -442,10 +449,30 @@ def _pairs_table(doc_a: list[int], doc_b: list[int], jac: list[int]) -> pa.Table
                      "jaccard_e6": pa.array(jac, pa.int64())})
 
 
+def _emit_group_pairs(d: np.ndarray, starts: np.ndarray,
+                      lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All (i<j) doc pairs within each sorted group of ``d``. Per-group
+    triu indices are memoized by size — per-group numpy-call overhead
+    (~50us) dominates otherwise (CLAUDE.md)."""
+    pa_list, pb_list = [], []
+    triu_memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for st, n in zip(starts[lens >= 2].tolist(), lens[lens >= 2].tolist()):
+        g = d[st:st + n]  # ascending (lexsort secondary key), distinct
+        if n not in triu_memo:
+            triu_memo[n] = np.triu_indices(n, 1)
+        ii, jj = triu_memo[n]
+        pa_list.append(g[ii])
+        pb_list.append(g[jj])
+    if not pa_list:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    return np.concatenate(pa_list), np.concatenate(pb_list)
+
+
 def _ngram_jaccard_driver(ds, threshold_e6: int):
-    """Gated small/medium path, zero shuffles: one distributed shingle
-    pass; the driver folds the inverted index vectorized (factorize +
-    sorted group boundaries — only multi-doc shingles reach Python)."""
+    """Gated small path, zero shuffles: one distributed shingle pass;
+    the driver folds the inverted index vectorized (factorize + sorted
+    group boundaries — only multi-doc shingles reach Python)."""
     import ray.data as rd
 
     chunks = [batch for batch in
@@ -465,21 +492,11 @@ def _ngram_jaccard_driver(ds, threshold_e6: int):
     d = docs[order]
     starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
     lens = np.diff(np.r_[starts, len(c)])
-    pa_list, pb_list = [], []
-    triu_memo: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for st, n in zip(starts[lens >= 2].tolist(), lens[lens >= 2].tolist()):
-        g = d[st:st + n]  # ascending (lexsort secondary key), distinct
-        if n not in triu_memo:  # group sizes repeat heavily — memoize
-            triu_memo[n] = np.triu_indices(n, 1)
-        ii, jj = triu_memo[n]
-        pa_list.append(g[ii])
-        pb_list.append(g[jj])
-    if not pa_list:
+    A, B = _emit_group_pairs(d, starts, lens)
+    if not len(A):
         return rd.from_arrow(_pairs_table([], [], []))
 
     # count identical (doc_a, doc_b) occurrences = |A ∩ B| per pair
-    A = np.concatenate(pa_list)
-    B = np.concatenate(pb_list)
     o2 = np.lexsort((B, A))
     A, B = A[o2], B[o2]
     new_pair = np.r_[True, (A[1:] != A[:-1]) | (B[1:] != B[:-1])]
@@ -488,35 +505,76 @@ def _ngram_jaccard_driver(ds, threshold_e6: int):
     ua, ub = A[p_starts], B[p_starts]
     sz = pd.Series(sizes)
     union = sz.loc[ua].to_numpy(np.float64) + sz.loc[ub].to_numpy(np.float64) - inter
-    jac = np.floor(inter / np.maximum(union, 1) * 1e6 + 0.5).astype(np.int64)
+    jac = round_half_away_e(inter / np.maximum(union, 1))
     keep = jac >= threshold_e6
     return rd.from_arrow(_pairs_table(
         ua[keep].tolist(), ub[keep].tolist(), jac[keep].tolist()))
 
 
+NGRAM_ROWS_PER_BUCKET = 1_000_000  # shingle-hash rows per fold bucket
+
+
+def _shingle_hash_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, h0, h1) rows — each doc's DISTINCT shingles as the two
+    int64 halves of md5(shingle). 16 bytes/row through the exchange
+    instead of the shingle string (~3x the corpus text); 128-bit keys
+    make collisions out of reach at any corpus size (same md5 identity
+    the MinHash oracle already relies on)."""
+    norms = _norm(batch["text"])
+    doc_ids = batch["doc_id"].to_pylist()
+    out_d, out_h0, out_h1 = [], [], []
+    for d, n in zip(doc_ids, norms):
+        for s in set(_shingles(n)):
+            dig = hashlib.md5(s.encode()).digest()
+            out_d.append(d)
+            out_h0.append(int.from_bytes(dig[:8], "big", signed=True))
+            out_h1.append(int.from_bytes(dig[8:], "big", signed=True))
+    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                     "h0": pa.array(out_h0, pa.int64()),
+                     "h1": pa.array(out_h1, pa.int64())})
+
+
 def _ngram_jaccard_distributed(ds, threshold_e6: int):
-    """At-scale path: shingle groupby emits per-shingle pairs, a second
-    groupby counts intersections, two hash joins attach set sizes."""
+    """At-scale path: shingle-HASH-bucket groupby (one vectorized fold
+    per ~1M-row bucket, never one Python call per shingle) emits the
+    per-shingle pairs; a pair-count aggregate and two size joins finish
+    the Jaccard. The shingle pass materializes once (sizes and buckets
+    both consume it) and join partitions size down by input bytes."""
     import ray
     from ray.data.aggregate import Count
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    num_partitions = max(2, cpus // 2)
 
-    sh = ds.map_batches(_shingle_rows, batch_format="pyarrow")
+    sh = ds.map_batches(_shingle_hash_rows, batch_format="pyarrow").materialize()
+    n_rows = sh.count()
+    num_buckets = max(8, -(-n_rows // NGRAM_ROWS_PER_BUCKET))
     sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
 
-    def per_shingle(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        docs = sorted(df["doc_id"].tolist())
-        pairs = [(docs[i], docs[j])
-                 for i in range(len(docs)) for j in range(i + 1, len(docs))]
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h0 = batch["h0"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((h0 % num_buckets).astype(np.int64)))
 
-    inter = sh.groupby("s").map_groups(per_shingle, batch_format="pandas") \
-        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter"))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h0 = df["h0"].to_numpy(dtype=np.int64)
+        h1 = df["h1"].to_numpy(dtype=np.int64)
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, h1, h0))
+        h0, h1, d = h0[order], h1[order], d[order]
+        new_g = np.r_[True, (h0[1:] != h0[:-1]) | (h1[1:] != h1[:-1])]
+        starts = np.flatnonzero(new_g)
+        lens = np.diff(np.r_[starts, len(d)])
+        A, B = _emit_group_pairs(d, starts, lens)
+        return pd.DataFrame({"doc_a": A, "doc_b": B})
+
+    inter = sh.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="inter")) \
+        .materialize()
+    # joins move tiny int rows: size aggregator actors by bytes
+    # (~128 MB each), capped at cpus//2 (CLAUDE.md join rule)
+    num_partitions = max(2, min(cpus // 2,
+                                -(-inter.size_bytes() // (128 << 20))))
 
     sa = sizes.map_batches(
         lambda b: pa.table({"_ka": b["doc_id"], "n_a": b["n_shingles"]}),
@@ -535,8 +593,7 @@ def _ngram_jaccard_distributed(ds, threshold_e6: int):
         i = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
         union = (batch["n_a"].to_numpy(zero_copy_only=False)
                  + batch["n_b"].to_numpy(zero_copy_only=False) - i)
-        jac = np.where(union > 0,
-                       np.floor(i / np.maximum(union, 1) * 1e6 + 0.5), 0).astype("int64")
+        jac = round_half_away_e(i / np.maximum(union, 1))
         keep = jac >= threshold_e6
         return _pairs_table(
             batch["doc_a"].to_numpy(zero_copy_only=False)[keep].tolist(),

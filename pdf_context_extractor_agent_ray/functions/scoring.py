@@ -1,12 +1,13 @@
-"""Batched model inference pattern: an actor-pool scoring stage.
+"""Batched model inference: a vectorized quality-scoring stage.
 
-The "model" is a deterministic linear scorer with a hard-sigmoid link —
-the weights load ONCE per actor from a broadcast ``ray.put`` handle
-(never re-shipped per batch), inference is one vectorized matmul per
-batch. This is the exact plumbing a real learned quality model
-(fastText-style) drops into; the hard-sigmoid (piecewise-linear) link
-keeps the score integer-exact against the SQL oracle (no libm
-divergence).
+The "model" is a deterministic linear scorer with a hard-sigmoid link.
+With default weights the stage ships as a plain task-pool callable (no
+actor startup); custom weights broadcast ONCE per actor via a
+``ray.put`` handle (never re-shipped per batch) on a fixed-size actor
+pool. Either way inference is one vectorized pass per batch — the
+plumbing a real learned quality model (fastText-style) drops into. The
+hard-sigmoid (piecewise-linear) link keeps the score integer-exact
+against the SQL oracle (no libm divergence).
 """
 from __future__ import annotations
 
@@ -41,9 +42,9 @@ def _features(batch: pa.Table) -> dict[str, np.ndarray]:
 
 
 class QualityModel:
-    """Actor-pool stage: weights resolved once per actor (from a
-    broadcast handle when given, else module defaults); per batch one
-    vectorized score pass."""
+    """Scoring UDF: weights resolved once per worker (from a broadcast
+    handle when given, else module defaults); per batch one vectorized
+    score pass."""
 
     def __init__(self, weights_ref=None) -> None:
         if weights_ref is not None:
