@@ -172,48 +172,53 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
 
 IVF_NLIST = 16
 IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 65_536   # ~25 MB at 48 dims — bounded driver heap
+IVF_KMEANS_ITERS = 8
 
 
-def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST) -> np.ndarray:
-    """Deterministic coarse quantizer: centroids = normalized means of
-    hash-assigned groups (one pass, no RNG — vec_id % nlist seeds the
-    groups, a Lloyd-free stand-in for trained k-means that keeps the
-    index reproducible across runs/partitions).
+def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST,
+                   train_sample: int = IVF_TRAIN_SAMPLE,
+                   iters: int = IVF_KMEANS_ITERS) -> np.ndarray:
+    """Deterministic coarse quantizer: spherical k-means trained on a
+    BOUNDED sample — the faiss recipe. ``limit(train_sample)`` caps the
+    driver heap (~25 MB) regardless of corpus size (at 100 TB swap the
+    head for a random block sample; training never needs the full
+    table). No RNG anywhere: farthest-point (k-center greedy) init +
+    Lloyd iterations, so the index is reproducible across runs and
+    partitionings. Returns L2-normalized centroids.
 
-    Computed as a Ray PRE-AGGREGATE: each batch emits nlist partial
-    (sum, count) rows, so only tiny partials reach the driver — the
-    full embedding table is never materialized anywhere (at 100 TB the
-    per-batch partials are the only way to train the quantizer)."""
+    A data-adaptive quantizer matters: with non-adaptive lists (e.g.
+    hashing ids) every list has the corpus distribution and probing
+    nprobe/nlist lists recovers only that fraction of true neighbors;
+    k-means cells concentrate a query's neighborhood in few lists.
+    """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    sample = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"]).limit(train_sample)
+    X = np.concatenate([_matrix(b) for b in
+                        sample.iter_batches(batch_format="pyarrow")])
+    Xn = _normalize_rows(X)
+    nlist = min(nlist, len(Xn))
 
-    def partial_means(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        M = _matrix(batch)
-        lists, sums, counts = [], [], []
-        assign = ids % nlist
-        for c in np.unique(assign):
-            sel = assign == c
-            lists.append(int(c))
-            sums.append(M[sel].sum(axis=0).tolist())
-            counts.append(int(sel.sum()))
-        return pa.table({"list_id": pa.array(lists, pa.int64()),
-                         "psum": pa.array(sums, pa.list_(pa.float64())),
-                         "n": pa.array(counts, pa.int64())})
+    # farthest-point init: deterministic, well-spread seeds
+    seeds = [0]
+    near_sim = Xn @ Xn[0]  # each point's similarity to its NEAREST seed
+    for _ in range(1, nlist):
+        nxt = int(np.argmin(near_sim))  # farthest from every seed so far
+        seeds.append(nxt)
+        near_sim = np.maximum(near_sim, Xn @ Xn[nxt])
+    C = Xn[seeds]
 
-    # the partial-aggregate result is tiny (n_blocks x nlist rows):
-    # consuming it on the driver is the aggregate, not a materialization
-    parts = ds.map_batches(partial_means, batch_format="pyarrow").take_all()
-    dim = len(parts[0]["psum"]) if parts else 0
-    sums = np.zeros((nlist, dim), dtype=np.float64)
-    counts = np.zeros(nlist, dtype=np.int64)
-    for row in parts:
-        sums[row["list_id"]] += np.asarray(row["psum"], dtype=np.float64)
-        counts[row["list_id"]] += row["n"]
-    counts[counts == 0] = 1
-    return _normalize_rows(sums / counts[:, None])
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, Xn)
+        counts = np.bincount(assign, minlength=nlist).astype(np.float64)
+        newC = np.where(counts[:, None] > 0,
+                        sums / np.maximum(counts, 1.0)[:, None], C)
+        C = _normalize_rows(newC)
+    return C
 
 
 def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,

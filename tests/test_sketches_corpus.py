@@ -58,7 +58,9 @@ def test_ivf_knn_recall(ray_session):
     for r in ivf_knn(SF, qv).take_all():
         approx.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls  # nprobe=4/16 lists
+    # k-means cells concentrate neighborhoods: well above the 4/16
+    # probed-fraction baseline (measured 0.70 mean on synth embeddings)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
 def test_lsh_knn_multiprobe_recall(ray_session):
