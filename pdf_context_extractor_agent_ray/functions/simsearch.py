@@ -59,12 +59,12 @@ def knn_topk(ds, query_vectors: dict[int, list[float]], k: int = DEFAULT_K):
     qids = sorted(query_vectors)
     Qraw = np.array([query_vectors[q] for q in qids], dtype=np.float64)
     ref = ray.put((qids, Qraw))
-    qid_set = set(qids)
+    qid_arr = np.array(qids, dtype=np.int64)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids_, Qraw_ = ray.get(ref)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        keep = ~np.isin(vec_ids, list(qid_set))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(vec_ids, qid_arr)
         if not keep.any():
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
@@ -136,14 +136,15 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
                 buckets.add(base ^ flip)
         return buckets
 
-    probes = {qid: expand(qsig[i]) for i, qid in enumerate(qids)}
+    probes = {qid: np.array(sorted(expand(qsig[i])), dtype=np.int64)
+              for i, qid in enumerate(qids)}
     ref = ray.put((qids, _normalize_rows(Q), H, probes))
-    qid_set = set(qids)
+    qid_arr = np.array(qids, dtype=np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
         qids_, Qn, H_, probes_ = ray.get(ref)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        keep = ~np.isin(vec_ids, list(qid_set))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(vec_ids, qid_arr)
         out_q, out_v, out_s = [], [], []
         if keep.any():
             M = _matrix(batch)[keep]
@@ -153,7 +154,7 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
             Mn = _normalize_rows(M)
             sims = Mn @ Qn.T
             for col, qid in enumerate(qids_):
-                mask = np.isin(sigs, list(probes_[qid]))
+                mask = np.isin(sigs, probes_[qid])
                 if not mask.any():
                     continue
                 se6 = round_half_away_e(sims[mask, col])
@@ -240,16 +241,16 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
     Q = np.array([query_vectors[q] for q in qids], dtype=np.float64)
     C = _ivf_centroids(sf_dir)
     qlists = np.argsort(-(_normalize_rows(Q) @ C.T), axis=1)[:, :nprobe]
-    probes = {qid: set(qlists[i].tolist()) for i, qid in enumerate(qids)}
+    probes = {qid: np.sort(qlists[i]) for i, qid in enumerate(qids)}
     ref = ray.put((qids, Q, C, probes))
-    qid_set = set(qids)
+    qid_arr = np.array(qids, dtype=np.int64)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         qids_, Q_, C_, probes_ = ray.get(ref)
-        vec_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        keep = ~np.isin(vec_ids, list(qid_set))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isin(vec_ids, qid_arr)
         out_q, out_v, out_s = [], [], []
         if keep.any():
             M = _matrix(batch)[keep]
@@ -258,7 +259,7 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
             sims = (M @ Q_.T) / (np.linalg.norm(M, axis=1)[:, None]
                                  * np.linalg.norm(Q_, axis=1)[None, :])
             for col, qid in enumerate(qids_):
-                mask = np.isin(assign, list(probes_[qid]))
+                mask = np.isin(assign, probes_[qid])
                 if not mask.any():
                     continue
                 se6 = round_half_away_e(sims[mask, col])
@@ -310,29 +311,25 @@ def _exact_embedding_near_dup(sf_dir: str, threshold_e6: int):
     import ray.data as rd
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    flat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    all_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = _matrix(t)  # zero-copy flatten, no per-value Python objects
     ref = ray.put((all_ids, flat))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all, M_all = ray.get(ref)
-        my_ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        my_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         M = _matrix(batch)
         sims = (M @ M_all.T) / (np.linalg.norm(M, axis=1)[:, None]
                                 * np.linalg.norm(M_all, axis=1)[None, :])
         se6 = round_half_away_e(sims)
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(my_ids)):
-            mask = (ids_all > my_ids[i]) & (se6[i] >= threshold_e6)
-            for j in np.nonzero(mask)[0]:
-                out_a.append(int(my_ids[i]))
-                out_b.append(int(ids_all[j]))
-                out_s.append(int(se6[i, j]))
-        return pa.table({"vec_a": pa.array(out_a, pa.int64()),
-                         "vec_b": pa.array(out_b, pa.int64()),
-                         "sim_e6": pa.array(out_s, pa.int64())})
+        # sparse above-threshold pairs in one vectorized nonzero
+        ii, jj = np.nonzero((se6 >= threshold_e6)
+                            & (ids_all[None, :] > my_ids[:, None]))
+        return pa.table({"vec_a": pa.array(my_ids[ii], pa.int64()),
+                         "vec_b": pa.array(ids_all[jj], pa.int64()),
+                         "sim_e6": pa.array(se6[ii, jj], pa.int64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
 
@@ -349,7 +346,7 @@ def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def sig_bands(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         M = _matrix(batch)
         H = np.random.RandomState(11).randn(EMBED_BANDS * EMBED_BAND_BITS, M.shape[1])
         bits = (M @ H.T > 0).astype(np.uint8)
