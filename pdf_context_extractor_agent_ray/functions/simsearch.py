@@ -138,11 +138,13 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
 
     probes = {qid: np.array(sorted(expand(qsig[i])), dtype=np.int64)
               for i, qid in enumerate(qids)}
-    ref = ray.put((qids, _normalize_rows(Q), H, probes))
+    probe_union = np.array(sorted(set().union(*map(set, probes.values()))
+                                  or {0}), dtype=np.int64)
+    ref = ray.put((qids, _normalize_rows(Q), H, probes, probe_union))
     qid_arr = np.array(qids, dtype=np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
-        qids_, Qn, H_, probes_ = ray.get(ref)
+        qids_, Qn, H_, probes_, union_ = ray.get(ref)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = ~np.isin(vec_ids, qid_arr)
         out_q, out_v, out_s = [], [], []
@@ -151,18 +153,25 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
             vids = vec_ids[keep]
             sigs = np.packbits((M @ H_.T > 0).astype(np.uint8),
                                axis=1, bitorder="little")[:, 0]
-            Mn = _normalize_rows(M)
-            sims = Mn @ Qn.T
-            for col, qid in enumerate(qids_):
-                mask = np.isin(sigs, probes_[qid])
-                if not mask.any():
-                    continue
-                se6 = round_half_away_e(sims[mask, col])
-                v = vids[mask]
-                idx = np.lexsort((v, -se6))[:min(k, len(v))]
-                out_q.extend([qid] * len(idx))
-                out_v.extend(v[idx].tolist())
-                out_s.extend(se6[idx].tolist())
+            # prune COMPUTE, not just output: score only vectors whose
+            # bucket some query probes (at 100 TB this mask is the
+            # partition pruning — unprobed blocks are never read)
+            cand = np.isin(sigs, union_)
+            if cand.any():
+                Mn = _normalize_rows(M[cand])
+                vids = vids[cand]
+                sigs = sigs[cand]
+                sims = Mn @ Qn.T
+                for col, qid in enumerate(qids_):
+                    mask = np.isin(sigs, probes_[qid])
+                    if not mask.any():
+                        continue
+                    se6 = round_half_away_e(sims[mask, col])
+                    v = vids[mask]
+                    idx = np.lexsort((v, -se6))[:min(k, len(v))]
+                    out_q.extend([qid] * len(idx))
+                    out_v.extend(v[idx].tolist())
+                    out_s.extend(se6[idx].tolist())
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim_e6": pa.array(out_s, pa.int64())})
