@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .text import WS_RE
+from .text import norm_expr
 from .util import round_half_away_e
 
 N_PERM = 8          # minhash permutations
@@ -28,8 +28,7 @@ MAX_BUCKET_DOCS = 512  # beyond this a bucket chain-links instead of all-pairs
 
 
 def _norm(batch_text: pa.ChunkedArray | pa.Array) -> list[str]:
-    return pc.utf8_trim(
-        pc.replace_substring_regex(batch_text, WS_RE, " "), " ").to_pylist()
+    return norm_expr(batch_text).to_pylist()
 
 
 def _shingles(norm: str) -> list[str]:

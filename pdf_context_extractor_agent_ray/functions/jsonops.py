@@ -4,6 +4,7 @@ field extraction + aggregation over a JSON column at scale)."""
 from __future__ import annotations
 
 import json
+import math
 
 import pyarrow as pa
 
@@ -19,9 +20,19 @@ def events_json_stats(sf_dir: str):
     def extract(batch: pa.Table) -> pa.Table:
         ks = []
         for p in batch["props"].to_pylist():
+            # mirror the oracle's coalesce(CAST(json_extract(...)), 0):
+            # non-object roots ('null', '5', '[1]') and missing/non-
+            # numeric k degrade to 0; float k rounds half-away like a
+            # DuckDB numeric cast
             try:
-                v = json.loads(p).get("k")
-                ks.append(int(v) if v is not None else 0)
+                v = json.loads(p)
+                k = v.get("k") if isinstance(v, dict) else None
+                if isinstance(k, bool) or not isinstance(k, (int, float)):
+                    ks.append(0)
+                elif isinstance(k, int):
+                    ks.append(k)
+                else:
+                    ks.append(int(math.floor(abs(k) + 0.5)) * (1 if k >= 0 else -1))
             except (json.JSONDecodeError, TypeError, ValueError):
                 ks.append(0)
         return pa.table({"event_type": batch["event_type"],

@@ -48,14 +48,10 @@ class FakeDecoder:
     reproduces). A real implementation would decode ``payload`` bytes
     (PIL/ffmpeg) — unavailable here."""
 
-    def decode(self, media_ref: str, payload: bytes | None = None):
-        h = hashlib.md5(media_ref.encode()).digest()
-        width = 64 + h[0] * 8
-        height = 64 + h[1] * 8
-        n_bytes = int.from_bytes(h[2:6], "big") % 1_000_000
-        return width, height, n_bytes, h.hex()[:16]
-
     def probe(self, media_ref: str, payload: bytes | None = None) -> dict:
+        # SINGLE source of the md5-derived formulas — the DuckDB
+        # oracles encode exactly these; decode() delegates so the two
+        # surfaces can never diverge
         h = hashlib.md5(media_ref.encode()).digest()
         return {
             "width": 64 + h[0] * 8,
@@ -64,6 +60,10 @@ class FakeDecoder:
             "phash": h.hex()[:16],
             "n_frames": int.from_bytes(h[6:8], "big") % 300 + 1,
         }
+
+    def decode(self, media_ref: str, payload: bytes | None = None):
+        p = self.probe(media_ref, payload)
+        return p["width"], p["height"], p["n_bytes"], p["phash"]
 
 
 class MediaFeatureStage:
@@ -100,8 +100,14 @@ def _stage(docs_ds, stage_cls, concurrency, batch_size, decoder_cls=None,
     actor-pool path so a real decoder's per-worker state (codec
     contexts, model weights) is built once per actor in __init__."""
     if decoder_cls is None:
+        kwargs = {}
+        if concurrency is not None:
+            # honor an explicit cap on the task path too (bounds memory
+            # for large media batches)
+            kwargs["concurrency"] = concurrency
         return docs_ds.map_batches(stage_cls(**stage_kwargs),
-                                   batch_format="pyarrow", batch_size=batch_size)
+                                   batch_format="pyarrow",
+                                   batch_size=batch_size, **kwargs)
     return docs_ds.map_batches(
         stage_cls, batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool_size(concurrency),

@@ -29,7 +29,7 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
     """TPC-H Q1-shaped grouped aggregate with per-batch partials."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -67,7 +67,7 @@ def top_customers(sf_dir: str, k: int = 10):
     per customer (pre-aggregated), customer names joined via a
     broadcast dict — no shuffle join."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -92,16 +92,27 @@ def top_customers(sf_dir: str, k: int = 10):
         .groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
                                         Sum("n_orders", alias_name="n_orders"))
 
+    def partial_rank(df: pd.DataFrame) -> pd.DataFrame:
+        # inner-join semantics (match the oracle): custkeys with no
+        # customer row drop BEFORE ranking, never fabricate blanks.
+        # Per-block partial top-k: the aggregate emits each key once,
+        # so top-k of per-block top-ks is exact — the single-partition
+        # finisher sees k rows per block, not one row per customer.
+        lk = ray.get(ref)
+        df = df[df["o_custkey"].isin(lk.keys())]
+        return df.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True]).head(k)
+
     def attach_and_rank(df: pd.DataFrame) -> pd.DataFrame:
         lk = ray.get(ref)
         df = df.sort_values(["revenue_cents", "o_custkey"],
                             ascending=[False, True]).head(k).copy()
-        df["c_name"] = [lk.get(c, ("", ""))[0] for c in df["o_custkey"]]
-        df["c_mktsegment"] = [lk.get(c, ("", ""))[1] for c in df["o_custkey"]]
+        df["c_name"] = [lk[c][0] for c in df["o_custkey"]]
+        df["c_mktsegment"] = [lk[c][1] for c in df["o_custkey"]]
         return df
 
-    # the aggregate result is tiny: single-partition final top-k
-    return agg.repartition(1).map_batches(attach_and_rank, batch_format="pandas")
+    return agg.map_batches(partial_rank, batch_format="pandas") \
+        .repartition(1).map_batches(attach_and_rank, batch_format="pandas")
 
 
 def events_windowed(sf_dir: str):
@@ -222,7 +233,10 @@ def order_revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING",
         return df.sort_values(["revenue_cents", "l_orderkey"],
                               ascending=[False, True]).head(k)
 
-    return agg.repartition(1).map_batches(final, batch_format="pandas")
+    # per-block partial top-k first (each order key appears once after
+    # the aggregate), so the single partition receives k rows per block
+    return agg.map_batches(final, batch_format="pandas") \
+        .repartition(1).map_batches(final, batch_format="pandas")
 
 
 def region_rollup(sf_dir: str):

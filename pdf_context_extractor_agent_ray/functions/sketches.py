@@ -51,17 +51,17 @@ def estimate(regs: np.ndarray) -> int:
 def approx_distinct_tokens(sf_dir: str):
     """Approximate distinct whitespace-token count over documents:
     per-batch HLL sketch → element-wise-max merge → estimate."""
-    import pyarrow.compute as pc
     import ray.data as rd
-    from .text import WS_RE
+    from .text import norm_expr
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def sketch(batch: pa.Table) -> pa.Table:
-        norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+        norm = norm_expr(batch["text"])
         toks: set[str] = set()
         for n in norm.to_pylist():
-            toks.update(n.split(" "))
+            if n:  # '' would register a phantom token for empty docs
+                toks.update(n.split(" "))
         regs = _registers(sorted(toks))
         return pa.table({"sketch": pa.array([regs.tobytes()], pa.binary())})
 

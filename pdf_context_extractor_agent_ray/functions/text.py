@@ -30,11 +30,17 @@ MIN_CHARS = 80
 MAX_PUNCT_RATIO_PCT = 20
 
 
+
+def norm_expr(col):
+    """THE whitespace-collapse + trim normalization — single engine-side
+    definition mirroring the SQL ``_NORM`` macro (keep in lockstep)."""
+    return pc.utf8_trim(pc.replace_substring_regex(col, WS_RE, " "), " ")
+
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """doc_id, norm_text, n_chars — whitespace collapse + space trim
     (the engine's analogue of the reference cell clean,
     src/table_extractor.py:343-345)."""
-    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    norm = norm_expr(batch["text"])
     return pa.table({
         "doc_id": batch["doc_id"],
         "norm_text": norm,
@@ -43,7 +49,7 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
-    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    norm = norm_expr(batch["text"])
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_tokens": pc.cast(pc.count_substring_regex(norm, TOKEN_RE), pa.int64()),
@@ -93,7 +99,7 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprint: md5 of the first FINGERPRINT_PREFIX chars of
     the normalized text (document fingerprinting for exact dedup)."""
-    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    norm = norm_expr(batch["text"])
     prefixes = pc.utf8_slice_codeunits(norm, 0, FINGERPRINT_PREFIX).to_pylist()
     hashes = [hashlib.md5(p.encode()).hexdigest() for p in prefixes]
     return pa.table({
@@ -185,7 +191,7 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
     """Rolling-hash document fingerprint: min md5 over sliding
     character windows of the normalized text (a robust-to-edit
     fingerprint; windowed analogue of winnowing)."""
-    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ").to_pylist()
+    norm = norm_expr(batch["text"]).to_pylist()
     out = []
     for s in norm:
         if len(s) <= window:
@@ -215,9 +221,11 @@ def decontaminate(ds):
 
     def blocklist(batch: pa.Table) -> pa.Table:
         import numpy as np
-        t = fingerprint_batch(batch)
+        # select the 1/MODULUS benchmark rows FIRST — fingerprinting
+        # (regex normalize + md5) on the other 98% would be thrown away
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(ids % DECONTAM_MODULUS == 0))
+        return fingerprint_batch(batch.filter(
+            pa.array(ids % DECONTAM_MODULUS == 0)))
 
     # the benchmark side is filtered DISTRIBUTED; only the small hash
     # list (1/DECONTAM_MODULUS of the corpus) reaches the driver
@@ -242,7 +250,7 @@ def top_ngrams_batch(batch: pa.Table) -> pa.Table:
     batch) so the global groupby moves distinct keys, not token
     streams."""
     from collections import Counter
-    norm = pc.utf8_trim(pc.replace_substring_regex(batch["text"], WS_RE, " "), " ")
+    norm = norm_expr(batch["text"])
     counts: Counter = Counter()
     for s in norm.to_pylist():
         toks = s.split(" ") if s else []
@@ -274,7 +282,11 @@ def top_ngrams(ds, k: int = TOP_NGRAMS_K):
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["n", "ngram"], ascending=[False, True]).head(k)
 
-    return agg.repartition(1).map_batches(final, batch_format="pandas")
+    # per-block partial top-k first: each distinct ngram appears once
+    # after the aggregate, so top-k of per-block top-ks is exact and
+    # the single partition never holds the whole vocabulary
+    return agg.map_batches(final, batch_format="pandas") \
+        .repartition(1).map_batches(final, batch_format="pandas")
 
 
 QUANTILES = (0.5, 0.9, 0.99)
