@@ -42,6 +42,21 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+def _parse_pages(spec: str) -> tuple[int, int]:
+    """'N' or 'N-M' (1-based, inclusive) -> (start, end); clean error
+    on anything else instead of a raw traceback after Ray init."""
+    try:
+        start_s, _, end_s = spec.partition("-")
+        start = int(start_s)
+        end = int(end_s) if end_s else start
+    except ValueError:
+        raise SystemExit(f"error: --pages expects 'N' or 'N-M', got {spec!r}")
+    if start < 1 or end < start:
+        raise SystemExit(
+            f"error: --pages needs 1 <= start <= end, got {spec!r}")
+    return start, end
+
+
 def cmd_extract(args: argparse.Namespace) -> int:
     from . import io as dio
     from .config import load_keyword_library
@@ -53,11 +68,12 @@ def cmd_extract(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     config = load_keyword_library(args.keyword_library) if args.keyword_library else None
 
+    page_range = _parse_pages(args.pages) if args.pages else None
+
     def build_input():
         ds = dio.read_documents(args.input)
-        if args.pages:
-            start, _, end = args.pages.partition("-")
-            ds = select_page_range(ds, int(start), int(end or start))
+        if page_range:
+            ds = select_page_range(ds, *page_range)
         if args.max_spans:
             ds = rebalanced_documents(ds, args.max_spans)
         return ds
@@ -105,10 +121,17 @@ def cmd_verify(args: argparse.Namespace) -> int:
     from .oracle.extractor import extract_doc_dict
     from .pipelines.extraction import extraction_pipeline
 
+    from .schema import docs_to_table
+
     _init_ray(args.num_cpus)
-    ds = dio.read_documents(args.input).limit(args.sample)
-    rows = ds.take_all()
-    out = extraction_pipeline(dio.read_documents(args.input).limit(args.sample))
+    rows = dio.read_documents(args.input).limit(args.sample).take_all()
+    # feed the pipeline the SAME fetched rows — one storage read, and
+    # both sides provably see the identical sample
+    import ray.data as rd
+    sample = [{"doc_id": r["doc_id"],
+               "spans": [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                         for s in r["spans"]]} for r in rows]
+    out = extraction_pipeline(rd.from_arrow(docs_to_table(sample)))
     got = {}
     for r in out.take_all():
         got[r["doc_id"]] = [(s["kind"], s["text"], s["media_ref"], s["offset"])

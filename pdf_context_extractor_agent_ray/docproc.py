@@ -1098,6 +1098,33 @@ def _span_kind_for(st_type: str, standard_name: str) -> str:
     return "item"
 
 
+# The item/unmatched span-text wire format (encoded below in
+# extract_document; decoded by pipelines/export.py and
+# pipelines/excel.py — ONE decoder pair so the sinks cannot drift).
+# Only the name field is document-controlled and may itself contain
+# '|'; the greedy middle absorbs it. section/standard come from
+# controlled vocab, current/previous are cleaned numerics, note refs
+# carry no '|' by construction.
+
+def decode_item_text(text: str):
+    """'section|standard|orig|cur|prev|note' -> 6-tuple, or None if
+    the text is not a well-formed item encoding."""
+    parts = text.split("|")
+    if len(parts) < 6:
+        return None
+    return (parts[0], parts[1], "|".join(parts[2:-3]),
+            parts[-3], parts[-2], parts[-1])
+
+
+def decode_unmatched_text(text: str):
+    """'rowN|item_name|cur|prev|note' -> 5-tuple, or None."""
+    parts = text.split("|")
+    if len(parts) < 5:
+        return None
+    return (parts[0], "|".join(parts[1:-3]),
+            parts[-3], parts[-2], parts[-1])
+
+
 def extract_document(kinds: list[str], texts: list[str], refs: list[str],
                      offsets: list[int]) -> dict[str, Any]:
     """Extract one document: ordered output spans + validation verdict.

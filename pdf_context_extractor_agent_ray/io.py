@@ -141,12 +141,41 @@ def next_partition_index(output_path: str) -> int:
     return max(int(os.path.basename(p).split("-")[1]) for p in parts) + 1
 
 
+STALE_TMP_AGE_SEC = 3600
+
+
+def sweep_stale_tmp_dirs(output_path: str,
+                         min_age_sec: float = STALE_TMP_AGE_SEC) -> int:
+    """Delete orphaned ``.part-*`` tmp dirs left by crashed writes.
+
+    A crashed run's tmp dir is invisible to readers (dot-prefixed,
+    never renamed) but holds the failed partition's full parquet
+    payload forever. Age-gated so a CONCURRENT writer's live tmp dir
+    (another shard mid-write) is never touched — the same pragmatic
+    contract as Hadoop/Spark ``_temporary`` cleanup. Returns the number
+    of dirs removed."""
+    import shutil
+    removed = 0
+    if not os.path.isdir(output_path):
+        return 0
+    now = time.time()
+    for name in os.listdir(output_path):
+        p = os.path.join(output_path, name)
+        if (name.startswith(".part-") and os.path.isdir(p)
+                and now - os.path.getmtime(p) > min_age_sec):
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def write_partition(ds, output_path: str, part_index: int,
                     lineage: Optional[dict[str, Any]] = None) -> dict[str, Any]:
     """Write one finished partition atomically: stream to a tmp dir,
     write the manifest, rename into place. Idempotent — a crashed write
-    leaves no half-visible partition."""
+    leaves no half-visible partition (its stale tmp dir is swept by the
+    next write once older than STALE_TMP_AGE_SEC)."""
     os.makedirs(output_path, exist_ok=True)
+    sweep_stale_tmp_dirs(output_path)
     final_dir = os.path.join(output_path, f"part-{part_index:05d}")
     tmp_dir = tempfile.mkdtemp(prefix=f".part-{part_index:05d}-", dir=output_path)
     t0 = time.time()

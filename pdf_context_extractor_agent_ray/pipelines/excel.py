@@ -78,12 +78,13 @@ def _as_cell(value: str) -> Any:
 def _doc_items(row: dict[str, Any]) -> list[tuple[str, str, str, str, str, str, str]]:
     """(kind, section, standard, original, current, previous, note)
     tuples for the doc's statement spans, in span order."""
+    from ..docproc import decode_item_text
     out = []
     for s in row["spans"]:
         if s["kind"] in _ITEM_KINDS:
-            parts = s["text"].split("|")
-            if len(parts) == 6:
-                out.append((s["kind"], *parts))
+            dec = decode_item_text(s["text"])
+            if dec is not None:
+                out.append((s["kind"], *dec))
     return out
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..docproc import decode_item_text, decode_unmatched_text
 from ..functions.labels import get_label
 from ..schema import spans_column_views
 
@@ -48,16 +49,15 @@ def flatten_batch(batch: pa.Table) -> pa.Table:
             section = standard = label = orig = cur = prev = note = ""
             text = texts[j]
             if kind in _ITEM_KINDS:
-                parts = text.split("|")
-                if len(parts) == 6:
-                    section, standard, orig, cur, prev, note = parts
+                dec = decode_item_text(text)
+                if dec is not None:
+                    section, standard, orig, cur, prev, note = dec
                     label = get_label(standard, st)
                     text = ""
             elif kind == "unmatched":
-                parts = text.split("|")
-                if len(parts) == 5:
-                    orig, cur, prev, note = parts[1], parts[2], parts[3], parts[4]
-                    text = parts[0]
+                dec = decode_unmatched_text(text)
+                if dec is not None:
+                    text, orig, cur, prev, note = dec
             cols["doc_id"].append(doc_ids[i])
             cols["offset"].append(span_offs[j])
             cols["kind"].append(kind)

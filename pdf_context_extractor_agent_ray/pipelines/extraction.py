@@ -125,7 +125,7 @@ RESUME_EXACT_MAX_DOCS = 10_000_000
 
 def run_resumable(ds_factory, output_path: str, *,
                   concurrency: Optional[int] = None,
-                  batch_size: int = 64,
+                  batch_size: int = 48,
                   config=None,
                   resume_exact_max_docs: int = RESUME_EXACT_MAX_DOCS,
                   lineage: Optional[dict[str, Any]] = None) -> dict[str, Any]:
@@ -134,23 +134,32 @@ def run_resumable(ds_factory, output_path: str, *,
     A killed run loses only its unfinished partition (tmp dir is never
     visible), so rerunning converges without reprocessing.
 
+    ``batch_size=48`` matches extraction_pipeline's measured optimum.
+
     Resume filtering is size-gated: exact doc_id sets below
     ``resume_exact_max_docs`` finished docs, manifest-only Bloom
     filters above (constant cost in corpus size; ~1.4e-4 per-doc
-    false-positive skip rate, disclosed in CompletedFilter)."""
+    false-positive skip rate, disclosed in CompletedFilter).
+
+    Manifest extras: ``skipped_docs`` = docs of THIS run's input that
+    were dropped as already done (input count minus docs written — not
+    the size of the previously-finished set, which says nothing about
+    this input); ``prior_done_docs`` = finished docs found on disk.
+    The input count comes from ``ds.count()``, metadata-cheap for the
+    range/parquet sources this runner takes."""
     n_done = sum(m["num_docs"] for m in dio.load_manifests(output_path))
     ds = ds_factory()
+    input_n = ds.count()
     cf = dio.completed_filter(output_path) if n_done > resume_exact_max_docs else None
     if cf is not None:
         ds = _bloom_anti_join(ds, cf)
-        skipped = n_done
     else:
         completed = dio.completed_doc_ids(output_path)
         ds = _broadcast_anti_join(ds, completed)
-        skipped = len(completed)
     out = extraction_pipeline(ds, concurrency=concurrency,
                               batch_size=batch_size, config=config)
     part = dio.next_partition_index(output_path)
     manifest = dio.write_partition(out, output_path, part, lineage=lineage)
-    manifest["skipped_docs"] = skipped
+    manifest["skipped_docs"] = input_n - manifest["num_docs"]
+    manifest["prior_done_docs"] = n_done
     return manifest

@@ -40,6 +40,10 @@ def _doc_sizes(batch: pa.Table) -> list[int]:
 def split_small_large(ds, max_spans: int = DEFAULT_MAX_SPANS):
     """(small_docs, chunk_rows): small docs pass through untouched;
     oversized docs explode into page-aligned chunks of <= max_spans."""
+    if max_spans < 1:
+        # the chunk cursor advances by at most max_spans per step — a
+        # non-positive budget would spin forever inside a worker
+        raise ValueError(f"max_spans must be >= 1, got {max_spans}")
 
     def small_only(batch: pa.Table) -> pa.Table:
         sizes = _doc_sizes(batch)
@@ -112,7 +116,25 @@ def rebalanced_documents(ds, max_spans: int = DEFAULT_MAX_SPANS):
     materialized once first — otherwise the whole upstream (read /
     synth / prior transforms) executes twice. The blocks live in the
     object store (spilling to disk as needed), which is exactly the
-    cost of reading the corpus once."""
+    cost of reading the corpus once.
+
+    Size gate: when NO doc exceeds the budget (the common case), the
+    materialized input returns as-is — the groupby exchange pays its
+    ~2-3 s fixed cost even on zero rows (CLAUDE.md), so an empty heavy
+    tail must not wire one up. The stats pass is a cheap re-read of
+    the already-materialized blocks."""
+    if max_spans < 1:
+        raise ValueError(f"max_spans must be >= 1, got {max_spans}")
     ds = ds.materialize()
+
+    def batch_max(batch: pa.Table) -> pa.Table:
+        sizes = _doc_sizes(batch)
+        return pa.table({"mx": pa.array([max(sizes) if sizes else 0], pa.int64())})
+
+    biggest = max((r["mx"] for r in
+                   ds.map_batches(batch_max, batch_format="pyarrow").take_all()),
+                  default=0)
+    if biggest <= max_spans:
+        return ds
     small, chunks = split_small_large(ds, max_spans)
     return small.union(reassemble(chunks))

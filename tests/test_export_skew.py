@@ -43,6 +43,35 @@ def test_flat_export(ray_session, tmp_path):
     assert any(f.endswith(".csv") for f in os.listdir(tmp_path / "csv"))
 
 
+def test_item_text_decode_pipe_in_name():
+    """A document row name containing '|' must survive the span-text
+    wire format: the greedy middle absorbs it (the name field is the
+    only document-controlled field in the encoding)."""
+    from pdf_context_extractor_agent_ray.docproc import (
+        decode_item_text, decode_unmatched_text)
+    enc = "|".join(["流动资产", "monetary_funds", "货币|资金", "100.00", "90.00", ""])
+    assert decode_item_text(enc) == (
+        "流动资产", "monetary_funds", "货币|资金", "100.00", "90.00", "")
+    assert decode_item_text("too|short") is None
+    enc_u = "|".join(["row3", "其他|项目", "5.00", "", "注1"])
+    assert decode_unmatched_text(enc_u) == ("row3", "其他|项目", "5.00", "", "注1")
+    assert decode_unmatched_text("a|b") is None
+
+
+def test_skew_guards_and_gate(ray_session):
+    """max_spans < 1 raises (a zero budget would spin a worker forever)
+    and an all-small corpus takes the no-exchange fast path with
+    identical rows."""
+    import ray.data as rd
+    with pytest.raises(ValueError):
+        rebalanced_documents(rd.from_arrow(docs_to_table(generate_corpus(2))), 0)
+    corpus = generate_corpus(12, prefix="gate")
+    ds = rd.from_arrow(docs_to_table(corpus))
+    out = rebalanced_documents(ds, max_spans=10**9)  # nothing exceeds
+    assert sorted(r["doc_id"] for r in out.take_all()) == \
+        sorted(d["doc_id"] for d in corpus)
+
+
 def test_skew_split_reassemble_equality(ray_session):
     import ray.data as rd
     # force heavy docs into the corpus
