@@ -258,4 +258,10 @@ class HybridTitleModel(TitleModel):
             return rules if self.config.fallback_to_rules else []
         if modeled == rules:
             return rules
-        return rules if self.config.default_choice == "rules" else modeled
+        if self.config.default_choice == "model":
+            return modeled
+        # 'rules' AND 'skip' both keep the rule result on disagreement:
+        # skip means never auto-accept the model, and the rule output is
+        # the conservative baseline (columns skip to {} because there a
+        # wrong structure poisons the whole parse; titles degrade safely)
+        return rules

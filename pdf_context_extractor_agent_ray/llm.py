@@ -193,6 +193,9 @@ class HttpModelClient:
             url = f"{self.base_url}/v1/messages"
             headers = {"x-api-key": self.api_key or "",
                        "content-type": "application/json",
+                       # required by the messages API — requests
+                       # without it are rejected with HTTP 400
+                       "anthropic-version": "2023-06-01",
                        **self.default_headers}
             payload = {"model": self.model, "max_tokens": self.max_tokens,
                        "temperature": self.temperature, "system": system_prompt,
@@ -227,7 +230,10 @@ class HttpModelClient:
 
     def _make_request(self, url, headers, payload) -> dict[str, Any]:
         last_error = "max retries exceeded"
-        for _ in range(self.max_retries):
+        # max_retries counts RETRIES: always one attempt, plus up to
+        # max_retries more on retryable faults (max_retries=0 still
+        # issues the request once)
+        for _ in range(self.max_retries + 1):
             try:
                 status, body = self.transport(url, headers, payload, self.timeout)
                 return {"success": True, "data": json.loads(body), "status": status}

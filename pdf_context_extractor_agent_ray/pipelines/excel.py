@@ -55,16 +55,28 @@ _CATEGORY_CN = {
 }
 
 
+import re as _re
+
+# strict decimal shape: float() alone would also accept 'nan', 'inf'
+# (non-finite <v> corrupts the sheet) and '1_000' (silent misparse)
+_NUM_RE = _re.compile(r"-?\d+(\.\d+)?")
+
+
 def _is_numeric(value: Any) -> bool:
     if value is None or value == "":
         return False
     if isinstance(value, (int, float)):
-        return True
-    try:
-        float(str(value).replace(",", ""))
-        return True
-    except ValueError:
-        return False
+        import math
+        return math.isfinite(value)
+    return bool(_NUM_RE.fullmatch(str(value).replace(",", "")))
+
+
+def _safe_filename(doc_id: str) -> str:
+    """doc_ids come from arbitrary user parquet: a '/' would target a
+    subdirectory (crash) and '..' could escape out_dir — keep the
+    workbook strictly inside the export dir."""
+    cleaned = _re.sub(r"[^\w.\-一-鿿]", "_", str(doc_id))
+    return cleaned.lstrip(".") or "doc"
 
 
 def _as_cell(value: str) -> Any:
@@ -209,7 +221,7 @@ def export_statement_workbooks(out_ds, out_dir: str,
         if not row.get("statement_type"):
             continue
         write_statement_workbook(
-            row, os.path.join(out_dir, f"{row['doc_id']}.xlsx"))
+            row, os.path.join(out_dir, f"{_safe_filename(row['doc_id'])}.xlsx"))
         n += 1
     return n
 
@@ -232,6 +244,7 @@ def export_notes_workbooks(out_ds, out_dir: str,
     for row in out_ds.iter_rows():
         if n >= limit:
             break
-        if write_notes_workbook(row, os.path.join(out_dir, f"{row['doc_id']}_notes.xlsx")):
+        if write_notes_workbook(row, os.path.join(
+                out_dir, f"{_safe_filename(row['doc_id'])}_notes.xlsx")):
             n += 1
     return n

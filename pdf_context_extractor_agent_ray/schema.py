@@ -53,9 +53,16 @@ def spans_column_views(batch: pa.Table | pa.RecordBatch):
         la = col
     else:  # pragma: no cover - chunked edge
         la = col.chunk(0)
-    # Normalize the backing slice: values may carry a parent offset.
+    # Normalize the backing slice: a sliced ListArray's `values` still
+    # spans the WHOLE parent block, so converting it wholesale does
+    # O(parent) work per call. Trim to this batch's window and re-base
+    # the offsets to zero.
     list_offsets = la.offsets.to_numpy(zero_copy_only=False)
     values = la.values
+    first, last = int(list_offsets[0]), int(list_offsets[-1])
+    if first != 0 or last != len(values):
+        values = values.slice(first, last - first)
+        list_offsets = list_offsets - first
     kinds = values.field("kind").to_pylist()
     texts = values.field("text").to_pylist()
     refs = values.field("media_ref").to_pylist()

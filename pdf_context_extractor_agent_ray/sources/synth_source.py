@@ -61,14 +61,22 @@ def ensure_spans_parquet(sf_dir: str) -> str:
 
     from ..synth import SYNTH_VERSION, generate_doc
 
+    import hashlib
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # cache key: version + FULL path + doc-id-set hash — basename alone
+    # would collide two same-named sf dirs, and a regenerated
+    # documents.parquet must invalidate the artifact
+    id_hash = hashlib.md5(
+        ",".join(str(i) for i in src.column("doc_id").to_pylist()).encode()
+    ).hexdigest()[:16]
+    dir_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     base = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = f"/tmp/graft_spans/v{SYNTH_VERSION}/{base}"
+    out_dir = f"/tmp/graft_spans/v{SYNTH_VERSION}/{base}-{dir_key}-{id_hash}"
     path = f"{out_dir}/documents_spans.parquet"
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
-
-    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     cols = {"doc_id": [], "span_idx": [], "kind": [], "text": [],
             "media_ref": [], "offset": []}
     for i in src.column("doc_id").to_pylist():

@@ -9,9 +9,20 @@ ElementTree (which is how the tests read them back).
 """
 from __future__ import annotations
 
+import re
 import zipfile
 from typing import Any, Optional
 from xml.sax.saxutils import escape
+
+# XML 1.0 forbids these outright — escape() does NOT handle them, and
+# one raw control char corrupts the whole workbook. PDF-extracted text
+# routinely carries \x0c form feeds.
+_XML_INVALID_RE = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _xml_text(value: str) -> str:
+    return escape(_XML_INVALID_RE.sub("", value))
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -41,8 +52,10 @@ MAX_SHEET_NAME = 31
 
 
 def sanitize_sheet_name(name: str, max_length: int = MAX_SHEET_NAME) -> str:
-    """Excel sheet-name rules: strip []:*?/\\ and cap at 31 chars."""
-    cleaned = "".join(ch for ch in name if ch not in INVALID_SHEET_CHARS).strip()
+    """Excel sheet-name rules: strip []:*?/\\ plus XML-invalid control
+    chars and cap at 31 chars."""
+    cleaned = "".join(ch for ch in _XML_INVALID_RE.sub("", name)
+                      if ch not in INVALID_SHEET_CHARS).strip()
     return (cleaned or "Sheet")[:max_length]
 
 
@@ -63,7 +76,7 @@ def _cell_xml(ref: str, value: Any) -> str:
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f'<c r="{ref}" t="n"><v>{value}</v></c>'
-    text = escape(str(value))
+    text = _xml_text(str(value))
     return (f'<c r="{ref}" t="inlineStr"><is>'
             f'<t xml:space="preserve">{text}</t></is></c>')
 
@@ -79,10 +92,12 @@ class Workbook:
         """Add a sheet; the name is sanitized and uniqued. Returns the
         final sheet name (callers reference it from TOC sheets)."""
         base = sanitize_sheet_name(name)
-        existing = {n for n, _, _ in self._sheets}
+        # Excel compares sheet names case-insensitively: 'ABC' vs 'abc'
+        # is an illegal duplicate, so unique on the casefold
+        existing = {n.casefold() for n, _, _ in self._sheets}
         final = base
         suffix = 1
-        while final in existing:
+        while final.casefold() in existing:
             tail = f"~{suffix}"
             final = base[:MAX_SHEET_NAME - len(tail)] + tail
             suffix += 1

@@ -96,9 +96,17 @@ def test_timeout_retries_then_succeeds():
 
 
 def test_timeout_exhausts_retries():
-    tr = Canned([RequestTimeout("t")] * 3)
+    # max_retries=3 == one attempt + three RETRIES = four calls
+    tr = Canned([RequestTimeout("t")] * 4)
     r = HttpColumnModel(CFG, transport=tr).analyze_header(["项目"])
-    assert not r["success"] and "timeout" in r["error"] and len(tr.calls) == 3
+    assert not r["success"] and "timeout" in r["error"] and len(tr.calls) == 4
+
+
+def test_zero_retries_still_attempts_once():
+    tr = Canned([(200, _messages_body('{"column_map": {}, "confidence": 0.1}'))])
+    r = HttpColumnModel({**CFG, "max_retries": 0},
+                        transport=tr).analyze_header(["项目"])
+    assert r["success"] and len(tr.calls) == 1
 
 
 def test_http_error_fails_without_retry():
