@@ -283,6 +283,9 @@ class ColumnAnalyzer:
         kw = self._match_keywords(row)
         feat = self._infer_features(row, kw)
         column_map = dict(kw)
+        # inferred entries overwrite keyword matches on key collision —
+        # the reference merges in this order too (column_analyzer.py:51-52
+        # update(keyword) then update(feature))
         column_map.update(feat)
         return self._validate_and_fix(column_map)
 
@@ -464,6 +467,8 @@ def identify_structure(table: list[list[str]], st_type: str,
     found_keys = list(key_positions.keys())
     missing = [k for k in required if k not in found_keys]
     if missing:
+        # found/required can exceed 1.0 when optional anchors are found —
+        # reference formula verbatim (statement_structure_identifier.py:233)
         conf = len(found_keys) / len(required) if required else 0.0
         return {"is_valid": False, "key_positions": key_positions, "header_row": None,
                 "start_row": None, "end_row": None, "confidence": conf, "missing_keys": missing}
@@ -554,8 +559,11 @@ def get_item_name(row: list[str], header_info: dict[str, Optional[int]]) -> str:
 
 def extract_row_values(row: list[str], header_info: dict[str, Optional[int]],
                        analyzer: ColumnAnalyzer) -> dict[str, str]:
-    # width-mismatch rule: >±1 columns off (or no header binding) forces a
-    # dynamic per-row re-analysis (base_statement_parser.py:113-171)
+    # width-mismatch rule, asymmetric on purpose: ANY narrower row, or a
+    # row more than +1 wider, forces dynamic per-row re-analysis — the
+    # reference's exact condition (base_statement_parser.py:135-137
+    # `row_col_count < expected or abs(...) > 1`); only +1-wide rows take
+    # the static header-map path
     row_cols = len(row)
     expected = max(header_info.get("current_period_col") or 0,
                    header_info.get("previous_period_col") or 0) + 1
@@ -794,6 +802,9 @@ def _validate_balance_sheet(parsed: dict[str, Any]) -> dict[str, Any]:
         errors.append(f"liabilities_total_mismatch:{c['difference']:.2f}")
         is_valid = False
 
+    # `or` (not `is None`) — a reported equity_total of exactly 0 falls
+    # through to the parent total, mirroring the reference's own idiom
+    # (balance_sheet.py:590-594 `_get_numeric_value(...) or ...`)
     et = (_cur(parsed, "equity.equity_total", "equity_total")
           or _cur(parsed, "equity.parent_equity_total", "parent_equity_total"))
     let = _cur(parsed, "liabilities_and_equity_total", "liabilities_and_equity_total")

@@ -136,6 +136,8 @@ BALANCE_SHEET_ITEMS = [
     ("assets.current_assets", "一年内到期的非流动资产", [r"一年内到期的非流动资产"]),
     ("assets.current_assets", "其他流动资产", [r"其他流动资产"]),
     # assets.non_current_assets (balance_sheet.py:43-62)
+    # unanchored 债权投资 precedes (and therefore shadows) 其他债权投资 —
+    # reference-faithful dict order (balance_sheet.py:44-45)
     ("assets.non_current_assets", "债权投资", [r"债权投资"]),
     ("assets.non_current_assets", "其他债权投资", [r"其他债权投资"]),
     ("assets.non_current_assets", "长期应收款", [r"长期应收款"]),
@@ -168,7 +170,10 @@ BALANCE_SHEET_ITEMS = [
     ("liabilities.current_liabilities", "持有待售负债", [r"持有待售负债"]),
     ("liabilities.current_liabilities", "一年内到期的非流动负债", [r"一年内到期的非流动负债"]),
     ("liabilities.current_liabilities", "其他流动负债", [r"其他流动负债"]),
-    # liabilities.non_current_liabilities (balance_sheet.py:84-96)
+    # liabilities.non_current_liabilities (balance_sheet.py:84-96).
+    # 优先股/永续债 appear here AND under equity.items with identical
+    # patterns; first-match routes such rows to liabilities exactly as
+    # the reference's section iteration order does (:87-88 vs :103-104)
     ("liabilities.non_current_liabilities", "长期借款", [r"长期借款"]),
     ("liabilities.non_current_liabilities", "应付债券", [r"应付债券"]),
     ("liabilities.non_current_liabilities", "其中：优先股", [r"其中：优先股"]),
@@ -225,6 +230,9 @@ INCOME_STATEMENT_ITEMS = [
     # other_items (income_statement.py:40-47)
     ("other_items", "other_income", [r"^加：其他收益$", r"^其他收益$"]),
     ("other_items", "investment_income", [r"^投资收益", r"^加：投资收益"]),
+    # the joint-venture investment-income sub-row classifying as
+    # fair_value_change mirrors the reference bank verbatim
+    # (income_statement.py:43)
     ("other_items", "fair_value_change", [r"^公允价值变动收益", r"^其中：对联营企业和合营企业的投资收益"]),
     ("other_items", "credit_impairment", [r"^信用减值损失", r"^加：信用减值损失"]),
     ("other_items", "asset_impairment", [r"^资产减值损失", r"^加：资产减值损失"]),
@@ -245,6 +253,9 @@ INCOME_STATEMENT_ITEMS = [
      [r"^六、其他综合收益的税后净额", r"^其他综合收益.*税后净额"]),
     ("comprehensive_income", "total_comprehensive_income",
      [r"^七、综合收益总额", r"^八、综合收益总额", r"^综合收益总额"]),
+    # NOTE the unparenthesized alternation r"^\(一\)|..." matches ANY
+    # halfwidth "(一)" row — reference-faithful (income_statement.py:67,
+    # 73 use the identical expressions; first-match precedence included)
     ("comprehensive_income", "parent_comprehensive_income",
      [r"归属于母公司.*的综合收益总额", r"归属.*母公司.*综合收益", r"^\(一\)|（一）.*归属.*母公司"]),
     ("comprehensive_income", "minority_comprehensive_income",
