@@ -74,17 +74,28 @@ def run_headline() -> dict:
     n_base = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     n_docs = n_base * REPLICATION
 
-    if os.environ.get("BENCH_WARMUP"):
-        # untimed pass: spawn+import the worker pool so the timed run
-        # measures steady-state throughput, not python bootstrap
+    # untimed warmup: spawn + import the worker pool so the timed run
+    # measures steady-state throughput, not python bootstrap (~1-2 s of
+    # imports per worker otherwise bills the first seconds of the run;
+    # observed cold spread 8.7-16.4k docs/s vs ~18k warm on identical
+    # code). BENCH_WARMUP=full runs a whole corpus pass (the scaling
+    # subprocesses do this); default is a small pass that still touches
+    # every worker. BENCH_WARMUP=0 disables for a deliberately-cold run.
+    warm_mode = os.environ.get("BENCH_WARMUP", "small")
+    if warm_mode == "full":
         extraction_pipeline(_corpus(n_base)).count()
+    elif warm_mode != "0":
+        from pdf_context_extractor_agent_ray.sources.synth_source import synth_documents
+        extraction_pipeline(synth_documents(
+            max(2000, NUM_CPUS * 200), prefix="warm")).count()
 
     t0 = time.time()
     out = extraction_pipeline(_corpus(n_base))
     n = out.count()
     sec = time.time() - t0
     assert n == n_docs, (n, n_docs)
-    return {"sec": sec, "docs": n_docs, "docs_per_sec": n_docs / sec}
+    return {"sec": sec, "docs": n_docs, "docs_per_sec": n_docs / sec,
+            "warmup": warm_mode}
 
 
 def run_queries() -> dict[str, float]:
@@ -120,6 +131,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "docs": headline["docs"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "warmup": headline["warmup"],
     }
     # the scaling-efficiency criterion is part of every round's record
     # (regressions in the >=0.8 bar must be machine-checkable), so the
@@ -146,7 +158,7 @@ def run_scaling(trials: int = SCALING_TRIALS) -> dict:
         for _ in range(trials):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_HEADLINE_ONLY="1", BENCH_NO_SCALING="1",
-                       BENCH_WARMUP="1")
+                       BENCH_WARMUP="full")
             cmd = [sys.executable, os.path.abspath(__file__)]
             if taskset:
                 # simulate an ncpu-core NODE: pin the whole Ray tree
