@@ -295,22 +295,47 @@ QUANTILES = (0.5, 0.9, 0.99)
 def length_quantiles(ds):
     """Per-source EXACT discrete quantiles of document length
     (p50/p90/p99 as sorted[ceil(q*n)-1], matching DuckDB
-    quantile_disc). Grouped exact quantiles need each group's values
-    in one place, so this is a groupby(source).map_groups — the
-    partitioning assumption is bounded group count (sources are an
-    enum), NOT bounded corpus; each group's lengths column is a few MB
-    per billion docs of that source... at 10^12 docs/source switch to
-    a mergeable sketch (see functions.sketches for the pattern).
+    quantile_disc) — exact at ANY scale, no sketch needed: lengths are
+    small integers, so per-batch (source, n_chars) partial HISTOGRAMS
+    pre-aggregate before a bounded-key groupby (keys <= sources x
+    distinct lengths, regardless of corpus size), and each quantile is
+    the smallest length whose cumulative count reaches ceil(q*n) —
+    identical to indexing the sorted values. The driver only ever sees
+    the merged histogram, never a lengths column.
     """
     import math
+
+    import numpy as np
+    import ray.data as rd
+    from collections import Counter
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        c = Counter(zip(batch["source"].to_pylist(), lens.tolist()))
+        return pa.table({
+            "source": pa.array([k[0] for k in c], pa.string()),
+            "n_chars": pa.array([k[1] for k in c], pa.int64()),
+            "cnt": pa.array([int(v) for v in c.values()], pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "n_chars"]).aggregate(Sum("cnt", alias_name="cnt"))
+
     import pandas as pd
-
-    def per_source(df: pd.DataFrame) -> pd.DataFrame:
-        lens = df["text"].str.len().sort_values().to_numpy()
-        n = len(lens)
-        row = {"source": [df["source"].iloc[0]], "n": [n]}
+    df = pd.DataFrame(hist.take_all()).sort_values(["source", "n_chars"])
+    out: dict[str, list] = {"source": [], "n": [],
+                            **{f"p{int(q * 100)}": [] for q in QUANTILES}}
+    for src, g in df.groupby("source", sort=True):
+        n = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum().to_numpy()
+        lens = g["n_chars"].to_numpy()
+        out["source"].append(src)
+        out["n"].append(n)
         for q in QUANTILES:
-            row[f"p{int(q * 100)}"] = [int(lens[max(0, math.ceil(q * n) - 1)])]
-        return pd.DataFrame(row)
-
-    return ds.groupby("source").map_groups(per_source, batch_format="pandas")
+            k = max(1, math.ceil(q * n))
+            out[f"p{int(q * 100)}"].append(int(lens[int(np.searchsorted(cum, k))]))
+    return rd.from_arrow(pa.table({
+        "source": pa.array(out["source"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        **{f"p{int(q * 100)}": pa.array(out[f"p{int(q * 100)}"], pa.int64())
+           for q in QUANTILES}}))
