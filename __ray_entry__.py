@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_normalize": text_q(F_text.normalize_batch),
         "token_stats": text_q(F_text.token_stats_batch),
+        "token_chunks": text_q(F_text.token_chunks_batch),
         "quality_score": text_q(F_text.quality_batch),
         "langid": text_q(F_text.langid_batch),
         "fingerprint": text_q(F_text.fingerprint_batch),
@@ -332,6 +333,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(array_length(regexp_extract_all({_NORM}, '[^ ]+')) AS BIGINT) AS n_tokens,
                    length({_NORM}) AS n_chars
             FROM documents
+        """,
+        "token_chunks": f"""
+            -- fixed-token-budget windows over the whitespace-token
+            -- stream (functions/text.token_chunks_batch): note
+            -- string_split('') yields [''] on both sides, so an empty
+            -- doc is one chunk of one empty token
+            WITH t AS (SELECT doc_id, unnest(tk) AS tok,
+                              generate_subscripts(tk, 1) AS i
+                       FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk
+                             FROM documents))
+            SELECT doc_id,
+                   CAST((i - 1) // {F_text.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+                   count(*) AS n_tokens,
+                   string_agg(tok, ' ' ORDER BY i) AS chunk_text
+            FROM t
+            GROUP BY doc_id, (i - 1) // {F_text.CHUNK_TOKENS}
         """,
         "quality_score": f"""
             WITH f AS (

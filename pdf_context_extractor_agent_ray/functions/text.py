@@ -289,6 +289,33 @@ def top_ngrams(ds, k: int = TOP_NGRAMS_K):
         .repartition(1).map_batches(final, batch_format="pandas")
 
 
+CHUNK_TOKENS = 64  # tokens per training/RAG context chunk
+
+
+def token_chunks_batch(batch: pa.Table,
+                       max_tokens: int = CHUNK_TOKENS) -> pa.Table:
+    """Fixed-token-budget document chunking (sequence windowing for
+    training data / RAG contexts): each doc's whitespace-token stream
+    splits into consecutive windows of <= max_tokens. Doc-level and
+    stateless — no cross-doc packing state, so chunks are reproducible
+    under any partitioning. Output: doc_id, chunk_idx (0-based),
+    n_tokens, chunk_text."""
+    norm = norm_expr(batch["text"]).to_pylist()
+    out_d, out_i, out_n, out_t = [], [], [], []
+    for d, s in zip(batch["doc_id"].to_pylist(), norm):
+        toks = s.split(" ")
+        for ci in range(0, len(toks), max_tokens):
+            window = toks[ci:ci + max_tokens]
+            out_d.append(d)
+            out_i.append(ci // max_tokens)
+            out_n.append(len(window))
+            out_t.append(" ".join(window))
+    return pa.table({"doc_id": pa.array(out_d, batch["doc_id"].type),
+                     "chunk_idx": pa.array(out_i, pa.int64()),
+                     "n_tokens": pa.array(out_n, pa.int64()),
+                     "chunk_text": pa.array(out_t, pa.string())})
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 
