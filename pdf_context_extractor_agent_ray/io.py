@@ -92,19 +92,39 @@ class BloomFilter:
 
 
 def read_documents(path: str, columns: Optional[list[str]] = None):
-    """Read a documents/output table as a Ray Dataset (Lance if the path
-    is a Lance dataset and pylance is available, else Parquet)."""
+    """Read a documents/output table as a Ray Dataset. Format by path
+    suffix: ``.lance`` (when pylance is available), ``.jsonl``/``.json``
+    (a JSON-lines interchange dir written by ``write_documents``), else
+    Parquet."""
     import ray.data as rd
     if HAVE_LANCE and str(path).endswith(".lance"):  # pragma: no cover
         return rd.read_lance(path, columns=columns)
+    if str(path).endswith((".jsonl", ".json")):
+        from .schema import docs_to_table
+        ds = rd.read_json(path)
+
+        def coerce(batch):
+            # JSON roundtrips span structs as dicts with inferred int64
+            # offsets — rebuild through the canonical schema so every
+            # downstream stage sees exactly DOCUMENT_SCHEMA
+            docs = [{"doc_id": d,
+                     "spans": [(s["kind"], s["text"], s["media_ref"],
+                                s["offset"]) for s in spans]}
+                    for d, spans in zip(batch["doc_id"].to_pylist(),
+                                        batch["spans"].to_pylist())]
+            return docs_to_table(docs)
+
+        return ds.map_batches(coerce, batch_format="pyarrow")
     return rd.read_parquet(path, columns=columns)
 
 
 def write_documents(ds, path: str, **kwargs) -> None:
-    """Write a documents/output Dataset (Lance when available and the
-    path requests it, else partitioned Parquet)."""
+    """Write a documents/output Dataset (format by path suffix, as in
+    ``read_documents``; default partitioned Parquet)."""
     if HAVE_LANCE and str(path).endswith(".lance"):  # pragma: no cover
         ds.write_lance(path, **kwargs)
+    elif str(path).endswith((".jsonl", ".json")):
+        ds.write_json(path, **kwargs)
     else:
         ds.write_parquet(path, **kwargs)
 

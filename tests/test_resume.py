@@ -30,6 +30,25 @@ def _read_all_doc_ids(out_dir):
     return ids
 
 
+def test_jsonl_documents_roundtrip(ray_session, corpus, tmp_path):
+    """JSONL interchange: write_documents/read_documents roundtrip a
+    documents Dataset span-for-span with the canonical Arrow schema."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.schema import DOCUMENT_SCHEMA
+
+    path = str(tmp_path / "docs.jsonl")
+    dio.write_documents(rd.from_arrow(docs_to_table(corpus)), path)
+    back = dio.read_documents(path)
+    got = {}
+    for r in back.take_all():
+        got[r["doc_id"]] = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in r["spans"]]
+    assert len(got) == len(corpus)
+    for d in corpus:
+        assert got[d["doc_id"]] == [tuple(s) for s in d["spans"]], d["doc_id"]
+    assert back.schema().base_schema.equals(DOCUMENT_SCHEMA)
+
+
 def test_resume_skips_completed(ray_session, corpus, tmp_path):
     import ray.data as rd
     out = str(tmp_path / "out")
