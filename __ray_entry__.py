@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(_docs(sf)),
         "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(_docs(sf)),
         "dup_clusters": lambda sf: F_dedup.dup_clusters(_docs(sf)),
+        "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(_docs(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
@@ -205,6 +206,37 @@ _LSH_CAND = f"""
             cand AS (SELECT DISTINCT doc_a, doc_b
                      FROM (SELECT * FROM small_cand
                            UNION ALL SELECT * FROM chain_cand))"""
+
+
+_DUP_CLUSTERS_SQL = f"""
+            WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
+            sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig UNION ALL
+              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
+              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
+              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
+            {_LSH_CAND},
+            sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
+            pairs AS (SELECT doc_a, doc_b FROM cand
+                      JOIN sets x ON x.doc_id = cand.doc_a
+                      JOIN sets y ON y.doc_id = cand.doc_b
+                      WHERE CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
+                                       / len(list_distinct(x.ls || y.ls))) AS BIGINT)
+                            >= {F_dedup.JACCARD_THRESHOLD_E6}),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        """
 
 
 def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -529,34 +561,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99
             FROM documents GROUP BY 1
         """,
-        "dup_clusters": f"""
-            WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
-            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
-            sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
-                   FROM toks,
-                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
-            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig UNION ALL
-              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
-              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
-              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
-            {_LSH_CAND},
-            sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
-            pairs AS (SELECT doc_a, doc_b FROM cand
-                      JOIN sets x ON x.doc_id = cand.doc_a
-                      JOIN sets y ON y.doc_id = cand.doc_b
-                      WHERE CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
-                                       / len(list_distinct(x.ls || y.ls))) AS BIGINT)
-                            >= {F_dedup.JACCARD_THRESHOLD_E6}),
-            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                      UNION SELECT doc_b, doc_a FROM pairs),
-            reach AS (
-              SELECT a, b FROM edges
-              UNION
-              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-            )
-            SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        "dup_clusters": _DUP_CLUSTERS_SQL,
+        "near_dup_survivors": f"""
+            -- the deduplicated corpus keep-list: drop every clustered
+            -- doc except its representative (cluster_id == min doc_id)
+            WITH clusters AS ({_DUP_CLUSTERS_SQL})
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
         """,
         "simhash": f"""
             WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

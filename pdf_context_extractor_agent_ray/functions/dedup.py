@@ -602,6 +602,59 @@ def _ngram_jaccard_distributed(ds, threshold_e6: int):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+SURVIVOR_BROADCAST_MAX = 10_000_000  # drop-set ids broadcast below this
+
+
+def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
+    """The deduplicated corpus keep-list: every doc_id EXCEPT clustered
+    near-duplicates that are not their cluster's representative
+    (cluster_id == min doc_id) — i.e. the corpus a training run would
+    actually keep after near-dup dedup.
+
+    The drop set is only the clustered non-representatives (typically a
+    small fraction of the corpus): up to ``broadcast_max_drops`` ids it
+    broadcasts once via ``ray.put`` and each batch filters with a
+    vectorized ``is_in`` (zero exchanges beyond dup_clusters' own);
+    above the gate the corpus anti-joins the drop set hash-partitioned
+    on doc_id. Output: doc_id.
+    """
+    import ray
+
+    clusters = dup_clusters(ds).materialize()
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        return pa.table({"drop_id": batch.filter(mask)["doc_id"]})
+
+    drops = clusters.map_batches(non_reps, batch_format="pyarrow")
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"]})
+
+    ids = ds.map_batches(ids_only, batch_format="pyarrow")
+
+    if drops.count() <= broadcast_max_drops:
+        drop_list = [r["drop_id"] for r in drops.take_all()]
+        ref = ray.put(pa.array(sorted(drop_list), pa.int64()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            dl = ray.get(ref)
+            return batch.filter(
+                pc.invert(pc.is_in(batch["doc_id"], value_set=dl)))
+
+        return ids.map_batches(keep, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    marked = drops.map_batches(
+        lambda b: pa.table({"drop_id": b["drop_id"],
+                            "_m": pa.array([1] * len(b), pa.int8())}),
+        batch_format="pyarrow")
+    j = ids.join(marked, "left_outer", num_partitions=max(2, cpus // 2),
+                 on=("doc_id",), right_on=("drop_id",))
+    return j.filter(lambda r: r["_m"] is None) \
+        .map_batches(ids_only, batch_format="pyarrow")
+
+
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
     """64-bit SimHash over whitespace tokens: per-bit majority vote of
     big-endian md5[0:8] token hashes — bit-for-bit identical to the SQL
