@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": text_q(F_text.normalize_batch),
         "token_stats": text_q(F_text.token_stats_batch),
         "token_chunks": text_q(F_text.token_chunks_batch),
+        # greedy packing is a running fold — not SQL-expressible
+        # (rows-only check; invariants pinned by pytest)
+        "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "quality_score": text_q(F_text.quality_batch),
         "langid": text_q(F_text.langid_batch),
         "fingerprint": text_q(F_text.fingerprint_batch),

@@ -316,6 +316,64 @@ def token_chunks_batch(batch: pa.Table,
                      "chunk_text": pa.array(out_t, pa.string())})
 
 
+PACK_BUDGET = 512   # tokens per packed training sequence
+PACK_BUCKETS = 64   # packing scope: deterministic hash buckets
+
+
+def pack_sequences(ds, budget: int = PACK_BUDGET,
+                   num_buckets: int = PACK_BUCKETS,
+                   chunk_tokens: int = CHUNK_TOKENS):
+    """Greedy sequence packing of token chunks into fixed-budget
+    training sequences — the step after chunking when building LM
+    batches. Packing is a running fold (sequence state resets when the
+    budget would overflow), so it is NOT SQL-expressible (rows-only
+    driver check); pytest pins the invariants instead.
+
+    Determinism without a global order: chunks hash into
+    ``num_buckets`` doc_id buckets and each bucket packs its own
+    chunks in (doc_id, chunk_idx) order — one vectorized-ish fold per
+    bucket, any partitioning of the input yields identical sequences.
+    At scale the bucket is the partition key; sequences never span
+    buckets. Output: bucket, seq_idx, n_chunks, n_tokens (sum of
+    chunk tokens in the sequence, <= budget).
+    """
+    import numpy as np
+    import pandas as pd
+
+    chunks = ds.map_batches(
+        lambda b: token_chunks_batch(b, max_tokens=chunk_tokens),
+        batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
+            % num_buckets
+        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "chunk_idx"], kind="stable")
+        toks = df["n_tokens"].to_numpy()
+        seq_ids = np.empty(len(df), dtype=np.int64)
+        seq = 0
+        filled = 0
+        for i, t in enumerate(toks):  # greedy running fold
+            if filled + t > budget and filled:
+                seq += 1
+                filled = 0
+            seq_ids[i] = seq
+            filled += t
+        g = pd.DataFrame({"bucket": df["bucket"].to_numpy(),
+                          "seq_idx": seq_ids, "n_tokens": toks})
+        agg = g.groupby(["bucket", "seq_idx"], as_index=False).agg(
+            n_chunks=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        agg["n_chunks"] = agg["n_chunks"].astype("int64")
+        agg["n_tokens"] = agg["n_tokens"].astype("int64")
+        return agg[["bucket", "seq_idx", "n_chunks", "n_tokens"]]
+
+    return chunks.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
 QUANTILES = (0.5, 0.9, 0.99)
 
 

@@ -63,6 +63,30 @@ def test_ivf_knn_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_pack_sequences_invariants(ray_session):
+    """Greedy packing: budget respected, every chunk packed exactly
+    once (token totals preserved), and the result is identical under a
+    different input partitioning (the hash-bucket determinism claim)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import (
+        PACK_BUDGET, pack_sequences, token_chunks_batch)
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    seqs = pack_sequences(ds).take_all()
+    assert seqs
+    assert all(r["n_tokens"] <= PACK_BUDGET for r in seqs)
+
+    chunks = ds.map_batches(token_chunks_batch,
+                            batch_format="pyarrow").take_all()
+    assert sum(r["n_chunks"] for r in seqs) == len(chunks)
+    assert sum(r["n_tokens"] for r in seqs) == sum(c["n_tokens"] for c in chunks)
+
+    key = lambda r: (r["bucket"], r["seq_idx"], r["n_chunks"], r["n_tokens"])
+    again = sorted(key(r) for r in pack_sequences(
+        rd.read_parquet(f"{SF}/documents.parquet").repartition(7)).take_all())
+    assert again == sorted(key(r) for r in seqs)
+
+
 def test_lsh_knn_multiprobe_recall(ray_session):
     """Hyperplane-LSH approximate top-k: exact-schema output, and
     widening the multiprobe radius monotonically recovers recall vs
