@@ -134,46 +134,53 @@ def main() -> None:
         "warmup": headline["warmup"],
     }
     # the scaling-efficiency criterion is part of every round's record
-    # (regressions in the >=0.8 bar must be machine-checkable), so the
-    # default run includes a 1-trial-per-level measurement; --scaling
-    # runs the cleaner best-of-2
+    # (regressions in the >=0.8 bar must be machine-checkable). Default
+    # best-of-2 per level: observed single-trial spread 0.58-1.09 on
+    # identical code under host-noise waves — one bad trial must not
+    # read as a regression. BENCH_SCALING_TRIALS_MAIN=1 for speed.
     if not os.environ.get("BENCH_HEADLINE_ONLY") \
             and not os.environ.get("BENCH_NO_SCALING"):
         row["scaling"] = run_scaling(
-            trials=int(os.environ.get("BENCH_SCALING_TRIALS_MAIN", "1")))
+            trials=int(os.environ.get("BENCH_SCALING_TRIALS_MAIN", "2")))
     print(json.dumps(row))
 
 
 SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
 
 
-def run_scaling(trials: int = SCALING_TRIALS) -> dict:
-    # best-of-N per level: the work is deterministic, so differences
-    # between trials are pure system noise; the best trial is the
-    # cleanest estimate of each level's capability
-    results = {}
+def _scaling_level(ncpu: int) -> dict:
     taskset = shutil.which("taskset")
-    for ncpu in SCALING_CPUS:
-        best = None
-        for _ in range(trials):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       BENCH_HEADLINE_ONLY="1", BENCH_NO_SCALING="1",
-                       BENCH_WARMUP="full")
-            cmd = [sys.executable, os.path.abspath(__file__)]
-            if taskset:
-                # simulate an ncpu-core NODE: pin the whole Ray tree
-                # (raylet, object store, workers) to that many cores
-                cmd = [taskset, "-c", f"0-{ncpu - 1}"] + cmd
-            out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                                 check=True,
-                                 cwd=os.path.dirname(os.path.abspath(__file__)))
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                best = r
-        results[ncpu] = best
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               BENCH_HEADLINE_ONLY="1", BENCH_NO_SCALING="1",
+               BENCH_WARMUP="full")
+    cmd = [sys.executable, os.path.abspath(__file__)]
+    if taskset:
+        # simulate an ncpu-core NODE: pin the whole Ray tree
+        # (raylet, object store, workers) to that many cores
+        cmd = [taskset, "-c", f"0-{ncpu - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_scaling(trials: int = SCALING_TRIALS) -> dict:
+    # PAIRED trials: host-noise waves hit the two levels unequally when
+    # measured at different times, so each trial runs lo then hi
+    # back-to-back (one noise window) and the reported efficiency is
+    # the cleanest PAIR's (max combined per-cpu throughput) — the work
+    # is deterministic, so inter-pair differences are pure system noise
     lo, hi = SCALING_CPUS
-    tp_lo = results[lo]["docs_per_sec"]
-    tp_hi = results[hi]["docs_per_sec"]
+    best_pair = None
+    for _ in range(trials):
+        r_lo = _scaling_level(lo)
+        r_hi = _scaling_level(hi)
+        clean = r_lo["docs_per_sec"] / lo + r_hi["docs_per_sec"] / hi
+        if best_pair is None or clean > best_pair[0]:
+            best_pair = (clean, r_lo, r_hi)
+    _, r_lo, r_hi = best_pair
+    tp_lo = r_lo["docs_per_sec"]
+    tp_hi = r_hi["docs_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
         "metric": f"scaling efficiency {lo}->{hi} cpus (docs/sec ratio / cpu ratio)",
@@ -182,10 +189,10 @@ def run_scaling(trials: int = SCALING_TRIALS) -> dict:
         "sf": SF_DIR,
         f"docs_per_sec_{lo}": tp_lo,
         f"docs_per_sec_{hi}": tp_hi,
-        f"sec_{lo}": results[lo]["value"],
-        f"sec_{hi}": results[hi]["value"],
-        "docs": results[hi]["docs"],
-        "trials_per_level": trials,
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        "docs": r_hi["docs"],
+        "paired_trials": trials,
     }
 
 
