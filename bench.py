@@ -141,18 +141,25 @@ def main() -> None:
     if not os.environ.get("BENCH_HEADLINE_ONLY") \
             and not os.environ.get("BENCH_NO_SCALING"):
         row["scaling"] = run_scaling(
-            trials=int(os.environ.get("BENCH_SCALING_TRIALS_MAIN", "2")))
+            trials=int(os.environ.get("BENCH_SCALING_TRIALS_MAIN", "3")))
     print(json.dumps(row))
 
 
-SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "2"))
+SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+
+
+SCALING_REPLICATION = int(os.environ.get("BENCH_SCALING_REPLICATION", "20"))
 
 
 def _scaling_level(ncpu: int) -> dict:
+    # half-size corpus per level: a paired (lo, hi) trial must fit
+    # inside ONE host-noise window, so shorter timed runs beat longer
+    # ones here (full warmup still amortizes worker bootstrap)
     taskset = shutil.which("taskset")
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                BENCH_HEADLINE_ONLY="1", BENCH_NO_SCALING="1",
-               BENCH_WARMUP="full")
+               BENCH_WARMUP="full",
+               BENCH_REPLICATION=str(SCALING_REPLICATION))
     cmd = [sys.executable, os.path.abspath(__file__)]
     if taskset:
         # simulate an ncpu-core NODE: pin the whole Ray tree
