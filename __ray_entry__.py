@@ -72,33 +72,61 @@ def _extract_summary(sf_dir: str):
                               expected_rows=flat_num_docs(sf_dir))
 
     def summarize(batch: pa.Table) -> pa.Table:
-        from pdf_context_extractor_agent_ray.schema import spans_column_views
-        doc_ids, offs, kinds, texts, refs, _ = spans_column_views(batch)
-        rows = {"doc_id": [], "n_spans": [], "n_items": [], "n_notes": [],
-                "n_media": [], "valid": [], "span_md5": []}
-        valid_col = batch.column("valid").to_pylist()
-        for i, d in enumerate(doc_ids):
-            lo, hi = int(offs[i]), int(offs[i + 1])
-            rows["doc_id"].append(d)
-            rows["n_spans"].append(hi - lo)
-            rows["n_items"].append(sum(1 for j in range(lo, hi)
-                                       if kinds[j] in ("item", "subtotal", "total")))
-            rows["n_notes"].append(sum(1 for j in range(lo, hi)
-                                       if kinds[j] == "note_title"))
-            rows["n_media"].append(sum(1 for j in range(lo, hi) if kinds[j] == "media"))
-            rows["valid"].append(valid_col[i])
-            h = hashlib.md5()
-            for j in range(lo, hi):
-                h.update(f"{kinds[j]}\x00{texts[j]}\x00{refs[j]}\x01".encode())
-            rows["span_md5"].append(h.hexdigest())
+        import numpy as np
+        import pyarrow.compute as pc
+
+        col = batch.column("spans")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        la = col if isinstance(col, pa.ListArray) else col.chunk(0)
+        offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = la.values
+        first, last = int(offs[0]), int(offs[-1])
+        if first != 0 or last != len(values):
+            values = values.slice(first, last - first)
+            offs = offs - first
+        kinds = values.field("kind")
+        n_docs = len(offs) - 1
+
+        def counts(flags) -> np.ndarray:
+            # per-doc segment sums via cumsum-at-boundaries (reduceat
+            # misbehaves on empty segments)
+            c = np.r_[0, np.cumsum(
+                flags.to_numpy(zero_copy_only=False).astype(np.int64))]
+            return c[offs[1:]] - c[offs[:-1]]
+
+        n_items = counts(pc.is_in(
+            kinds, value_set=pa.array(["item", "subtotal", "total"])))
+        n_notes = counts(pc.equal(kinds, "note_title"))
+        n_media = counts(pc.equal(kinds, "media"))
+
+        # span-sequence md5, vectorized: build each span's
+        # kind\x00text\x00ref\x01 payload with one Arrow kernel, join
+        # per doc with a list rebuild over the SAME doc boundaries, md5
+        # each doc's single buffer. Byte-identical to the former
+        # per-span f-string .encode() (Arrow strings are UTF-8).
+        payload = pc.binary_join_element_wise(
+            kinds.cast(pa.binary()),
+            values.field("text").cast(pa.binary()),
+            values.field("media_ref").cast(pa.binary()),
+            pa.scalar(b"\x00", pa.binary()))
+        payload = pc.binary_join_element_wise(
+            payload, pa.scalar(b"\x01", pa.binary()),
+            pa.scalar(b"", pa.binary()))
+        per_doc = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), payload),
+            pa.scalar(b"", pa.binary()))
+        md5s = [hashlib.md5(per_doc[i].as_py()).hexdigest()
+                for i in range(n_docs)]
+
         return pa.table({
-            "doc_id": pa.array(rows["doc_id"], pa.string()),
-            "n_spans": pa.array(rows["n_spans"], pa.int64()),
-            "n_items": pa.array(rows["n_items"], pa.int64()),
-            "n_notes": pa.array(rows["n_notes"], pa.int64()),
-            "n_media": pa.array(rows["n_media"], pa.int64()),
-            "valid": pa.array(rows["valid"], pa.bool_()),
-            "span_md5": pa.array(rows["span_md5"], pa.string()),
+            "doc_id": batch.column("doc_id"),
+            "n_spans": pa.array(offs[1:] - offs[:-1], pa.int64()),
+            "n_items": pa.array(n_items, pa.int64()),
+            "n_notes": pa.array(n_notes, pa.int64()),
+            "n_media": pa.array(n_media, pa.int64()),
+            "valid": batch.column("valid"),
+            "span_md5": pa.array(md5s, pa.string()),
         })
 
     return out.map_batches(summarize, batch_format="pyarrow")
@@ -334,22 +362,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM t0 GROUP BY doc_id, media_ref, isl),
             txt AS (SELECT doc_id, page, span_idx, {_TRIM} AS tt
                     FROM s WHERE kind = 'text' AND {_TRIM} <> ''),
-            bef AS (SELECT t.doc_id, t.table_ref, x.span_idx, x.tt,
-                           row_number() OVER (PARTITION BY t.doc_id, t.table_ref
+            -- context windows are PER ISLAND (start_i carried through
+            -- every CTE): a ref appearing in two separate runs within
+            -- one doc must get each island's own context, not a
+            -- conflated (doc, ref) window
+            bef AS (SELECT t.doc_id, t.table_ref, t.start_i, x.span_idx, x.tt,
+                           row_number() OVER (PARTITION BY t.doc_id, t.table_ref, t.start_i
                                               ORDER BY x.span_idx DESC) AS rn
                     FROM t JOIN txt x ON x.doc_id = t.doc_id AND x.page = t.page
                                      AND x.span_idx < t.start_i),
-            befa AS (SELECT doc_id, table_ref,
+            befa AS (SELECT doc_id, table_ref, start_i,
                             string_agg(tt, chr(10) ORDER BY span_idx) AS context_before
-                     FROM bef WHERE rn <= 3 GROUP BY doc_id, table_ref),
-            aft AS (SELECT t.doc_id, t.table_ref, x.span_idx, x.tt,
-                           row_number() OVER (PARTITION BY t.doc_id, t.table_ref
+                     FROM bef WHERE rn <= 3 GROUP BY doc_id, table_ref, start_i),
+            aft AS (SELECT t.doc_id, t.table_ref, t.start_i, x.span_idx, x.tt,
+                           row_number() OVER (PARTITION BY t.doc_id, t.table_ref, t.start_i
                                               ORDER BY x.span_idx ASC) AS rn
                     FROM t JOIN txt x ON x.doc_id = t.doc_id AND x.page = t.page
                                      AND x.span_idx > t.end_i),
-            afta AS (SELECT doc_id, table_ref,
+            afta AS (SELECT doc_id, table_ref, start_i,
                             string_agg(tt, chr(10) ORDER BY span_idx) AS context_after
-                     FROM aft WHERE rn <= 3 GROUP BY doc_id, table_ref)
+                     FROM aft WHERE rn <= 3 GROUP BY doc_id, table_ref, start_i)
             SELECT t.doc_id, t.table_ref, CAST(t.n_rows AS INTEGER) AS n_rows,
                    coalesce(b.context_before, '') AS context_before,
                    coalesce(a.context_after, '') AS context_after,
@@ -357,7 +389,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM t
             JOIN s h ON h.doc_id = t.doc_id AND h.span_idx = t.start_i
             LEFT JOIN befa b ON b.doc_id = t.doc_id AND b.table_ref = t.table_ref
+                            AND b.start_i = t.start_i
             LEFT JOIN afta a ON a.doc_id = t.doc_id AND a.table_ref = t.table_ref
+                            AND a.start_i = t.start_i
         """,
         "text_normalize": f"""
             SELECT doc_id, {_NORM} AS norm_text, length({_NORM}) AS n_chars

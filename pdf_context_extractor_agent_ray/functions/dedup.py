@@ -231,7 +231,31 @@ def _lsh_pairs_join(ds, num_partitions: int | None = None):
         pairs = _candidate_pairs(sorted(df["doc_id"].tolist()))
         return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) if pairs else empty
 
-    exploded = ds.map_batches(_sig_and_bands, batch_format="pyarrow")
+    def norm_texts(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_text": pa.array(_norm(batch["text"]), pa.string())})
+
+    # normalize ONCE and materialize: the band pass and both join sides
+    # all consume the normalized text — without this, the corpus read +
+    # regex normalization would execute three full times (the object
+    # store spills the materialized texts at scale; same trade
+    # _ngram_jaccard_distributed makes with its shingle pass)
+    texts = ds.map_batches(norm_texts, batch_format="pyarrow").materialize()
+
+    def sig_and_bands_from_norm(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        out_doc, out_band, out_key = [], [], []
+        for d, n in zip(doc_ids, batch["norm_text"].to_pylist()):
+            sig = minhash_signature(n)
+            for b in range(LSH_BANDS):
+                out_doc.append(d)
+                out_band.append(b)
+                out_key.append(_band_key(sig, b))
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "band": pa.array(out_band, pa.int32()),
+                         "bucket": pa.array(out_key, pa.string())})
+
+    exploded = texts.map_batches(sig_and_bands_from_norm, batch_format="pyarrow")
     cand = exploded.groupby(["band", "bucket"]).map_groups(
         bucket_candidates, batch_format="pandas")
     # dedupe candidates found in multiple bands (tiny rows: two int64s)
@@ -239,12 +263,6 @@ def _lsh_pairs_join(ds, num_partitions: int | None = None):
     cand = cand.groupby(["doc_a", "doc_b"]) \
         .aggregate(Count(alias_name="_n_bands")) \
         .select_columns(["doc_a", "doc_b"])
-
-    def norm_texts(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch["doc_id"],
-                         "norm_text": pa.array(_norm(batch["text"]), pa.string())})
-
-    texts = ds.map_batches(norm_texts, batch_format="pyarrow")
     ta = texts.map_batches(
         lambda b: pa.table({"_ka": b["doc_id"], "text_a": b["norm_text"]}),
         batch_format="pyarrow")

@@ -62,20 +62,23 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
                    Sum("n_rows", alias_name="n_rows"))
 
 
-def top_customers(sf_dir: str, k: int = 10):
-    """Revenue top-k with a broadcast dimension join: orders aggregate
-    per customer (pre-aggregated), customer names joined via a
-    broadcast dict — no shuffle join."""
+# customer dimensions up to this many bytes on disk broadcast as a
+# driver dict; above it (TPC-H sf10k has 1.5B customers) the dimension
+# joins hash-partitioned — a driver dict there is an OOM
+CUSTOMER_DIM_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def top_customers(sf_dir: str, k: int = 10,
+                  broadcast_max_bytes: int = CUSTOMER_DIM_BROADCAST_MAX_BYTES):
+    """Revenue top-k over the customer dimension: orders pre-aggregate
+    per customer, then the dimension attaches — broadcast dict below
+    ``broadcast_max_bytes`` of dimension parquet, hash-partitioned
+    ``Dataset.join`` above (same gate pattern as order_revenue_topk).
+    Both paths are inner-join semantics and tested for agreement."""
+    import os
     import ray
     from ray.data.aggregate import Sum
     import pyarrow.parquet as pq
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_name", "c_mktsegment"])
-    lookup = {k_: (n, s) for k_, n, s in zip(cust["c_custkey"].to_pylist(),
-                                             cust["c_name"].to_pylist(),
-                                             cust["c_mktsegment"].to_pylist())}
-    ref = ray.put(lookup)
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -92,27 +95,61 @@ def top_customers(sf_dir: str, k: int = 10):
         .groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
                                         Sum("n_orders", alias_name="n_orders"))
 
-    def partial_rank(df: pd.DataFrame) -> pd.DataFrame:
-        # inner-join semantics (match the oracle): custkeys with no
-        # customer row drop BEFORE ranking, never fabricate blanks.
-        # Per-block partial top-k: the aggregate emits each key once,
-        # so top-k of per-block top-ks is exact — the single-partition
-        # finisher sees k rows per block, not one row per customer.
-        lk = ray.get(ref)
-        df = df[df["o_custkey"].isin(lk.keys())]
+    try:
+        dim_bytes = os.path.getsize(f"{sf_dir}/customer.parquet")
+    except OSError:
+        dim_bytes = 0
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["revenue_cents", "o_custkey"],
                               ascending=[False, True]).head(k)
 
-    def attach_and_rank(df: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(ref)
-        df = df.sort_values(["revenue_cents", "o_custkey"],
-                            ascending=[False, True]).head(k).copy()
-        df["c_name"] = [lk[c][0] for c in df["o_custkey"]]
-        df["c_mktsegment"] = [lk[c][1] for c in df["o_custkey"]]
-        return df
+    if dim_bytes <= broadcast_max_bytes:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_name", "c_mktsegment"])
+        lookup = {k_: (n, s) for k_, n, s in zip(cust["c_custkey"].to_pylist(),
+                                                 cust["c_name"].to_pylist(),
+                                                 cust["c_mktsegment"].to_pylist())}
+        ref = ray.put(lookup)
 
-    return agg.map_batches(partial_rank, batch_format="pandas") \
-        .repartition(1).map_batches(attach_and_rank, batch_format="pandas")
+        def partial_rank(df: pd.DataFrame) -> pd.DataFrame:
+            # inner-join semantics (match the oracle): custkeys with no
+            # customer row drop BEFORE ranking, never fabricate blanks.
+            # Per-block partial top-k: the aggregate emits each key
+            # once, so top-k of per-block top-ks is exact — the
+            # single-partition finisher sees k rows per block, not one
+            # row per customer.
+            lk = ray.get(ref)
+            df = df[df["o_custkey"].isin(lk.keys())]
+            return rank(df)
+
+        def attach_and_rank(df: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(ref)
+            df = rank(df).copy()
+            df["c_name"] = [lk[c][0] for c in df["o_custkey"]]
+            df["c_mktsegment"] = [lk[c][1] for c in df["o_custkey"]]
+            return df
+
+        return agg.map_batches(partial_rank, batch_format="pandas") \
+            .repartition(1).map_batches(attach_and_rank, batch_format="pandas")
+
+    # at-scale path: the per-customer aggregate (one row per custkey)
+    # joins the dimension hash-partitioned on the customer key, then
+    # per-block partial top-k so the finisher never holds the dimension
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    num_partitions = min(max(2, cpus // 2),
+                         max(2, -(-dim_bytes // (128 << 20))))
+    cust_ds = _read(sf_dir, "customer",
+                    ["c_custkey", "c_name", "c_mktsegment"])
+    j = agg.join(cust_ds, "inner", num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def project_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return rank(df)[["o_custkey", "revenue_cents", "n_orders",
+                         "c_name", "c_mktsegment"]]
+
+    return j.map_batches(project_rank, batch_format="pandas") \
+        .repartition(1).map_batches(project_rank, batch_format="pandas")
 
 
 def events_windowed(sf_dir: str):

@@ -208,14 +208,22 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
 DECONTAM_MODULUS = 50
 
 
-def decontaminate(ds):
-    """Benchmark decontamination: drop every document whose content
-    fingerprint collides with the (small) benchmark set.
+DECONTAM_BROADCAST_MAX = 10_000_000  # benchmark hashes broadcast below this
 
-    The benchmark fingerprints are a broadcast set (``ray.put`` once,
-    ``pc.is_in`` per batch) — the classic decontamination shape at
-    100 TB: the benchmark side is tiny and static, so no shuffle ever
-    touches the corpus. Output: doc_id, text_hash for surviving docs.
+
+def decontaminate(ds, broadcast_max_hashes: int = DECONTAM_BROADCAST_MAX):
+    """Benchmark decontamination: drop every document whose content
+    fingerprint collides with the benchmark set.
+
+    Size-gated like every other anti-join in the engine: up to
+    ``broadcast_max_hashes`` benchmark fingerprint rows the blocklist
+    is a broadcast set (``ray.put`` once, ``pc.is_in`` per batch) —
+    the classic decontamination shape, since real benchmark sets are
+    tiny and static. Above the gate (a benchmark side that somehow
+    scales with the corpus — here the synthetic one is 1/50 of it) the
+    corpus fingerprints anti-join the blocklist hash-partitioned on
+    text_hash, so the driver never materializes a corpus-proportional
+    set. Output: doc_id, text_hash for surviving docs.
     """
     import ray
 
@@ -224,21 +232,42 @@ def decontaminate(ds):
         # select the 1/MODULUS benchmark rows FIRST — fingerprinting
         # (regex normalize + md5) on the other 98% would be thrown away
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return fingerprint_batch(batch.filter(
+        t = fingerprint_batch(batch.filter(
             pa.array(ids % DECONTAM_MODULUS == 0)))
+        # per-batch distinct: the exchange/broadcast moves unique hashes
+        return pa.table({"bench_hash": pc.unique(t["text_hash"])})
 
-    # the benchmark side is filtered DISTRIBUTED; only the small hash
-    # list (1/DECONTAM_MODULUS of the corpus) reaches the driver
-    bench = ds.map_batches(blocklist, batch_format="pyarrow")
-    ref = ray.put(pa.array(sorted({r["text_hash"] for r in bench.take_all()}),
-                           pa.string()))
+    # the benchmark side is filtered DISTRIBUTED; materialized because
+    # the size gate AND the chosen path both consume it
+    bench = ds.map_batches(blocklist, batch_format="pyarrow").materialize()
 
-    def drop_contaminated(batch: pa.Table) -> pa.Table:
-        bl = ray.get(ref)
-        t = fingerprint_batch(batch)
-        return t.filter(pc.invert(pc.is_in(t["text_hash"], value_set=bl)))
+    if bench.count() <= broadcast_max_hashes:
+        ref = ray.put(pa.array(
+            sorted({r["bench_hash"] for r in bench.take_all()}), pa.string()))
 
-    return ds.map_batches(drop_contaminated, batch_format="pyarrow")
+        def drop_contaminated(batch: pa.Table) -> pa.Table:
+            bl = ray.get(ref)
+            t = fingerprint_batch(batch)
+            return t.filter(pc.invert(pc.is_in(t["text_hash"], value_set=bl)))
+
+        return ds.map_batches(drop_contaminated, batch_format="pyarrow")
+
+    # at-scale path: hash-partitioned anti-join on text_hash. Right-side
+    # duplicate hashes only multiply rows that are dropped anyway.
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    marked = bench.map_batches(
+        lambda b: pa.table({"bench_hash": b["bench_hash"],
+                            "_m": pa.array([1] * len(b), pa.int8())}),
+        batch_format="pyarrow")
+    fps = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    j = fps.join(marked, "left_outer", num_partitions=max(2, cpus // 2),
+                 on=("text_hash",), right_on=("bench_hash",))
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_null(batch["_m"]))
+        return pa.table({"doc_id": t["doc_id"], "text_hash": t["text_hash"]})
+
+    return j.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
 TOP_NGRAMS_K = 20

@@ -181,8 +181,12 @@ def sweep_stale_tmp_dirs(output_path: str,
     never renamed) but holds the failed partition's full parquet
     payload forever. Age-gated so a CONCURRENT writer's live tmp dir
     (another shard mid-write) is never touched — the same pragmatic
-    contract as Hadoop/Spark ``_temporary`` cleanup. Returns the number
-    of dirs removed."""
+    contract as Hadoop/Spark ``_temporary`` cleanup. The age is the
+    NEWEST mtime inside the dir (the dir's own mtime only changes when
+    a file is created/renamed, so a slow shard streaming into one
+    large file for over an hour would look stale by dir-mtime and get
+    swept mid-write by a concurrent writer). Returns the number of
+    dirs removed."""
     import shutil
     removed = 0
     if not os.path.isdir(output_path):
@@ -190,8 +194,15 @@ def sweep_stale_tmp_dirs(output_path: str,
     now = time.time()
     for name in os.listdir(output_path):
         p = os.path.join(output_path, name)
-        if (name.startswith(".part-") and os.path.isdir(p)
-                and now - os.path.getmtime(p) > min_age_sec):
+        if not (name.startswith(".part-") and os.path.isdir(p)):
+            continue
+        newest = os.path.getmtime(p)
+        try:
+            for f in os.listdir(p):
+                newest = max(newest, os.path.getmtime(os.path.join(p, f)))
+        except OSError:
+            continue  # concurrently renamed/removed — not ours to touch
+        if now - newest > min_age_sec:
             shutil.rmtree(p, ignore_errors=True)
             removed += 1
     return removed

@@ -125,6 +125,18 @@ def statement_sheet_rows(row: dict[str, Any]) -> list[list[Any]]:
     return rows
 
 
+def statement_bold_rows(rows: list[list[Any]]) -> set[int]:
+    """Row indices rendered bold in a statement sheet: the title (0),
+    the column header (2), and every 部分/类别 transition row (only
+    cols 0-1 populated) — visual parity with the reference's
+    Font(bold=True) on those rows (ref main.py:189-368)."""
+    bold = {0, 2}
+    for i, row in enumerate(rows[3:], start=3):
+        if (row[0] or row[1]) and not any(row[2:]):
+            bold.add(i)
+    return bold
+
+
 def _summary_rows(rows: Iterable[dict[str, Any]]) -> list[list[Any]]:
     out = [["doc_id", "statement_type", "valid", "confidence", "n_spans", "errors"]]
     for r in rows:
@@ -137,9 +149,11 @@ def _summary_rows(rows: Iterable[dict[str, Any]]) -> list[list[Any]]:
 def write_statement_workbook(row: dict[str, Any], path: str) -> None:
     """S7: one document -> Summary + statement sheet."""
     wb = Workbook()
-    wb.add_sheet("Summary", _summary_rows([row]))
+    wb.add_sheet("Summary", _summary_rows([row]), bold_rows={0})
+    body = statement_sheet_rows(row)
     wb.add_sheet(STATEMENT_TITLES.get(row.get("statement_type", ""), "报表"),
-                 statement_sheet_rows(row), col_widths=STATEMENT_COL_WIDTHS)
+                 body, col_widths=STATEMENT_COL_WIDTHS,
+                 bold_rows=statement_bold_rows(body))
     wb.save(path)
 
 
@@ -148,10 +162,11 @@ def write_multi_statement_workbook(rows: list[dict[str, Any]], path: str) -> Non
     one statement sheet per document that parsed a statement."""
     wb = Workbook()
     with_statement = [r for r in rows if r.get("statement_type")]
-    wb.add_sheet("Summary", _summary_rows(rows))
+    wb.add_sheet("Summary", _summary_rows(rows), bold_rows={0})
     for r in with_statement:
-        wb.add_sheet(r["doc_id"], statement_sheet_rows(r),
-                     col_widths=STATEMENT_COL_WIDTHS)
+        body = statement_sheet_rows(r)
+        wb.add_sheet(r["doc_id"], body, col_widths=STATEMENT_COL_WIDTHS,
+                     bold_rows=statement_bold_rows(body))
     wb.save(path)
 
 
@@ -180,25 +195,28 @@ def write_notes_workbook(row: dict[str, Any], path: str) -> bool:
         return False
     wb = Workbook()
     toc = [["编号", "标题", "级别", "页码", "Sheet"]]
-    planned: list[tuple[str, list[list[Any]]]] = []
+    planned: list[tuple[str, list[list[Any]], set[int]]] = []
     for note in notes:
         body: list[list[Any]] = [[f"{note['number']} {note['title']}"],
                                  [f"级别: {note['level']}  页码: {note['page']}"],
                                  []]
+        bold = {0}  # note title row
         if note["text"]:
             body.append([note["text"]])
             body.append([])
         for tab in note["tables"]:
+            bold.add(len(body))  # 表格 label row
             body.append([f"表格 {tab['ref']}"])
             for tr in tab["rows"]:
                 body.append([_as_cell(c) for c in tr])
             body.append([])
-        planned.append((f"{note['number']}_{note['title']}", body))
+        planned.append((f"{note['number']}_{note['title']}", body, bold))
     # TOC first; content sheet names are uniqued by the workbook
     toc_rows = toc
-    wb.add_sheet("目录", toc_rows)
-    for (name, body), note in zip(planned, notes):
-        final = wb.add_sheet(name, body, col_widths=[20, 18, 18, 12])
+    wb.add_sheet("目录", toc_rows, bold_rows={0})
+    for (name, body, bold), note in zip(planned, notes):
+        final = wb.add_sheet(name, body, col_widths=[20, 18, 18, 12],
+                             bold_rows=bold)
         toc_rows.append([note["number"], note["title"], note["level"],
                          note["page"], final])
     wb.save(path)

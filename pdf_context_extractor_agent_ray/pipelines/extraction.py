@@ -83,7 +83,29 @@ def extraction_pipeline(ds, *, concurrency: Optional[int] = None,
     )
 
 
-def _broadcast_anti_join(ds, completed: set[str]):
+def _make_drop_counter():
+    """Zero-CPU counter actor: the resume anti-join reports how many
+    input docs it dropped (per batch, delivered synchronously so the
+    total is complete when the pipeline finishes) — replacing the old
+    separate ``ds.count()`` pass over the input, which executed the
+    whole input pipeline a second time for derived sources."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _DropCounter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k: int) -> None:
+            self.n += k
+
+        def total(self) -> int:
+            return self.n
+
+    return _DropCounter.remote()
+
+
+def _broadcast_anti_join(ds, completed: set[str], counter=None):
     """Resume anti-join (J4): drop already-completed doc_ids via a
     broadcast set — no shuffle. The set ships through the object store
     once (``ray.put``) and each task reads it zero-copy."""
@@ -96,12 +118,15 @@ def _broadcast_anti_join(ds, completed: set[str]):
     def drop_done(batch: pa.Table) -> pa.Table:
         done = ray.get(ref)
         mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=done))
-        return batch.filter(mask)
+        out = batch.filter(mask)
+        if counter is not None and len(out) != len(batch):
+            ray.get(counter.add.remote(len(batch) - len(out)))
+        return out
 
     return ds.map_batches(drop_done, batch_format="pyarrow")
 
 
-def _bloom_anti_join(ds, cf):
+def _bloom_anti_join(ds, cf, counter=None):
     """At-scale resume filter: the manifest-derived CompletedFilter
     (range-pruned Blooms) ships once via ``ray.put``; no parquet
     doc_id columns are read and no driver set is built, so resume cost
@@ -112,7 +137,10 @@ def _bloom_anti_join(ds, cf):
     def drop_done(batch: pa.Table) -> pa.Table:
         f = ray.get(ref)
         mask = [not f.might_contain(d) for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        out = batch.filter(pa.array(mask, pa.bool_()))
+        if counter is not None and len(out) != len(batch):
+            ray.get(counter.add.remote(len(batch) - len(out)))
+        return out
 
     return ds.map_batches(drop_done, batch_format="pyarrow")
 
@@ -142,24 +170,34 @@ def run_resumable(ds_factory, output_path: str, *,
     false-positive skip rate, disclosed in CompletedFilter).
 
     Manifest extras: ``skipped_docs`` = docs of THIS run's input that
-    were dropped as already done (input count minus docs written — not
-    the size of the previously-finished set, which says nothing about
-    this input); ``prior_done_docs`` = finished docs found on disk.
-    The input count comes from ``ds.count()``, metadata-cheap for the
-    range/parquet sources this runner takes."""
+    were dropped as already done (not the size of the previously-
+    finished set, which says nothing about this input);
+    ``prior_done_docs`` = finished docs found on disk. Skips are
+    counted INSIDE the anti-join filter (zero-CPU counter actor, one
+    synchronous add per filtered batch) rather than by an extra
+    ``ds.count()`` pass, which for derived inputs (CLI --pages /
+    --max-spans wrap map_batches around the read) executed the whole
+    input pipeline twice. Caveat: a Ray lineage re-execution of a
+    filter task would double-count its batch; the metric is
+    informational, never used for resume decisions."""
+    import ray
+
     n_done = sum(m["num_docs"] for m in dio.load_manifests(output_path))
     ds = ds_factory()
-    input_n = ds.count()
     cf = dio.completed_filter(output_path) if n_done > resume_exact_max_docs else None
+    counter = None
     if cf is not None:
-        ds = _bloom_anti_join(ds, cf)
+        counter = _make_drop_counter()
+        ds = _bloom_anti_join(ds, cf, counter)
     else:
         completed = dio.completed_doc_ids(output_path)
-        ds = _broadcast_anti_join(ds, completed)
+        if completed:
+            counter = _make_drop_counter()
+        ds = _broadcast_anti_join(ds, completed, counter)
     out = extraction_pipeline(ds, concurrency=concurrency,
                               batch_size=batch_size, config=config)
     part = dio.next_partition_index(output_path)
     manifest = dio.write_partition(out, output_path, part, lineage=lineage)
-    manifest["skipped_docs"] = input_n - manifest["num_docs"]
+    manifest["skipped_docs"] = ray.get(counter.total.remote()) if counter else 0
     manifest["prior_done_docs"] = n_done
     return manifest

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 import zipfile
-from typing import Any, Optional
+from typing import Any, Iterable, Optional
 from xml.sax.saxutils import escape
 
 # XML 1.0 forbids these outright — escape() does NOT handle them, and
@@ -38,13 +38,16 @@ _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
 </Relationships>"""
 
+# style index 1 = bold (section/header rows, S7-S9 visual parity with
+# the reference's openpyxl Font(bold=True) usage, ref main.py:189-368)
 _STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font></fonts>
+<fonts count="2"><font><sz val="11"/><name val="Calibri"/></font>
+<font><b/><sz val="11"/><name val="Calibri"/></font></fonts>
 <fills count="1"><fill><patternFill patternType="none"/></fill></fills>
 <borders count="1"><border/></borders>
 <cellStyleXfs count="1"><xf/></cellStyleXfs>
-<cellXfs count="1"><xf/></cellXfs>
+<cellXfs count="2"><xf/><xf fontId="1" applyFont="1"/></cellXfs>
 </styleSheet>"""
 
 INVALID_SHEET_CHARS = set("[]:*?/\\")
@@ -69,15 +72,16 @@ def _col_letter(idx: int) -> str:
     return out
 
 
-def _cell_xml(ref: str, value: Any) -> str:
+def _cell_xml(ref: str, value: Any, bold: bool = False) -> str:
     if value is None or value == "":
         return ""
+    s = ' s="1"' if bold else ""
     if isinstance(value, bool):
-        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+        return f'<c r="{ref}"{s} t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        return f'<c r="{ref}" t="n"><v>{value}</v></c>'
+        return f'<c r="{ref}"{s} t="n"><v>{value}</v></c>'
     text = _xml_text(str(value))
-    return (f'<c r="{ref}" t="inlineStr"><is>'
+    return (f'<c r="{ref}"{s} t="inlineStr"><is>'
             f'<t xml:space="preserve">{text}</t></is></c>')
 
 
@@ -85,28 +89,34 @@ class Workbook:
     """append-only workbook: add_sheet(...) then save(path)."""
 
     def __init__(self) -> None:
-        self._sheets: list[tuple[str, list[list[Any]], Optional[list[float]]]] = []
+        self._sheets: list[tuple[str, list[list[Any]], Optional[list[float]],
+                                 frozenset[int]]] = []
 
     def add_sheet(self, name: str, rows: list[list[Any]],
-                  col_widths: Optional[list[float]] = None) -> str:
+                  col_widths: Optional[list[float]] = None,
+                  bold_rows: Optional[Iterable[int]] = None) -> str:
         """Add a sheet; the name is sanitized and uniqued. Returns the
-        final sheet name (callers reference it from TOC sheets)."""
+        final sheet name (callers reference it from TOC sheets).
+        ``bold_rows``: 0-based indices of rows rendered in the bold
+        style (headers / section rows)."""
         base = sanitize_sheet_name(name)
         # Excel compares sheet names case-insensitively: 'ABC' vs 'abc'
         # is an illegal duplicate, so unique on the casefold
-        existing = {n.casefold() for n, _, _ in self._sheets}
+        existing = {n.casefold() for n, _, _, _ in self._sheets}
         final = base
         suffix = 1
         while final.casefold() in existing:
             tail = f"~{suffix}"
             final = base[:MAX_SHEET_NAME - len(tail)] + tail
             suffix += 1
-        self._sheets.append((final, rows, col_widths))
+        self._sheets.append((final, rows, col_widths,
+                             frozenset(bold_rows or ())))
         return final
 
     @staticmethod
     def _sheet_xml(rows: list[list[Any]],
-                   col_widths: Optional[list[float]]) -> str:
+                   col_widths: Optional[list[float]],
+                   bold_rows: frozenset[int] = frozenset()) -> str:
         parts = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
                  '<worksheet xmlns="http://schemas.openxmlformats.org/'
                  'spreadsheetml/2006/main">']
@@ -117,7 +127,8 @@ class Workbook:
             parts.append(f"<cols>{cols}</cols>")
         parts.append("<sheetData>")
         for r, row in enumerate(rows, start=1):
-            cells = "".join(_cell_xml(f"{_col_letter(c)}{r}", v)
+            bold = (r - 1) in bold_rows
+            cells = "".join(_cell_xml(f"{_col_letter(c)}{r}", v, bold)
                             for c, v in enumerate(row))
             parts.append(f'<row r="{r}">{cells}</row>')
         parts.append("</sheetData></worksheet>")
@@ -136,7 +147,7 @@ class Workbook:
         sheets_xml = "".join(
             f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
             f'sheetId="{i + 1}" r:id="rId{i + 1}"/>'
-            for i, (name, _, _) in enumerate(self._sheets))
+            for i, (name, _, _, _) in enumerate(self._sheets))
         workbook_xml = (
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
@@ -160,6 +171,6 @@ class Workbook:
             z.writestr("xl/workbook.xml", workbook_xml)
             z.writestr("xl/_rels/workbook.xml.rels", workbook_rels)
             z.writestr("xl/styles.xml", _STYLES)
-            for i, (_, rows, widths) in enumerate(self._sheets):
+            for i, (_, rows, widths, bold) in enumerate(self._sheets):
                 z.writestr(f"xl/worksheets/sheet{i + 1}.xml",
-                           self._sheet_xml(rows, widths))
+                           self._sheet_xml(rows, widths, bold))

@@ -155,3 +155,40 @@ def test_statement_rows_no_statement():
     row = _row_dict(generate_doc("xlsx-empty", family="no_statement"))
     rows = statement_sheet_rows(row)
     assert rows[0][0] == "财务报表" and len(rows) == 3  # title/blank/header only
+
+
+def test_bold_styles_written(tmp_path, bs_row):
+    """S7 styling parity (minimal): styles.xml declares a bold font +
+    cellXf, and the title/header/section rows carry s="1" while item
+    rows do not (unzip-and-grep, no openpyxl)."""
+    path = str(tmp_path / "styled.xlsx")
+    write_statement_workbook(bs_row, path)
+    with zipfile.ZipFile(path) as z:
+        styles = z.read("xl/styles.xml").decode()
+        assert "<b/>" in styles and 'fontId="1"' in styles
+        sheet2 = z.read("xl/worksheets/sheet2.xml").decode()
+    root = ET.fromstring(sheet2)
+    rows = {int(r.get("r")): r for r in root.iter(f"{NS}row")}
+    def styled(r):
+        return [c.get("s") for c in rows[r].iter(f"{NS}c")]
+    assert all(s == "1" for s in styled(1)), "title row bold"
+    assert all(s == "1" for s in styled(3)), "header row bold"
+    # an item row (cols 2+ populated) must NOT be bold
+    body = statement_sheet_rows(bs_row)
+    item_idx = next(i for i, row in enumerate(body[3:], start=3)
+                    if any(row[2:]))
+    assert all(s is None for s in styled(item_idx + 1)), "item row plain"
+    # at least one section transition row is bold
+    sec_idx = next(i for i, row in enumerate(body[3:], start=3)
+                   if (row[0] or row[1]) and not any(row[2:]))
+    assert all(s == "1" for s in styled(sec_idx + 1)), "section row bold"
+
+
+def test_notes_workbook_bold_toc_and_table_labels(tmp_path, notes_row):
+    path = str(tmp_path / "notes_styled.xlsx")
+    assert write_notes_workbook(notes_row, path)
+    with zipfile.ZipFile(path) as z:
+        toc = z.read("xl/worksheets/sheet1.xml").decode()
+    root = ET.fromstring(toc)
+    first = next(r for r in root.iter(f"{NS}row") if r.get("r") == "1")
+    assert all(c.get("s") == "1" for c in first.iter(f"{NS}c"))

@@ -214,3 +214,64 @@ def test_degenerate_bucket_chain_links(ray_session):
     assert len(clusters) == n
     assert {c["cluster_id"] for c in clusters} == {0}  # one component
     assert dt < 60, dt  # all-pairs would be ~2M comparisons x 4 bands
+
+
+def test_decontaminate_paths_agree(ray_session):
+    """Broadcast-blocklist and hash-partitioned-anti-join paths of
+    decontaminate keep the identical survivor set (the at-scale path
+    is forced by zeroing the gate)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import decontaminate
+
+    fast = sorted((r["doc_id"], r["text_hash"]) for r in decontaminate(
+        rd.read_parquet(f"{SF}/documents.parquet")).take_all())
+    slow = sorted((r["doc_id"], r["text_hash"]) for r in decontaminate(
+        rd.read_parquet(f"{SF}/documents.parquet"),
+        broadcast_max_hashes=0).take_all())
+    assert fast == slow and fast
+
+
+def test_top_customers_paths_agree(ray_session):
+    """Broadcast-dimension and Dataset.join paths of top_customers
+    return the identical ranking (at-scale path forced by a zero-byte
+    dimension gate)."""
+    from pdf_context_extractor_agent_ray.functions.relational import top_customers
+
+    cols = ["o_custkey", "revenue_cents", "n_orders", "c_name", "c_mktsegment"]
+    fast = top_customers(SF).to_pandas()
+    slow = top_customers(SF, broadcast_max_bytes=0).to_pandas()
+    assert list(fast["o_custkey"]) == list(slow["o_custkey"])
+    for c in cols:
+        assert list(fast[c]) == list(slow[c]), c
+
+
+def test_lsh_knn_recall(ray_session):
+    """Hyperplane-LSH approximate top-k: recall floors vs the exact
+    brute-force ranking — the quality gate for the rows-only knn_lsh
+    entry. Hyperplane LSH on the near-isotropic 48-dim synth
+    embeddings is diffuse by nature, so the honest claims are (a) the
+    default probe radius beats its probed-bucket fraction by a wide
+    factor (it finds structure, not luck: measured 0.16 mean vs a
+    9/256 = 3.5% probed baseline) and (b) recall scales with the
+    probe radius (measured 0.62 at hamming<=3, 93/256 probed)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.simsearch import (
+        knn_topk, lsh_bucketed_knn, load_query_vectors)
+
+    qv = load_query_vectors(SF)
+
+    def mean_recall(ph):
+        exact, approx = {}, {}
+        for r in knn_topk(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                          qv).take_all():
+            exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in lsh_bucketed_knn(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                                  qv, probe_hamming=ph).take_all():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(len(exact[q] & approx.get(q, set())) / len(exact[q])
+                   for q in exact) / len(exact)
+
+    r1 = mean_recall(1)
+    assert r1 >= 0.08, r1          # >2x the 3.5% probed-fraction baseline
+    r3 = mean_recall(3)
+    assert r3 >= 0.4, r3           # radius scaling holds
