@@ -145,6 +145,26 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _filter_refbundle_warning() -> None:
+    """Suppress Ray's 'RefBundle with a different schema' warning for
+    this bench process ONLY. It fires whenever a sort-shuffle
+    (groupby/map_groups) reduce emits an empty partition as a
+    zero-schema block — reproducible on a bare
+    ``range→groupby→aggregate`` with dense non-empty keys, i.e. it is
+    Ray-internal and independent of the UDFs. Every engine operator
+    emits its declared schema (the bounded-key aggregates avoid the
+    shuffle entirely); only the genuinely-distributed bucketed
+    streamops still trip it."""
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state").addFilter(_F())
+
+
 def main() -> None:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -152,6 +172,7 @@ def main() -> None:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _filter_refbundle_warning()
 
     headline = run_headline()
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()

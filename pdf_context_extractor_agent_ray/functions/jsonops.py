@@ -38,7 +38,15 @@ def events_json_stats(sf_dir: str):
         return pa.table({"event_type": batch["event_type"],
                          "k": pa.array(ks, pa.int64())})
 
-    return ds.map_batches(extract, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(Count(alias_name="n"),
-                                         Sum("k", alias_name="sum_k"),
-                                         Max("k", alias_name="max_k"))
+    import pandas as pd
+    from .util import finish_grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = extract(batch).to_pandas()
+        agg = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["event_type"],
+                          {"n": "sum", "sum_k": "sum", "max_k": "max"})

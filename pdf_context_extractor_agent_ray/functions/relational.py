@@ -27,10 +27,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _finish_grouped_sums(partials, keys: list[str]):
+    """Bounded-key finish: see ``functions.util.finish_grouped``."""
+    from .util import finish_grouped
+    return finish_grouped(partials, keys)
+
+
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
     """TPC-H Q1-shaped grouped aggregate with per-batch partials."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                 "l_discount", "l_shipdate"])
@@ -54,12 +58,9 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
             sum_disc_price_cents=("disc_c", "sum"), n_rows=("qty_c", "size"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]) \
-        .aggregate(Sum("sum_qty_cents", alias_name="sum_qty_cents"),
-                   Sum("sum_price_cents", alias_name="sum_price_cents"),
-                   Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
-                   Sum("n_rows", alias_name="n_rows"))
+    return _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"])
 
 
 # customer dimensions up to this many bytes on disk broadcast as a
@@ -155,9 +156,8 @@ def top_customers(sf_dir: str, k: int = 10,
 def events_windowed(sf_dir: str):
     """Tumbling 1-hour windowed aggregate over the events stream table:
     window key computed per batch (epoch-hour bucket), partial counts
-    pre-aggregated, then the small groupby."""
-    from ray.data.aggregate import Sum
-
+    pre-aggregated, then the small bounded-key finish (windows grow
+    with TIME, not corpus size)."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -171,10 +171,9 @@ def events_windowed(sf_dir: str):
             n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["window_start_us", "event_type"]) \
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value_cents", alias_name="sum_value_cents"))
+    return _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start_us", "event_type"])
 
 
 def filter_sort_topk(sf_dir: str, k: int = 20):
@@ -280,7 +279,6 @@ def region_rollup(sf_dir: str):
     """customer → nation → region rollup via broadcast dimension maps
     (region/nation are tiny: classic broadcast-join shape)."""
     import ray
-    from ray.data.aggregate import Sum
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
@@ -303,22 +301,25 @@ def region_rollup(sf_dir: str):
             n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("r_name").aggregate(Sum("n_customers", alias_name="n_customers"),
-                                     Sum("sum_acctbal_cents", alias_name="sum_acctbal_cents"))
+    return _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"), ["r_name"])
 
 
 def segment_stats(sf_dir: str):
-    """Distinct-ish aggregate: customers per market segment."""
-    from ray.data.aggregate import Count, Sum
+    """Distinct-ish aggregate: customers per market segment
+    (pre-aggregated per batch, bounded-key finish)."""
+    import pandas as pd
+
     ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table({
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({
             "c_mktsegment": batch["c_mktsegment"],
             "bal_c": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100), round_mode="half_towards_infinity"), pa.int64()),
-        })
+        }).to_pandas()
+        agg = df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return ds.map_batches(prep, batch_format="pyarrow") \
-        .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"),
-                                           Sum("bal_c", alias_name="sum_acctbal_cents"))
+    return _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"), ["c_mktsegment"])

@@ -30,16 +30,24 @@ def _matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(batch), -1)
 
 
-def _final_topk(k: int):
-    """Shared exact top-k finisher: (sim_e6 desc, vec_id asc) tie-break
-    + 1-based rank — ONE definition so the exact and approximate paths
-    cannot silently diverge on the ordering contract."""
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim_e6", "vec_id"],
-                            ascending=[False, True]).head(k).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+def _finish_topk(partials, k: int):
+    """Shared exact top-k finisher: per query (sim_e6 desc, vec_id asc)
+    tie-break + 1-based rank — ONE definition so the exact and
+    approximate paths cannot silently diverge on the ordering
+    contract. Queries are a bounded set and partials carry <= k rows
+    per query per input batch, so the finish coalesces to one block
+    and folds vectorized — no per-key map_groups exchange (fixed ~2 s
+    cost + Ray-internal empty-partition schema warnings)."""
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(rank=pd.Series(dtype="int64"))
+        df = df.sort_values(["query_id", "sim_e6", "vec_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", group_keys=False).head(k).copy()
+        df["rank"] = df.groupby("query_id").cumcount().to_numpy() + 1
         return df
-    return final_topk
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -89,7 +97,7 @@ def knn_topk(ds, query_vectors: dict[int, list[float]], k: int = DEFAULT_K):
                          "sim_e6": pa.array(out_s, pa.int64())})
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    return _finish_topk(partials, k)
 
 
 def load_query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]]:
@@ -176,8 +184,8 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim_e6": pa.array(out_s, pa.int64())})
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _finish_topk(partials, k)
 
 
 IVF_NLIST = 16
@@ -281,8 +289,8 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
                          "vec_id": pa.array(out_v, pa.int64()),
                          "sim_e6": pa.array(out_s, pa.int64())})
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _finish_topk(partials, k)
 
 
 EMBED_DUP_THRESHOLD_E6 = 450_000
@@ -404,16 +412,19 @@ def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
 
 
 def label_stats(ds):
-    """Per-label embedding stats: count + integer-scaled mean of the
-    first component (partial aggregation inside map_batches, then a
-    small groupby — the pre-aggregate pattern)."""
-    from ray.data.aggregate import Count, Sum
+    """Per-label embedding stats: count + integer-scaled sum of the
+    first component — per-batch partials then the bounded-key finish
+    (labels are a small enum)."""
+    from .util import finish_grouped
 
-    def first_comp(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         M = _matrix(batch)
-        return pa.table({"label": batch["label"],
-                         "c0_e6": pa.array(round_half_away_e(M[:, 0]), pa.int64())})
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"label": label,
+                           "c0_e6": round_half_away_e(M[:, 0])})
+        agg = df.groupby("label", as_index=False).agg(
+            n=("c0_e6", "size"), sum_c0_e6=("c0_e6", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return ds.map_batches(first_comp, batch_format="pyarrow") \
-        .groupby("label").aggregate(Count(alias_name="n"),
-                                    Sum("c0_e6", alias_name="sum_c0_e6"))
+    return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["label"])

@@ -180,11 +180,21 @@ def length_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def length_stats(ds):
-    from ray.data.aggregate import Count, Sum
-    return ds.map_batches(length_stats_batch, batch_format="pyarrow") \
-        .groupby("source").aggregate(Count(alias_name="n"),
-                                     Sum("n_chars", alias_name="sum_chars"),
-                                     Sum("n_chars_sq", alias_name="sum_chars_sq"))
+    """Per-source length moments: per-batch partial (count/sum/sumsq
+    per source) then the bounded-key finish (sources are a small
+    enum)."""
+    import pandas as pd
+    from .util import finish_grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = length_stats_batch(batch).to_pandas()
+        agg = df.groupby("source", as_index=False).agg(
+            n=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+            sum_chars_sq=("n_chars_sq", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["source"])
 
 
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
