@@ -11,8 +11,8 @@ The driver initialises Ray BEFORE importing this module; nothing here
 - ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
   query, with IDENTICAL column names and integer-scaled numerics so the
   driver's value-hash comparison is exact. Non-SQL-expressible entries
-  (full span extraction, LSH/SimHash, approximate ANN, media stubs) are
-  intentionally omitted → rows-only check.
+  (greedy packing fold, approximate ANN, HLL sketch) are intentionally
+  omitted → rows-only check (each is pinned by pytest instead).
 """
 from __future__ import annotations
 
@@ -141,7 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lambda sf: _docs(sf).map_batches(fn, batch_format="pyarrow")
 
     return {
-        # flagship extraction (non-SQL: per-doc span extraction semantics)
+        # flagship extraction (oracle: DuckDB summary over the
+        # sequential-oracle extraction artifact — span-for-span md5)
         "extract_summary": _extract_summary,
         "media_stats": lambda sf: media_stats(documents_from_flat(sf)),
         "media_resize": lambda sf: media_resize(documents_from_flat(sf)),
@@ -276,14 +277,47 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     # from the SAME generator (materialized once under /tmp). The
     # driver calls this with no argument and runs its gate at sf0.01;
     # pass the matching sf_dir to compare at any other scale.
+    from pdf_context_extractor_agent_ray.sources.synth_source import (
+        ensure_extracted_spans_parquet,
+    )
     try:
         spans_pq = ensure_spans_parquet(sf_dir)
+        ex_spans_pq, ex_docs_pq = ensure_extracted_spans_parquet(sf_dir)
     except OSError:
-        # sf dir absent: still return valid SQL strings (only the five
+        # sf dir absent: still return valid SQL strings (only the
         # span oracles would fail to execute, at their call site)
-        spans_pq = f"/tmp/graft_spans/missing/{sf_dir.strip('/').replace('/', '_')}.parquet"
+        missing = f"/tmp/graft_spans/missing/{sf_dir.strip('/').replace('/', '_')}"
+        spans_pq = f"{missing}.parquet"
+        ex_spans_pq = f"{missing}-ex-spans.parquet"
+        ex_docs_pq = f"{missing}-ex-docs.parquet"
     _TRIM = "trim(text, ' \t\r\n\f\v')"
     return {
+        "extract_summary": f"""
+            -- sequential-oracle twin of the distributed extraction:
+            -- the artifacts are written by oracle.extractor one doc at
+            -- a time (single process), so this summary gates the Ray
+            -- pipeline's partitioning/batching/ordering span-for-span
+            -- via the per-doc payload md5 (kind\\0text\\0ref\\1 per
+            -- span, engine twin in _extract_summary.summarize)
+            WITH agg AS (
+              SELECT doc_id, count(*) AS n_spans,
+                     CAST(sum(CASE WHEN kind IN ('item', 'subtotal', 'total')
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_items,
+                     CAST(sum(CASE WHEN kind = 'note_title' THEN 1 ELSE 0 END) AS BIGINT) AS n_notes,
+                     CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+                     md5(string_agg(kind || chr(0) || text || chr(0) || media_ref || chr(1),
+                                    '' ORDER BY span_idx)) AS span_md5
+              FROM read_parquet('{ex_spans_pq}') GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_spans, 0) AS n_spans,
+                   coalesce(a.n_items, 0) AS n_items,
+                   coalesce(a.n_notes, 0) AS n_notes,
+                   coalesce(a.n_media, 0) AS n_media,
+                   d.valid,
+                   coalesce(a.span_md5, md5('')) AS span_md5
+            FROM read_parquet('{ex_docs_pq}') d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
         "media_stats": f"""
             SELECT doc_id, count(*) AS n_media,
                    CAST(sum(('0x' || substr(md5(media_ref), 5, 8))::UBIGINT

@@ -107,6 +107,101 @@ def ensure_spans_parquet(sf_dir: str) -> str:
     return path
 
 
+def _engine_code_hash() -> str:
+    """Hash of the per-document semantics sources (docproc + patterns).
+    Part of the extracted-oracle cache key so the artifact can never
+    silently diverge from the engine after a code change — the
+    file-bytes hash plays the role SYNTH_VERSION plays for the
+    generator."""
+    import hashlib
+    import os
+
+    from .. import docproc, patterns
+
+    h = hashlib.md5()
+    for mod in (docproc, patterns):
+        with open(os.path.abspath(mod.__file__), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def ensure_extracted_spans_parquet(sf_dir: str) -> tuple[str, str]:
+    """Materialize the SEQUENTIAL-oracle extraction output for
+    ``sf_dir`` as flat parquet artifacts under /tmp and return
+    ``(spans_path, docs_path)``.
+
+    - spans: one row per OUTPUT span (doc_id, span_idx, kind, text,
+      media_ref) in emission order;
+    - docs: one row per document (doc_id, valid) so zero-span docs
+      survive the SQL aggregation (LEFT JOIN + md5('')).
+
+    This is the driver-gate twin of ``extraction_pipeline``: the
+    oracle runs `oracle.extractor.extract_doc_dict` one document at a
+    time in a single process (the reference's execution model), so a
+    DuckDB summary over these artifacts checks the DISTRIBUTED
+    pipeline — partitioning, batching, ordering, actor pools — against
+    the sequential semantics, span-for-span via the per-doc md5.
+    Written once per (synth version, engine-code hash, sf dir) via
+    tmp-file + atomic rename; safe under concurrent callers.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..oracle.extractor import extract_doc_dict
+    from ..synth import SYNTH_VERSION, generate_doc
+
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ids = src.column("doc_id").to_pylist()
+    id_hash = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()[:16]
+    dir_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = (f"/tmp/graft_extract/v{SYNTH_VERSION}-{_engine_code_hash()}/"
+               f"{base}-{dir_key}-{id_hash}")
+    spans_path = f"{out_dir}/extracted_spans.parquet"
+    docs_path = f"{out_dir}/extracted_docs.parquet"
+    if os.path.exists(spans_path) and os.path.exists(docs_path):
+        return spans_path, docs_path
+    os.makedirs(out_dir, exist_ok=True)
+    s_cols = {"doc_id": [], "span_idx": [], "kind": [], "text": [],
+              "media_ref": []}
+    d_cols = {"doc_id": [], "valid": []}
+    for i in ids:
+        doc = generate_doc(f"doc-{int(i):08d}")
+        res = extract_doc_dict(doc)
+        d_cols["doc_id"].append(res["doc_id"])
+        d_cols["valid"].append(res["valid"])
+        for idx, (k, t, r, _o) in enumerate(res["spans"]):
+            s_cols["doc_id"].append(res["doc_id"])
+            s_cols["span_idx"].append(idx)
+            s_cols["kind"].append(k)
+            s_cols["text"].append(t)
+            s_cols["media_ref"].append(r)
+    spans_tbl = pa.table({
+        "doc_id": pa.array(s_cols["doc_id"], pa.string()),
+        "span_idx": pa.array(s_cols["span_idx"], pa.int32()),
+        "kind": pa.array(s_cols["kind"], pa.string()),
+        "text": pa.array(s_cols["text"], pa.string()),
+        "media_ref": pa.array(s_cols["media_ref"], pa.string()),
+    })
+    docs_tbl = pa.table({
+        "doc_id": pa.array(d_cols["doc_id"], pa.string()),
+        "valid": pa.array(d_cols["valid"], pa.bool_()),
+    })
+    for tbl, path in ((spans_tbl, spans_path), (docs_tbl, docs_path)):
+        fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=out_dir)
+        os.close(fd)
+        try:
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    return spans_path, docs_path
+
+
 def documents_from_flat(sf_dir: str, limit: Optional[int] = None):
     """Derive the interleaved span corpus deterministically from the
     driver's flat ``documents.parquet`` (doc_id keys only — the span
