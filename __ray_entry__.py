@@ -26,6 +26,7 @@ from pdf_context_extractor_agent_ray.functions import dedup as F_dedup
 from pdf_context_extractor_agent_ray.functions import jsonops as F_json
 from pdf_context_extractor_agent_ray.functions import relational as F_rel
 from pdf_context_extractor_agent_ray.functions import scoring as F_score
+from pdf_context_extractor_agent_ray.functions import sketches as F_sketch
 from pdf_context_extractor_agent_ray.functions import simsearch as F_sim
 from pdf_context_extractor_agent_ray.functions import streamops as F_stream
 from pdf_context_extractor_agent_ray.functions import text as F_text
@@ -453,6 +454,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM t
             GROUP BY doc_id, (i - 1) // {F_text.CHUNK_TOKENS}
         """,
+        "pack_sequences": f"""
+            -- greedy fixed-budget packing as a RECURSIVE walk: each
+            -- bucket's chunks step in (doc_id, chunk_idx) order
+            -- carrying (seq_idx, filled) — the running fold the engine
+            -- does vectorized per bucket (functions/text.pack_sequences;
+            -- a chunk that would overflow the budget opens a new
+            -- sequence, the first chunk is always admitted)
+            WITH RECURSIVE t AS (SELECT doc_id, unnest(tk) AS tok,
+                                        generate_subscripts(tk, 1) AS i
+                                 FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk
+                                       FROM documents)),
+            ch AS (SELECT doc_id,
+                          CAST((i - 1) // {F_text.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+                          count(*) AS n_tokens
+                   FROM t GROUP BY 1, 2),
+            ord AS (SELECT (doc_id * 2654435761) & 4294967295 AS h, *,
+                           row_number() OVER
+                             (PARTITION BY ((doc_id * 2654435761) & 4294967295)
+                                           % {F_text.PACK_BUCKETS}
+                              ORDER BY doc_id, chunk_idx) AS rn
+                    FROM ch),
+            o2 AS (SELECT CAST(h % {F_text.PACK_BUCKETS} AS BIGINT) AS bucket,
+                          rn, n_tokens FROM ord),
+            walk AS (
+              SELECT bucket, rn, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_idx, n_tokens AS filled
+              FROM o2 WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.n_tokens,
+                     CASE WHEN w.filled + o.n_tokens > {F_text.PACK_BUDGET}
+                          THEN w.seq_idx + 1 ELSE w.seq_idx END,
+                     CASE WHEN w.filled + o.n_tokens > {F_text.PACK_BUDGET}
+                          THEN o.n_tokens ELSE w.filled + o.n_tokens END
+              FROM walk w JOIN o2 o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
+            SELECT bucket, seq_idx, count(*) AS n_chunks,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM walk GROUP BY 1, 2
+        """,
         "quality_score": f"""
             WITH f AS (
               SELECT doc_id,
@@ -687,6 +726,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
                    CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_c0_e6
             FROM embeddings GROUP BY 1
+        """,
+        "approx_distinct_tokens": f"""
+            -- bit-exact HLL twin of functions/sketches.py: same
+            -- md5-derived 64-bit hashes, p={F_sketch.HLL_P} registers,
+            -- EXACT integer harmonic sum (2^(64-reg) in HUGEINT — no
+            -- float summation order), shared double-literal numerator,
+            -- floor(e+0.5) rounding. rest mirrors numpy's wrapping
+            -- shift via mask-then-shift; rank = 65 - bit_length.
+            WITH norm AS (SELECT {_NORM} AS n FROM documents),
+            tok AS (SELECT DISTINCT unnest(string_split(n, ' ')) AS t
+                    FROM norm WHERE n <> ''),
+            h AS (SELECT ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok),
+            rr AS (SELECT CAST(hv >> {64 - F_sketch.HLL_P} AS BIGINT) AS idx,
+                          -- HUGEINT lane: DuckDB rejects UBIGINT shifts
+                          -- whose result tops 2^63, so the wrapped
+                          -- (hv << P) | ones runs in int128
+                          ((hv::HUGEINT % (1::HUGEINT << {64 - F_sketch.HLL_P}))
+                           << {F_sketch.HLL_P}) | {(1 << F_sketch.HLL_P) - 1} AS rest
+                   FROM h),
+            regs AS (SELECT idx, max(65 - length(bin(rest))) AS reg
+                     FROM rr GROUP BY idx),
+            s AS (SELECT coalesce(sum(1::HUGEINT << (64 - reg)), 0::HUGEINT) AS sum_nz,
+                         count(*) AS m_nz FROM regs),
+            c AS (SELECT sum_nz + ({F_sketch.HLL_M} - m_nz)::HUGEINT
+                                  * (1::HUGEINT << 64) AS inv_int,
+                         {F_sketch.HLL_M} - m_nz AS zeros FROM s),
+            e AS (SELECT {F_sketch.EST_NUMER!r} / CAST(inv_int AS DOUBLE) AS est,
+                         zeros FROM c)
+            SELECT CAST(floor(CASE WHEN est <= {2.5 * F_sketch.HLL_M} AND zeros > 0
+                                   THEN {F_sketch.HLL_M} * ln({F_sketch.HLL_M}
+                                                              / CAST(zeros AS DOUBLE))
+                                   ELSE est END + 0.5) AS BIGINT)
+                   AS n_distinct_tokens_approx
+            FROM e
         """,
         "events_json_stats": """
             SELECT event_type, count(*) AS n,

@@ -5,8 +5,14 @@ for exactly this per-batch-emit / merge shape).
 HyperLogLog (p=12, md5-derived 64-bit hashes) for approximate distinct
 counts. The estimate is a pure function of the VALUE SET (registers
 are element-wise maxima), so it is deterministic and invariant to
-partitioning/batching — testable, though not SQL-replicable (DuckDB's
-approx_count_distinct uses a different sketch).
+partitioning/batching — and since r3 it is SQL-replicable bit-for-bit:
+the harmonic sum is folded as an EXACT integer (sum of 2^(64-reg) —
+float summation order would differ between numpy and DuckDB in the
+last ulp), the alpha*m^2*2^64 numerator is a single precomputed double
+literal shared with the oracle SQL, and rounding is floor(e + 0.5) on
+both sides (Python round() is half-even, DuckDB round() half-away).
+The only residual implementation dependence is libm ln() in the
+linear-counting branch — sub-ulp, and deterministic per corpus.
 """
 from __future__ import annotations
 
@@ -19,6 +25,9 @@ import pyarrow as pa
 HLL_P = 12
 HLL_M = 1 << HLL_P
 _ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# the raw-estimate numerator alpha * m^2 * 2^64 as ONE double literal:
+# repr() round-trips, so the oracle SQL interpolates the same value
+EST_NUMER = _ALPHA * HLL_M * HLL_M * 2.0 ** 64
 
 
 def _registers(values: list[str]) -> np.ndarray:
@@ -40,12 +49,15 @@ def _registers(values: list[str]) -> np.ndarray:
 
 
 def estimate(regs: np.ndarray) -> int:
-    inv = np.sum(np.power(2.0, -regs.astype(np.float64)))
-    e = _ALPHA * HLL_M * HLL_M / inv
-    zeros = int(np.sum(regs == 0))
+    # exact integer harmonic sum: sum over registers of 2^(64-reg),
+    # via the register-value histogram (<= 53 distinct values)
+    counts = np.bincount(regs.astype(np.int64), minlength=65)
+    inv_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+    e = EST_NUMER / float(inv_int)
+    zeros = int(counts[0])
     if e <= 2.5 * HLL_M and zeros:
         e = HLL_M * math.log(HLL_M / zeros)  # linear counting
-    return int(round(e))
+    return int(math.floor(e + 0.5))
 
 
 def approx_distinct_tokens(sf_dir: str):

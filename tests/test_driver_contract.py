@@ -83,6 +83,6 @@ def test_every_oracle_has_query(entrymod):
 
 def test_rows_only_queries_run(entrymod):
     qs = entrymod.queries()
-    for name in ("knn_lsh", "knn_ivf", "approx_distinct_tokens", "pack_sequences"):
+    for name in ("knn_lsh", "knn_ivf", "pack_sequences"):
         df = _to_pandas(qs[name](SF_DIR))
         assert df is not None
