@@ -6,7 +6,8 @@ Usage::
     python -m pdf_context_extractor_agent_ray.cli extract \
         --input /path/to/documents_parquet --output /tmp/out \
         [--pages 2-4] [--format parquet|json|csv] [--num-cpus 32] \
-        [--max-spans 2048] [--keyword-library lib.json] [--resume]
+        [--max-spans 2048] [--keyword-library lib.json] [--resume] \
+        [--choices-log logs/user_choices.json]
 
     python -m pdf_context_extractor_agent_ray.cli synth \
         --n-docs 10000 --output /tmp/corpus
@@ -67,6 +68,10 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
     _init_ray(args.num_cpus)
     config = load_keyword_library(args.keyword_library) if args.keyword_library else None
+    if getattr(args, "choices_log", None):
+        from .config import EngineConfig, load_decision_log
+        config = config or EngineConfig()
+        config.choice_replay = load_decision_log(args.choices_log)
 
     page_range = _parse_pages(args.pages) if args.pages else None
 
@@ -203,6 +208,9 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--batch-size", type=int, default=48)
     pe.add_argument("--max-spans", type=int, help="split docs above this span count")
     pe.add_argument("--keyword-library", help="JSON keyword library (EngineConfig)")
+    pe.add_argument("--choices-log",
+                    help="recorded arbitration log (reference user_choices.json "
+                         "array or engine JSONL) replayed on disagreement")
     pe.add_argument("--resume", action="store_true")
     pe.set_defaults(fn=cmd_extract)
 

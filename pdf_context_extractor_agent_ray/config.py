@@ -35,6 +35,10 @@ class EngineConfig:
     enable_model: bool = False          # a real LLM provider, if ever slotted in
     fallback_to_rules: bool = True
     default_choice: str = "rules"       # headless default (llm_config.template.json:43)
+    # replay of recorded human choices (user_choice_handler.py log):
+    # {header_row_key: 'rules'|'model'|'skip'}, consulted on disagreement
+    # BEFORE default_choice — see load_decision_log
+    choice_replay: dict[tuple[str, ...], str] = field(default_factory=dict)
 
     def activate(self, title_model=None) -> None:
         patterns.activate(self.extra_item_patterns or None,
@@ -110,8 +114,10 @@ class HybridColumnAnalyzer:
       ``always_use_model`` → skip the model (:183-208);
     - model failure → rules if ``fallback_to_rules`` else {};
     - agreement → rules (``auto_accept_if_match``);
-    - disagreement → ``default_choice`` ('rules' | 'model' | 'skip'),
-      the headless replacement for the interactive prompt
+    - disagreement → a recorded human decision for this header from
+      ``config.choice_replay`` (``load_decision_log``) if present,
+      else ``default_choice`` ('rules' | 'model' | 'skip') — the
+      headless replacement for the interactive prompt
       (user_choice_handler.py; workers never prompt).
 
     Decisions are counted per instance (ST7 choice log / A8 choice
@@ -209,7 +215,11 @@ class HybridColumnAnalyzer:
             self.choices["auto"] += 1
             self._record(row, rule_result, resp, "auto_match")
             return rule_result
-        choice = self.config.default_choice
+        # disagreement: a recorded human decision for this exact header
+        # (load_decision_log replay map) outranks the headless policy —
+        # the distributed stand-in for re-prompting the user
+        choice = self.config.choice_replay.get(
+            tuple(str(c) for c in row), self.config.default_choice)
         self.choices[choice if choice in self.choices else "rules"] += 1
         self._record(row, rule_result, resp, choice)
         if choice == "model":
@@ -234,6 +244,42 @@ def write_decision_log(records: list[dict[str, Any]], path: str) -> int:
         for r in records:
             f.write(json.dumps(r, ensure_ascii=False) + "\n")
     return len(records)
+
+
+def load_decision_log(path: str) -> dict[tuple[str, ...], str]:
+    """Load a recorded arbitration log into a replay map
+    {header_row: choice} for ``EngineConfig.choice_replay``.
+
+    Accepts BOTH log formats:
+
+    - the reference's interactive-session JSON array
+      (src/parsers/user_choice_handler.py:152-175: records carry
+      ``header_row`` + ``user_choice`` in {'rules','llm','skip'});
+    - this engine's append-only JSONL (``write_decision_log``: records
+      carry ``header_row`` + ``choice``).
+
+    Later records win (the log is append-ordered, so the most recent
+    human decision for a header supersedes earlier ones). The
+    reference's 'llm' maps to this engine's 'model'. Entries whose
+    choice is an auto outcome ('auto_match', 'auto_rules_confident',
+    'rules_fallback', ...) are NOT human decisions and are skipped —
+    only genuine arbitration verdicts replay.
+    """
+    with open(path, encoding="utf-8") as f:
+        head = f.read(1)
+        f.seek(0)
+        if head == "[":
+            records = json.load(f)
+        else:
+            records = [json.loads(line) for line in f if line.strip()]
+    out: dict[tuple[str, ...], str] = {}
+    for r in records:
+        choice = r.get("user_choice", r.get("choice", ""))
+        choice = {"llm": "model"}.get(choice, choice)
+        if choice not in ("rules", "model", "skip"):
+            continue
+        out[tuple(str(c) for c in r.get("header_row", []))] = choice
+    return out
 
 
 class HybridTitleModel(TitleModel):

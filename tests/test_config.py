@@ -182,6 +182,55 @@ def test_decision_log_records_and_jsonl_roundtrip(tmp_path):
     assert len(lines) == 2 and lines[0]["choice"] == "rules"
 
 
+def test_choice_replay_from_recorded_log(tmp_path):
+    """A recorded human decision replays on disagreement: the replay
+    map outranks default_choice for the exact header it was recorded
+    on, misses fall back to the policy. Both the reference's
+    JSON-array log and this engine's JSONL load."""
+    from pdf_context_extractor_agent_ray.config import (
+        ColumnModel, HybridColumnAnalyzer, load_decision_log,
+        write_decision_log)
+    from pdf_context_extractor_agent_ray.patterns import COL_ITEM_NAME
+
+    class Disagreeing(ColumnModel):
+        def analyze_header(self, row):
+            return {"success": True, "column_map": {COL_ITEM_NAME: 1},
+                    "confidence": 0.4}
+
+    short = ["项目", "本期末"]
+    other = ["项目", "期末数"]
+
+    # reference-format array: user picked 'llm' (→ 'model') for `short`;
+    # an earlier contradictory record is superseded; auto outcomes skip
+    ref_log = tmp_path / "user_choices.json"
+    ref_log.write_text(json.dumps([
+        {"header_row": short, "user_choice": "rules"},
+        {"header_row": short, "user_choice": "llm"},
+        {"header_row": other, "user_choice": "auto_match"},
+    ], ensure_ascii=False))
+    replay = load_decision_log(str(ref_log))
+    assert replay == {tuple(short): "model"}
+
+    cfg = EngineConfig(enable_model=True, choice_replay=replay)
+    h = HybridColumnAnalyzer(cfg, Disagreeing())
+    assert h.analyze_row_structure(short, use_cache=False) == {COL_ITEM_NAME: 1}
+    assert h.choice_stats()["model"] == 1
+    assert h.drain_decisions()[0]["choice"] == "model"
+    # replay miss → default_choice ('rules')
+    h.reset_cache()
+    r = h.analyze_row_structure(other, use_cache=False)
+    assert r == HybridColumnAnalyzer().analyze_row_structure(other, use_cache=False)
+    assert h.choice_stats()["rules"] == 1
+
+    # this engine's JSONL round-trips into the same replay map
+    h2 = HybridColumnAnalyzer(EngineConfig(enable_model=True, default_choice="skip"),
+                              Disagreeing())
+    assert h2.analyze_row_structure(short, use_cache=False) == {}
+    jl = str(tmp_path / "_decisions-w0.jsonl")
+    write_decision_log(h2.drain_decisions(), jl)
+    assert load_decision_log(jl) == {tuple(short): "skip"}
+
+
 def test_title_model_seam_plumbs_into_extraction():
     """A custom TitleModel installed via the ST3 seam changes note
     extraction; restoring the default restores rule behavior."""
