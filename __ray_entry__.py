@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": text_q(F_text.dataset_split_batch),
         "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
         "stratified_sample": text_q(F_text.stratified_sample_batch),
+        "mixture_sample": text_q(F_text.mixture_sample_batch),
+        "repetition_stats": text_q(F_text.repetition_stats_batch),
+        "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
@@ -637,6 +640,42 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM documents
             WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.SAMPLE_SALT}'), 1, 16))::UBIGINT
                        % 1000 AS BIGINT) < {F_text.SAMPLE_PERMILLE}
+        """,
+        "mixture_sample": f"""
+            WITH w AS (SELECT doc_id, source,
+                              CAST(('0x' || substr(md5(source), 1, 16))::UBIGINT
+                                   % {F_text.MIX_WEIGHT_MOD}
+                                   + {F_text.MIX_WEIGHT_MIN} AS BIGINT) AS weight_permille
+                       FROM documents)
+            SELECT doc_id, source, weight_permille
+            FROM w
+            WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.MIX_SALT}'), 1, 16))::UBIGINT
+                       % 1000 AS BIGINT) < weight_permille
+        """,
+        "repetition_stats": f"""
+            WITH t AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                       FROM documents),
+            per AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+                           CAST(max(c) AS BIGINT) AS top_token_count
+                    FROM per GROUP BY 1)
+            SELECT doc_id, n_tokens, n_distinct_tokens, top_token_count,
+                   CAST(round(1000000.0 * (n_tokens - n_distinct_tokens)
+                              / n_tokens) AS BIGINT) AS dup_token_frac_e6,
+                   CAST(round(1000000.0 * top_token_count / n_tokens) AS BIGINT)
+                       AS top_token_frac_e6
+            FROM agg
+        """,
+        "doc_freq": f"""
+            WITH t AS (SELECT DISTINCT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split({_NORM}, ' ')) AS tok
+                             FROM documents))
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
+            FROM t GROUP BY 1
+            ORDER BY df DESC, token ASC LIMIT {F_text.DOC_FREQ_K}
         """,
         # NB: every aggregate sum() is CAST(... AS BIGINT) — DuckDB
         # sum(BIGINT) returns HUGEINT (int128) while the engine emits

@@ -167,6 +167,112 @@ def stratified_sample_batch(batch: pa.Table) -> pa.Table:
     }).filter(pa.array(keep, pa.bool_()))
 
 
+MIX_SALT = "mix-v1"
+MIX_WEIGHT_MOD = 901     # weight_permille ranges over [100, 1000]
+MIX_WEIGHT_MIN = 100
+
+
+def source_weight_permille(source: str) -> int:
+    """Deterministic per-source mixture weight (keep-rate in permille).
+    Derived from the source name so the demo needs no side-channel
+    config; a real pipeline passes its mixture weights as a dict the
+    same broadcast-tiny way."""
+    return (int.from_bytes(hashlib.md5(source.encode()).digest()[:8], "big")
+            % MIX_WEIGHT_MOD + MIX_WEIGHT_MIN)
+
+
+def mixture_sample_batch(batch: pa.Table) -> pa.Table:
+    """Weighted source mixing (the training-data mixer primitive —
+    sample each source stratum at its mixture weight): keep a doc iff
+    md5(doc_id+salt) mod 1000 < weight_permille(source). Hash sampling,
+    not RNG — the sample is identical under re-runs, repartitioning and
+    corpus growth, and needs no shuffle or interleave pass: the weights
+    table is O(#sources) and ships with the closure."""
+    ids = batch["doc_id"].to_pylist()
+    srcs = batch["source"].to_pylist()
+    w = {s: source_weight_permille(s) for s in set(srcs)}
+    weights = [w[s] for s in srcs]
+    keep = [int.from_bytes(hashlib.md5(f"{i}#{MIX_SALT}".encode()).digest()[:8],
+                           "big") % 1000 < wp for i, wp in zip(ids, weights)]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "source": batch["source"],
+        "weight_permille": pa.array(weights, pa.int64()),
+    }).filter(pa.array(keep, pa.bool_()))
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality features per document over the
+    normalized token stream: token count, distinct-token count, the
+    top token's occurrence count, and the e6-scaled duplicate-token /
+    top-token fractions (round-half-away to match the SQL oracle).
+    Doc-local and stateless — one pandas groupby per batch, no
+    exchange."""
+    import numpy as np
+    import pandas as pd
+    from .util import round_half_away_e
+
+    norm = norm_expr(batch["text"]).to_pylist()
+    doc_idx, toks = [], []
+    for k, s in enumerate(norm):
+        tk = s.split(" ")
+        doc_idx.extend([k] * len(tk))
+        toks.append(tk)
+    flat = pd.DataFrame({"d": np.asarray(doc_idx, dtype=np.int64),
+                         "t": [t for tk in toks for t in tk]})
+    per = flat.groupby(["d", "t"], sort=False).size().rename("c").reset_index()
+    agg = per.groupby("d", sort=True).agg(
+        n_tokens=("c", "sum"), n_distinct_tokens=("c", "size"),
+        top_token_count=("c", "max"))
+    n = agg["n_tokens"].to_numpy(dtype=np.int64)
+    nd = agg["n_distinct_tokens"].to_numpy(dtype=np.int64)
+    top = agg["top_token_count"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n, pa.int64()),
+        "n_distinct_tokens": pa.array(nd, pa.int64()),
+        "top_token_count": pa.array(top, pa.int64()),
+        "dup_token_frac_e6": pa.array(round_half_away_e((n - nd) / n), pa.int64()),
+        "top_token_frac_e6": pa.array(round_half_away_e(top / n), pa.int64()),
+    })
+
+
+DOC_FREQ_K = 20
+
+
+def doc_freq_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch PARTIAL document frequencies: each doc contributes its
+    DISTINCT tokens once (docs are whole within a batch, so per-batch
+    set-per-doc then sum is exact), one row per distinct token per
+    batch — the exchange moves vocabulary keys, not token streams."""
+    from collections import Counter
+    counts: Counter = Counter()
+    for s in norm_expr(batch["text"]).to_pylist():
+        counts.update(set(s.split(" ")))
+    return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
+                     "df": pa.array(list(counts.values()), pa.int64())})
+
+
+def doc_freq(ds, k: int = DOC_FREQ_K):
+    """Global top-k tokens by DOCUMENT frequency (the df side of
+    tf-idf / vocabulary pruning): partial per-batch distinct-per-doc
+    counts → groupby-sum → per-block partial top-k → tiny final top-k.
+    Same Zipf-bounded exchange shape as ``top_ngrams``; deterministic
+    tie-break (df desc, token asc) matches the SQL oracle at the k
+    boundary."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(doc_freq_batch, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["df", "token"], ascending=[False, True]).head(k)
+
+    return agg.map_batches(final, batch_format="pandas") \
+        .repartition(1).map_batches(final, batch_format="pandas")
+
+
 def length_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-batch sufficient statistics for per-source length moments
     (n, sum, sum of squares — integers, so mean/stddev derive exactly
