@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": text_q(F_text.mixture_sample_batch),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
         "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
+        "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
@@ -651,6 +652,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM w
             WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.MIX_SALT}'), 1, 16))::UBIGINT
                        % 1000 AS BIGINT) < weight_permille
+        """,
+        "interleave_plan": f"""
+            WITH w AS (SELECT doc_id, source,
+                              CAST(('0x' || substr(md5(source), 1, 16))::UBIGINT
+                                   % {F_text.MIX_WEIGHT_MOD}
+                                   + {F_text.MIX_WEIGHT_MIN} AS BIGINT) AS weight_permille
+                       FROM documents),
+            r AS (SELECT doc_id, source, weight_permille,
+                         CAST(row_number() OVER (PARTITION BY source
+                                                 ORDER BY doc_id) - 1 AS BIGINT)
+                             AS src_rank
+                  FROM w)
+            SELECT doc_id, source, src_rank,
+                   CAST(((src_rank + 1) * {F_text.INTERLEAVE_SCALE})
+                        // weight_permille AS BIGINT) AS interleave_key
+            FROM r
         """,
         "repetition_stats": f"""
             WITH t AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok

@@ -237,6 +237,90 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+INTERLEAVE_BUCKET_DOCS = 1_000_000   # doc_id-range docs per rank bucket
+INTERLEAVE_SCALE = 1_000_000         # integer key scale: rank*SCALE // weight
+
+
+def interleave_plan(ds):
+    """Deterministic weighted interleave of source streams (the
+    interleaved-datasets training primitive): each doc gets its rank
+    within its source (doc_id order) and an integer
+    ``interleave_key = (src_rank + 1) * SCALE // weight_permille``;
+    reading in (interleave_key, source, doc_id) order replays the
+    weighted round-robin in which every source advances at a rate
+    proportional to its mixture weight. Output: doc_id, source,
+    src_rank, interleave_key — keys only; consumers sort or
+    range-partition by the key, the docs themselves never shuffle.
+
+    The per-source rank is a distributed two-pass range-rank:
+
+    - pass A (tiny exchange): per-batch counts per (source,
+      doc_id-range bucket) → driver-side per-source exclusive prefix
+      sums → broadcast. The driver table is O(#sources × #buckets)
+      with buckets of ``INTERLEAVE_BUCKET_DOCS`` ids — corpus/1M rows,
+      NOT corpus rows (raise the bucket width at 100 TB to keep it
+      bounded).
+    - pass B: ``groupby(bucket).map_groups`` folds each range bucket
+      vectorized (one argsort + per-source cumcount per ~1M-row
+      bucket, never one call per source or per doc) and adds the
+      broadcast offsets. The exchange ships fixed-width
+      (doc_id, source-enum) keys, never text.
+
+    int64 bound: src_rank*SCALE caps at ~9.2e18, safe through ~10^12
+    docs per source at SCALE=1e6.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    B = INTERLEAVE_BUCKET_DOCS
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "bucket": batch["doc_id"].to_numpy(zero_copy_only=False) // B,
+        })
+        agg = df.groupby(["source", "bucket"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    tot = parts.groupby(["source", "bucket"], as_index=False)["n"].sum() \
+        .sort_values(["source", "bucket"])
+    tot["offset"] = tot.groupby("source")["n"].cumsum() - tot["n"]
+    offsets = {(s, int(b)): int(o) for s, b, o in
+               zip(tot["source"], tot["bucket"], tot["offset"])}
+    ref = ray.put(offsets)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"], "source": batch["source"],
+            "bucket": pa.array((ids // B).astype(np.int64), pa.int64()),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref)
+        b = int(df["bucket"].iat[0])
+        df = df.sort_values("doc_id", kind="stable")
+        rank = df.groupby("source").cumcount().to_numpy(dtype=np.int64)
+        srcs = df["source"]
+        base = srcs.map({s: off[(s, b)] for s in srcs.unique()}) \
+            .to_numpy(dtype=np.int64)
+        weight = srcs.map({s: source_weight_permille(s)
+                           for s in srcs.unique()}).to_numpy(dtype=np.int64)
+        src_rank = base + rank
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": srcs,
+            "src_rank": src_rank,
+            "interleave_key": (src_rank + 1) * INTERLEAVE_SCALE // weight,
+        })
+
+    return ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 DOC_FREQ_K = 20
 
 
