@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(_docs(sf)),
         "dup_clusters": lambda sf: F_dedup.dup_clusters(_docs(sf)),
         "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(_docs(sf)),
+        "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(_docs(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
@@ -735,6 +736,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN
                   (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+        """,
+        "near_dup_keep_best": f"""
+            -- quality-aware keep-list: each cluster keeps its longest
+            -- normalized member (ties -> smallest doc_id)
+            WITH clusters AS ({_DUP_CLUSTERS_SQL}),
+            lens AS (SELECT doc_id, CAST(length({_NORM}) AS BIGINT) AS n_chars
+                     FROM documents),
+            ranked AS (SELECT c.doc_id,
+                              row_number() OVER (PARTITION BY c.cluster_id
+                                                 ORDER BY l.n_chars DESC,
+                                                          c.doc_id ASC) AS rn
+                       FROM clusters c JOIN lens l ON l.doc_id = c.doc_id)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         """,
         "simhash": f"""
             WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),

@@ -105,12 +105,14 @@ def run_headline() -> dict:
         extraction_pipeline(synth_documents(
             max(2000, NUM_CPUS * 200), prefix="warm")).count()
 
-    # BENCH_TIMED_REPS>1: repeat the timed pass and keep the best — the
+    # BENCH_TIMED_REPS: repeat the timed pass and keep the best — the
     # work is deterministic, so any inter-rep spread is host noise and
     # min() is the unbiased estimate of the machine's real throughput.
-    # Used by the scaling levels (reps=2) where a single noisy sample
-    # at one level corrupts the efficiency ratio.
-    reps = max(1, int(os.environ.get("BENCH_TIMED_REPS", "1")))
+    # Default 2 (headline AND scaling levels): one extra ~13 s pass
+    # buys the recorded artifact out of single-sample noise waves
+    # (observed 1.3-3x spread on identical code). BENCH_TIMED_REPS=1
+    # for fast iteration.
+    reps = max(1, int(os.environ.get("BENCH_TIMED_REPS", "2")))
 
     def timed_pass() -> float:
         t0 = time.time()

@@ -623,28 +623,15 @@ def _ngram_jaccard_distributed(ds, threshold_e6: int):
 SURVIVOR_BROADCAST_MAX = 10_000_000  # drop-set ids broadcast below this
 
 
-def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
-    """The deduplicated corpus keep-list: every doc_id EXCEPT clustered
-    near-duplicates that are not their cluster's representative
-    (cluster_id == min doc_id) — i.e. the corpus a training run would
-    actually keep after near-dup dedup.
-
-    The drop set is only the clustered non-representatives (typically a
-    small fraction of the corpus): up to ``broadcast_max_drops`` ids it
-    broadcasts once via ``ray.put`` and each batch filters with a
-    vectorized ``is_in`` (zero exchanges beyond dup_clusters' own);
-    above the gate the corpus anti-joins the drop set hash-partitioned
-    on doc_id. Output: doc_id.
+def _keep_ids_except(ds, drops, broadcast_max_drops: int):
+    """Size-gated keep-list: every doc_id of ``ds`` except the
+    ``drop_id`` rows of ``drops``. Up to ``broadcast_max_drops`` ids
+    the drop set broadcasts once via ``ray.put`` and each batch
+    filters with a vectorized ``is_in`` (zero extra exchanges); above
+    the gate the corpus anti-joins the drop set hash-partitioned on
+    doc_id. Shared by ``near_dup_survivors`` / ``near_dup_keep_best``.
     """
     import ray
-
-    clusters = dup_clusters(ds).materialize()
-
-    def non_reps(batch: pa.Table) -> pa.Table:
-        mask = pc.not_equal(batch["doc_id"], batch["cluster_id"])
-        return pa.table({"drop_id": batch.filter(mask)["doc_id"]})
-
-    drops = clusters.map_batches(non_reps, batch_format="pyarrow")
 
     def ids_only(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"]})
@@ -676,6 +663,120 @@ def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
             {"doc_id": batch.filter(pc.is_null(batch["_m"]))["doc_id"]})
 
     return j.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
+    """The deduplicated corpus keep-list: every doc_id EXCEPT clustered
+    near-duplicates that are not their cluster's representative
+    (cluster_id == min doc_id) — i.e. the corpus a training run would
+    actually keep after near-dup dedup.
+
+    The drop set is only the clustered non-representatives (typically a
+    small fraction of the corpus); the keep-list itself is the shared
+    size-gated anti-join (``_keep_ids_except``). Output: doc_id.
+    """
+    clusters = dup_clusters(ds).materialize()
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        return pa.table({"drop_id": batch.filter(mask)["doc_id"]})
+
+    drops = clusters.map_batches(non_reps, batch_format="pyarrow")
+    return _keep_ids_except(ds, drops, broadcast_max_drops)
+
+
+KEEP_BEST_BROADCAST_MAX = 1_000_000  # clustered docs resolved driver-side below
+# order-embedding key for the distributed winner pick: exact while
+# doc_id < 2^40 and n_chars < 2^23 (int64 headroom)
+KEEP_BEST_ID_SHIFT = 1 << 40
+
+
+def near_dup_keep_best(ds,
+                       broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
+                       broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
+    """Quality-aware dedup keep-list: each near-dup cluster keeps its
+    BEST member — longest normalized text, ties to the smallest
+    doc_id — instead of ``near_dup_survivors``' smallest-doc_id
+    representative (the production policy: keep the richest duplicate,
+    drop the rest). Output: doc_id.
+
+    Size-gated twice. Clusters up to ``broadcast_max_cluster_docs``
+    resolve winners on the driver: the clustered set is the sparse
+    duplicate fraction, its lengths fetched in one broadcast-filtered
+    corpus pass, one pandas sort picks winners. Above the gate winners
+    resolve distributed: per-doc lengths join the cluster table
+    doc_id-partitioned and ONE ``groupby(cluster_id)`` max-aggregate
+    picks each winner through the order-embedding integer key
+    ``n_chars * 2^40 + (2^40-1 - doc_id)`` (max key == best member —
+    no per-cluster Python call, cluster size never matters). The final
+    keep-list reuses the shared size-gated anti-join.
+    """
+    import ray
+    import ray.data as rd
+
+    clusters = dup_clusters(ds).materialize()
+
+    if clusters.count() <= broadcast_max_cluster_docs:
+        rows = clusters.take_all()
+        if not rows:
+            return _keep_ids_except(
+                ds, rd.from_arrow(pa.table({"drop_id": pa.array([], pa.int64())})),
+                broadcast_max_drops)
+        cid = {r["doc_id"]: r["cluster_id"] for r in rows}
+        idref = ray.put(pa.array(sorted(cid), pa.int64()))
+
+        def clustered_lens(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(
+                pc.is_in(batch["doc_id"], value_set=ray.get(idref)))
+            return pa.table({
+                "doc_id": sel["doc_id"],
+                "n_chars": pa.array([len(s) for s in _norm(sel["text"])],
+                                    pa.int64()),
+            })
+
+        import pandas as pd
+        df = pd.DataFrame(
+            ds.map_batches(clustered_lens, batch_format="pyarrow").take_all())
+        df["cluster_id"] = df["doc_id"].map(cid)
+        df = df.sort_values(["cluster_id", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+        best = set(df.groupby("cluster_id", sort=False).head(1)["doc_id"])
+        drops = rd.from_arrow(pa.table(
+            {"drop_id": pa.array(sorted(set(cid) - best), pa.int64())}))
+        return _keep_ids_except(ds, drops, broadcast_max_drops)
+
+    from ray.data.aggregate import Max
+
+    from .text import norm_expr
+
+    def lens_batch(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(norm_expr(batch["text"])), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_chars": n})
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    lens = ds.map_batches(lens_batch, batch_format="pyarrow")
+    j = clusters.join(lens, "inner", num_partitions=max(2, cpus // 2),
+                      on=("doc_id",))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        key = nc * KEEP_BEST_ID_SHIFT + (KEEP_BEST_ID_SHIFT - 1 - ids)
+        return pa.table({"cluster_id": batch["cluster_id"],
+                         "doc_id": batch["doc_id"],
+                         "key": pa.array(key, pa.int64())})
+
+    keyed = j.map_batches(encode, batch_format="pyarrow").materialize()
+    best = keyed.groupby("cluster_id").aggregate(Max("key", alias_name="best_key"))
+    j2 = keyed.join(best, "inner", num_partitions=max(2, cpus // 2),
+                    on=("cluster_id",))
+
+    def non_best(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["key"], batch["best_key"])
+        return pa.table({"drop_id": batch.filter(m)["doc_id"]})
+
+    drops = j2.map_batches(non_best, batch_format="pyarrow")
+    return _keep_ids_except(ds, drops, broadcast_max_drops)
 
 
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:

@@ -86,6 +86,38 @@ def test_near_dup_survivors_paths_agree(ray_session):
     assert fast == sorted(all_ids - drops)
 
 
+def test_near_dup_keep_best_paths_agree(ray_session):
+    """Driver-resolved and distributed winner picks produce the
+    identical quality-aware keep-list; every cluster retains exactly
+    one member and that member has the cluster's max normalized
+    length (ties -> min doc_id), verified independently."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        _norm, dup_clusters, near_dup_keep_best)
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    fast = sorted(r["doc_id"] for r in near_dup_keep_best(ds).take_all())
+    slow = sorted(r["doc_id"] for r in near_dup_keep_best(
+        rd.read_parquet(f"{SF}/documents.parquet"),
+        broadcast_max_cluster_docs=0).take_all())
+    assert fast == slow and fast
+
+    # independent winner check: longest normalized text, ties min id
+    full = rd.read_parquet(f"{SF}/documents.parquet").to_pandas()
+    lens = {d: len(n) for d, n in zip(
+        full["doc_id"],
+        _norm(__import__("pyarrow").array(full["text"].tolist())))}
+    clusters = {}
+    for r in dup_clusters(
+            rd.read_parquet(f"{SF}/documents.parquet")).take_all():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    kept = set(fast)
+    assert clusters  # the corpus has near-dup clusters to exercise
+    for members in clusters.values():
+        winner = min(members, key=lambda d: (-lens[d], d))
+        assert set(members) & kept == {winner}
+
+
 def test_pack_sequences_invariants(ray_session):
     """Greedy packing: budget respected, every chunk packed exactly
     once (token totals preserved), and the result is identical under a
