@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
+        "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
         "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
         # dedup
@@ -713,6 +714,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    WHERE doc_id % {F_text.DECONTAM_MODULUS} = 0)
             SELECT doc_id, text_hash FROM h
             WHERE text_hash NOT IN (SELECT text_hash FROM bl)
+        """,
+        "decontaminate_ngram": f"""
+            -- 13-gram-overlap decontamination: a doc is dropped iff it
+            -- shares any {F_text.DECONTAM_NGRAM_TOKENS}-token shingle
+            -- with a benchmark doc (docs shorter than the window
+            -- contribute their whole token stream as one shingle)
+            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk
+                          FROM documents),
+            sh AS (SELECT doc_id,
+                          array_to_string(tk[i:i+{F_text.DECONTAM_NGRAM_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_text.DECONTAM_NGRAM_TOKENS}, 0) + 2)) AS u(i)),
+            bench AS (SELECT DISTINCT s FROM sh
+                      WHERE doc_id % {F_text.DECONTAM_MODULUS} = 0)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh
+                                 WHERE s IN (SELECT s FROM bench))
         """,
         "top_ngrams": f"""
             WITH toks AS (SELECT string_split({_NORM}, ' ') AS tk FROM documents),

@@ -470,6 +470,105 @@ def decontaminate(ds, broadcast_max_hashes: int = DECONTAM_BROADCAST_MAX):
     return j.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
+DECONTAM_NGRAM_TOKENS = 13  # the published n-gram-overlap window
+
+
+def _ngram_hashes(norm: str, n: int) -> set[str]:
+    """Distinct md5 hex hashes of a doc's n-token shingles; a doc
+    shorter than n tokens contributes its whole token stream as one
+    shingle (mirrors dedup._shingles / the SQL slice idiom)."""
+    tk = norm.split(" ")
+    if len(tk) <= n:
+        grams = [" ".join(tk)]
+    else:
+        grams = [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)]
+    return {hashlib.md5(g.encode()).hexdigest() for g in grams}
+
+
+def decontaminate_ngram(ds, broadcast_max_shingles: int = DECONTAM_BROADCAST_MAX,
+                        broadcast_max_drops: int = DECONTAM_BROADCAST_MAX):
+    """N-gram-overlap benchmark decontamination (the published 13-gram
+    method): drop every document sharing at least one
+    ``DECONTAM_NGRAM_TOKENS``-token shingle with a benchmark document
+    — strictly stronger than ``decontaminate``'s whole-prefix
+    fingerprint (partial inclusions of benchmark text are caught).
+    Output: doc_id survivors.
+
+    Size-gated like every anti-join in the engine: the benchmark
+    shingle-hash set broadcasts below the gate (real benchmark suites
+    are a few million shingles, static); above it, corpus shingle rows
+    inner-join the benchmark set hash-partitioned on the shingle hash
+    and the distinct contaminated doc_ids anti-join the corpus through
+    the shared ``_keep_ids_except``. Hex md5 strings keep both paths
+    simple at sandbox scale; at 100 TB ship the two int64 md5 halves
+    instead (the identity ``dedup._shingle_hash_rows`` already uses)
+    to halve exchange bytes. Benchmark-side distinct is per batch —
+    residual duplicates across blocks only multiply rows that are
+    dropped anyway.
+    """
+    import numpy as np
+    import ray
+
+    from .dedup import _keep_ids_except, _norm
+
+    n = DECONTAM_NGRAM_TOKENS
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids % DECONTAM_MODULUS == 0))
+        out: set[str] = set()
+        for s in _norm(sel["text"]):
+            out |= _ngram_hashes(s, n)
+        return pa.table({"h": pa.array(sorted(out), pa.string())})
+
+    bench = ds.map_batches(bench_shingles, batch_format="pyarrow").materialize()
+
+    if bench.count() <= broadcast_max_shingles:
+        ref = ray.put(pa.array(
+            sorted({r["h"] for r in bench.take_all()}), pa.string()))
+
+        def survivors(batch: pa.Table) -> pa.Table:
+            bl = ray.get(ref)
+            idx: list[int] = []
+            hs: list[str] = []
+            for k, s in enumerate(_norm(batch["text"])):
+                g = _ngram_hashes(s, n)
+                idx.extend([k] * len(g))
+                hs.extend(g)
+            hit = pc.is_in(pa.array(hs, pa.string()), value_set=bl) \
+                .to_numpy(zero_copy_only=False)
+            bad = np.zeros(len(batch), dtype=bool)
+            bad[np.asarray(idx, dtype=np.int64)[hit]] = True
+            return pa.table({"doc_id": batch["doc_id"]}) \
+                .filter(pa.array(~bad, pa.bool_()))
+
+        return ds.map_batches(survivors, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+
+    def corpus_shingles(batch: pa.Table) -> pa.Table:
+        out_d: list[int] = []
+        out_h: list[str] = []
+        for d, s in zip(batch["doc_id"].to_pylist(), _norm(batch["text"])):
+            g = _ngram_hashes(s, n)
+            out_d.extend([d] * len(g))
+            out_h.extend(g)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "h": pa.array(out_h, pa.string())})
+
+    rows = ds.map_batches(corpus_shingles, batch_format="pyarrow")
+    marked = bench.map_batches(
+        lambda b: pa.table({"h": b["h"],
+                            "_m": pa.array([1] * len(b), pa.int8())}),
+        batch_format="pyarrow")
+    j = rows.join(marked, "inner", num_partitions=max(2, cpus // 2),
+                  on=("h",))
+    drops = j.map_batches(
+        lambda b: pa.table({"drop_id": pc.unique(b["doc_id"])}),
+        batch_format="pyarrow")
+    return _keep_ids_except(ds, drops, broadcast_max_drops)
+
+
 TOP_NGRAMS_K = 20
 NGRAM_N = 2
 

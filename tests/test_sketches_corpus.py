@@ -263,6 +263,33 @@ def test_decontaminate_paths_agree(ray_session):
     assert fast == slow and fast
 
 
+def test_decontaminate_ngram_paths_agree_and_cover_fingerprint(ray_session):
+    """Broadcast and shingle-join paths of decontaminate_ngram keep the
+    identical survivor set, the drop set strictly contains every
+    benchmark doc, and any doc dropped by whole-prefix fingerprint
+    decontamination is also dropped by the 13-gram overlap (n-gram is
+    the stronger filter on this corpus, where FINGERPRINT_PREFIX chars
+    span at least one shingle window)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import (
+        DECONTAM_MODULUS, decontaminate, decontaminate_ngram)
+
+    fast = sorted(r["doc_id"] for r in decontaminate_ngram(
+        rd.read_parquet(f"{SF}/documents.parquet")).take_all())
+    slow = sorted(r["doc_id"] for r in decontaminate_ngram(
+        rd.read_parquet(f"{SF}/documents.parquet"),
+        broadcast_max_shingles=0).take_all())
+    assert fast == slow and fast
+
+    all_ids = set(rd.read_parquet(f"{SF}/documents.parquet",
+                                  columns=["doc_id"]).to_pandas()["doc_id"])
+    dropped = all_ids - set(fast)
+    assert {i for i in all_ids if i % DECONTAM_MODULUS == 0} <= dropped
+    fp_survivors = {r["doc_id"] for r in decontaminate(
+        rd.read_parquet(f"{SF}/documents.parquet")).take_all()}
+    assert dropped >= (all_ids - fp_survivors)
+
+
 def test_top_customers_paths_agree(ray_session):
     """Broadcast-dimension and Dataset.join paths of top_customers
     return the identical ranking (at-scale path forced by a zero-byte
