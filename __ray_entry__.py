@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(_docs(sf)),
         "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(_docs(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
+        "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
@@ -245,6 +246,21 @@ _LSH_CAND = f"""
             cand AS (SELECT DISTINCT doc_a, doc_b
                      FROM (SELECT * FROM small_cand
                            UNION ALL SELECT * FROM chain_cand))"""
+
+
+# per-doc 64-bit SimHash as a HUGEINT ``v(doc_id, hu)`` CTE chain —
+# shared by the "simhash" signature oracle and the banded-pairs oracle
+_SIMHASH_CTE = f"""norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS t FROM norm),
+            h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM toks),
+            bits AS (SELECT doc_id, b,
+                            sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                            count(*) AS n
+                     FROM h, unnest(range(0, 64)) AS u(b) GROUP BY doc_id, b),
+            v AS (SELECT doc_id,
+                         sum(CASE WHEN ones * 2 >= n THEN (1::HUGEINT << b)
+                                  ELSE 0::HUGEINT END) AS hu
+                  FROM bits GROUP BY doc_id)"""
 
 
 _DUP_CLUSTERS_SQL = f"""
@@ -770,22 +786,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
         """,
         "simhash": f"""
-            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
-            toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS t FROM norm),
-            h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM toks),
-            bits AS (SELECT doc_id, b,
-                            sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
-                            count(*) AS n
-                     FROM h, unnest(range(0, 64)) AS u(b) GROUP BY doc_id, b),
-            v AS (SELECT doc_id,
-                         sum(CASE WHEN ones * 2 >= n THEN (1::HUGEINT << b)
-                                  ELSE 0::HUGEINT END) AS hu
-                  FROM bits GROUP BY doc_id)
+            WITH {_SIMHASH_CTE}
             SELECT doc_id,
                    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
                              THEN hu - 18446744073709551616::HUGEINT
                              ELSE hu END AS BIGINT) AS simhash
             FROM v
+        """,
+        "simhash_dup_pairs": f"""
+            -- banded simhash candidates (chain-link cap mirrored via
+            -- _LSH_CAND) verified by exact hamming on the raw bits
+            WITH {_SIMHASH_CTE},
+            s AS (SELECT doc_id, hu::UBIGINT AS hu FROM v),
+            bands AS (SELECT doc_id, b AS band,
+                             CAST((hu >> ({F_dedup.SIMHASH_BAND_BITS} * b))
+                                  & {(1 << F_dedup.SIMHASH_BAND_BITS) - 1}
+                                  AS BIGINT) AS bucket
+                      FROM s, unnest(range(0, {F_dedup.SIMHASH_BANDS})) AS u(b)),
+            {_LSH_CAND}
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(x.hu, y.hu)) AS BIGINT) AS hamming
+            FROM cand c JOIN s x ON x.doc_id = c.doc_a
+                        JOIN s y ON y.doc_id = c.doc_b
+            WHERE bit_count(xor(x.hu, y.hu)) <= {F_dedup.SIMHASH_MAX_HAMMING}
         """,
         "knn_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

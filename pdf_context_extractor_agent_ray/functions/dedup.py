@@ -803,3 +803,139 @@ def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
 
 def simhash_table(ds):
     return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 16
+SIMHASH_MAX_HAMMING = 3           # pigeonhole: <=3 diff bits -> >=1 shared band
+SIMHASH_BROADCAST_MAX_DOCS = 2_000_000  # 16 B/doc driver signature map below
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized popcount of a uint64 array (numpy<2 has no
+    bitwise_count): unpack to bytes-of-bits and sum."""
+    b = np.unpackbits(x.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def simhash_dup_pairs(ds, max_hamming: int = SIMHASH_MAX_HAMMING,
+                      broadcast_max_docs: int = SIMHASH_BROADCAST_MAX_DOCS,
+                      num_partitions: int | None = None,
+                      n_docs: int | None = None):
+    """SimHash near-dup pairs: 64-bit signature → ``SIMHASH_BANDS``
+    16-bit band buckets → candidate pairs → exact hamming verification
+    (popcount of xor). Pigeonhole guarantee: a pair within
+    ``max_hamming`` <= 3 differing bits shares at least one of the 4
+    bands, so candidate RECALL is exact (unlike MinHash-LSH) up to the
+    degenerate-bucket chain-link cap — which the SQL oracle mirrors.
+
+    Output: doc_a, doc_b (doc_a < doc_b), hamming.
+
+    Scale: signatures are 8 B/doc; the band exchange carries
+    (doc_id, band, int bucket) and verification only ever touches two
+    int64s per pair — never text. Size-gated: up to
+    ``broadcast_max_docs`` the signature map comes to the driver
+    (16 B/doc) and buckets pair in plain Python, verification
+    vectorized in one numpy pass; above, band buckets group
+    distributed (chain-link cap intact) and each side's signature
+    joins back doc_id-keyed. ``n_docs`` as in ``lsh_candidate_pairs``.
+    """
+    import ray
+    import ray.data as rd
+
+    sims = ds.map_batches(simhash_batch, batch_format="pyarrow").materialize()
+    if n_docs is None:
+        n_docs = sims.count()
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+
+    if n_docs <= broadcast_max_docs:
+        from collections import defaultdict
+        rows = sims.take_all()
+        sig = {r["doc_id"]: np.uint64(np.int64(r["simhash"])) for r in rows}
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        mask = np.uint64((1 << SIMHASH_BAND_BITS) - 1)
+        for d, h in sig.items():
+            for b in range(SIMHASH_BANDS):
+                buckets[(b, int((h >> np.uint64(b * SIMHASH_BAND_BITS)) & mask))] \
+                    .append(d)
+        cand: set[tuple[int, int]] = set()
+        for docs in buckets.values():
+            if len(docs) >= 2:
+                cand.update(_candidate_pairs(sorted(docs)))
+        if not cand:
+            return rd.from_arrow(empty)
+        ordered = sorted(cand)
+        a = np.array([sig[x] for x, _ in ordered], dtype=np.uint64)
+        b = np.array([sig[y] for _, y in ordered], dtype=np.uint64)
+        ham = _popcount64(np.bitwise_xor(a, b))
+        keep = ham <= max_hamming
+        ids_a = np.array([x for x, _ in ordered], dtype=np.int64)[keep]
+        ids_b = np.array([y for _, y in ordered], dtype=np.int64)[keep]
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array(ids_a, pa.int64()),
+            "doc_b": pa.array(ids_b, pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64())}))
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, cpus // 2)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.uint64((1 << SIMHASH_BAND_BITS) - 1)
+        out_d = np.repeat(ids, SIMHASH_BANDS)
+        out_b = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int32), len(ids))
+        out_k = np.empty(len(ids) * SIMHASH_BANDS, dtype=np.int64)
+        for b in range(SIMHASH_BANDS):
+            out_k[b::SIMHASH_BANDS] = \
+                ((h >> np.uint64(b * SIMHASH_BAND_BITS)) & mask).astype(np.int64)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "band": pa.array(out_b, pa.int32()),
+                         "bucket": pa.array(out_k, pa.int64())})
+
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return e
+        pairs = _candidate_pairs(sorted(df["doc_id"].tolist()))
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) if pairs else e
+
+    from ray.data.aggregate import Count
+    cand_ds = sims.map_batches(bands, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]) \
+        .map_groups(bucket_candidates, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n")) \
+        .select_columns(["doc_a", "doc_b"])
+    sa = sims.map_batches(
+        lambda t: pa.table({"_ka": t["doc_id"], "sim_a": t["simhash"]}),
+        batch_format="pyarrow")
+    sb = sims.map_batches(
+        lambda t: pa.table({"_kb": t["doc_id"], "sim_b": t["simhash"]}),
+        batch_format="pyarrow")
+    j = cand_ds.join(sa, "inner", num_partitions=num_partitions,
+                     on=("doc_a",), right_on=("_ka",)) \
+        .select_columns(["doc_a", "doc_b", "sim_a"])
+    j = j.join(sb, "inner", num_partitions=num_partitions,
+               on=("doc_b",), right_on=("_kb",)) \
+        .select_columns(["doc_a", "doc_b", "sim_a", "sim_b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return empty
+        a = batch["sim_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch["sim_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = _popcount64(np.bitwise_xor(a, b))
+        keep = ham <= max_hamming
+        return pa.table({
+            "doc_a": pa.array(
+                batch["doc_a"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+            "doc_b": pa.array(
+                batch["doc_b"].to_numpy(zero_copy_only=False)[keep], pa.int64()),
+            "hamming": pa.array(ham[keep], pa.int64())})
+
+    return j.map_batches(verify, batch_format="pyarrow")

@@ -263,6 +263,31 @@ def test_decontaminate_paths_agree(ray_session):
     assert fast == slow and fast
 
 
+def test_simhash_dup_pairs_paths_agree(ray_session):
+    """Broadcast and banded-join simhash pair paths emit the identical
+    (doc_a, doc_b, hamming) set, and every emitted hamming is the true
+    popcount of the xor of the two signatures (verified independently
+    against the signature table)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        simhash_dup_pairs, simhash_table)
+
+    fast = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                  for r in simhash_dup_pairs(
+                      rd.read_parquet(f"{SF}/documents.parquet")).take_all())
+    slow = sorted((r["doc_a"], r["doc_b"], r["hamming"])
+                  for r in simhash_dup_pairs(
+                      rd.read_parquet(f"{SF}/documents.parquet"),
+                      broadcast_max_docs=0).take_all())
+    assert fast == slow and fast
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_table(
+        rd.read_parquet(f"{SF}/documents.parquet")).take_all()}
+    for a, b, ham in fast:
+        assert a < b
+        assert ((sig[a] ^ sig[b]) & 0xFFFFFFFFFFFFFFFF).bit_count() == ham <= 3
+
+
 def test_decontaminate_ngram_paths_agree_and_cover_fingerprint(ray_session):
     """Broadcast and shingle-join paths of decontaminate_ngram keep the
     identical survivor set, the drop set strictly contains every
