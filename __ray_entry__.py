@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": F_sim.ivf_knn,
         "embedding_near_dup": F_sim.embedding_near_dup,
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
+        "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         # stream-shaped operators (ordered-log windows / as-of join)
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_topk": F_rel.order_revenue_topk,
         "region_rollup": F_rel.region_rollup,
         "segment_stats": F_rel.segment_stats,
+        "top_orders_per_segment": F_rel.top_orders_per_segment,
     }
 
 
@@ -838,6 +840,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
                    CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_c0_e6
             FROM embeddings GROUP BY 1
+        """,
+        "embedding_centroids": """
+            -- exact integer centroid stats: e6-scale each component
+            -- FIRST (integer sums have no float summation-order
+            -- dependence), centroid = round-half-away(sum/n)
+            WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+                              CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+                              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS x_e6
+                       FROM embeddings),
+            s AS (SELECT label, dim, count(*) AS n,
+                         CAST(sum(x_e6) AS BIGINT) AS sum_e6
+                  FROM e GROUP BY 1, 2)
+            SELECT label, dim, n, sum_e6,
+                   CAST(round(CAST(sum_e6 AS DOUBLE) / n) AS BIGINT) AS centroid_e6
+            FROM s
+        """,
+        "top_orders_per_segment": f"""
+            WITH j AS (SELECT c.c_mktsegment AS segment,
+                              o.o_orderkey AS orderkey,
+                              CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+                       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+            r AS (SELECT *, row_number() OVER (PARTITION BY segment
+                                               ORDER BY totalprice_cents DESC,
+                                                        orderkey ASC) AS rk
+                  FROM j)
+            SELECT segment, orderkey, totalprice_cents, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= {F_rel.TOP_ORDERS_PER_SEGMENT_K}
         """,
         "approx_distinct_tokens": f"""
             -- bit-exact HLL twin of functions/sketches.py: same

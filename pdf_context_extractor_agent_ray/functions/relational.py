@@ -323,3 +323,93 @@ def segment_stats(sf_dir: str):
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"), ["c_mktsegment"])
+
+
+TOP_ORDERS_PER_SEGMENT_K = 3
+
+
+def top_orders_per_segment(sf_dir: str, k: int = TOP_ORDERS_PER_SEGMENT_K,
+                           broadcast_max_bytes: int = CUSTOMER_DIM_BROADCAST_MAX_BYTES):
+    """Grouped top-k: the k highest-value orders per market segment
+    (totalprice desc, orderkey asc tie-break), with the global rank
+    attached — the generic per-group top-k shape: per-batch partial
+    top-k per segment (segments are a bounded enum, so each batch
+    emits <= |segments|*k rows), one tiny single-partition finish that
+    re-selects and ranks. The customer->segment dimension attaches
+    broadcast below the byte gate and via a hash-partitioned
+    ``Dataset.join`` above (same gate as ``top_customers``; both paths
+    inner-join semantics)."""
+    import os
+
+    import ray
+    import pyarrow.parquet as pq
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["segment", "totalprice_cents", "orderkey"],
+                              ascending=[True, False, True]) \
+            .groupby("segment", as_index=False, sort=False).head(k)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = topk(df).copy()
+        df["rk"] = df.groupby("segment", sort=False).cumcount() + 1
+        return df[["segment", "orderkey", "totalprice_cents", "rk"]]
+
+    try:
+        dim_bytes = os.path.getsize(f"{sf_dir}/customer.parquet")
+    except OSError:
+        dim_bytes = 0
+
+    if dim_bytes <= broadcast_max_bytes:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+        ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                               cust["c_mktsegment"].to_pylist())))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lk = ray.get(ref)
+            df = pa.table({
+                "orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "totalprice_cents": pc.cast(
+                    pc.round(pc.multiply(batch["o_totalprice"], 100),
+                             round_mode="half_towards_infinity"), pa.int64()),
+            }).to_pandas()
+            df["segment"] = df["o_custkey"].map(lk)
+            df = df.dropna(subset=["segment"])  # inner-join semantics
+            return pa.Table.from_pandas(
+                topk(df)[["segment", "orderkey", "totalprice_cents"]],
+                preserve_index=False)
+
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .repartition(1).map_batches(rank, batch_format="pandas",
+                                        batch_size=None)
+
+    # at-scale path: orders pre-trim per batch is impossible before the
+    # segment attaches, so the dimension joins hash-partitioned on the
+    # customer key; per-block partial top-k after the join keeps the
+    # finisher at |segments|*k rows per block
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def price_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "totalprice_cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"], 100),
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    j = ds.map_batches(price_cents, batch_format="pyarrow") \
+        .join(dim, "inner", num_partitions=max(2, cpus // 2),
+              on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"c_mktsegment": "segment"})
+        return topk(df)[["segment", "orderkey", "totalprice_cents"]]
+
+    return j.map_batches(partial_joined, batch_format="pandas") \
+        .repartition(1).map_batches(rank, batch_format="pandas",
+                                    batch_size=None)

@@ -411,6 +411,44 @@ def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
         Max("sim_e6", alias_name="sim_e6"))
 
 
+def embedding_centroids(ds):
+    """Per-label, per-dimension centroid statistics (class centroids
+    for probing / nearest-centroid classification): count, the exact
+    integer sum of e6-scaled components, and the integer centroid
+    (round-half-away of sum/n). One elementwise integer-scaling pass
+    per batch, a pandas fold per batch emitting |labels|×dim bounded
+    partial rows, the bounded-key finish — no float summation-order
+    dependence anywhere, so the oracle hashes exactly."""
+    from .util import finish_grouped
+
+    def partial(batch: pa.Table) -> pa.Table:
+        R = round_half_away_e(_matrix(batch))  # n×dim int64
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pd.DataFrame(R)
+        g["label"] = label
+        sums = g.groupby("label").sum()
+        counts = g.groupby("label").size()
+        long = sums.reset_index().melt(
+            id_vars="label", var_name="dim", value_name="sum_e6")
+        long["dim"] = long["dim"].astype("int64")
+        long["n"] = long["label"].map(counts).astype("int64")
+        return pa.Table.from_pandas(
+            long[["label", "dim", "n", "sum_e6"]], preserve_index=False)
+
+    folded = finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["label", "dim"])
+
+    def centroid(df: pd.DataFrame) -> pd.DataFrame:
+        from .util import round_half_away_e as rh
+        df = df.copy()
+        df["centroid_e6"] = rh(
+            df["sum_e6"].to_numpy(dtype=np.float64)
+            / df["n"].to_numpy(dtype=np.float64), scale=1.0)
+        return df
+
+    return folded.map_batches(centroid, batch_format="pandas")
+
+
 def label_stats(ds):
     """Per-label embedding stats: count + integer-scaled sum of the
     first component — per-batch partials then the bounded-key finish

@@ -263,6 +263,22 @@ def test_decontaminate_paths_agree(ray_session):
     assert fast == slow and fast
 
 
+def test_top_orders_per_segment_paths_agree(ray_session):
+    """Broadcast-dimension and forced hash-join paths of the grouped
+    top-k return the identical ranked rows."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        top_orders_per_segment)
+
+    fast = top_orders_per_segment(SF).to_pandas()
+    slow = top_orders_per_segment(SF, broadcast_max_bytes=0).to_pandas()
+    cols = ["segment", "rk", "orderkey", "totalprice_cents"]
+    a = fast[cols].sort_values(["segment", "rk"]).reset_index(drop=True)
+    b = slow[cols].sort_values(["segment", "rk"]).reset_index(drop=True)
+    assert a.equals(b) and len(a)
+    assert (a.groupby("segment")["rk"].apply(
+        lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+
 def test_simhash_dup_pairs_paths_agree(ray_session):
     """Broadcast and banded-join simhash pair paths emit the identical
     (doc_a, doc_b, hamming) set, and every emitted hamming is the true
