@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": F_rel.pricing_summary,
         "top_customers": F_rel.top_customers,
         "events_windowed": F_rel.events_windowed,
+        "events_hopping": F_rel.events_hopping,
         "filter_sort_topk": F_rel.filter_sort_topk,
         "order_revenue_topk": F_rel.order_revenue_topk,
         "region_rollup": F_rel.region_rollup,
@@ -962,6 +963,20 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum({_CENTS.format('value')}) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": f"""
+            -- hopping windows: 1-hour windows every 15 min; event at t
+            -- lands in the 4 windows starting at floor15(t) - k*hop
+            WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, event_type,
+                              {_CENTS.format('value')} AS value_c
+                       FROM events),
+            x AS (SELECT ((tus // {F_rel.HOP_US}) * {F_rel.HOP_US})
+                         - k * {F_rel.HOP_US} AS window_start_us,
+                         event_type, value_c
+                  FROM e, unnest(range(0, {F_rel.HOP_WINDOW_US // F_rel.HOP_US})) AS u(k))
+            SELECT window_start_us, event_type, count(*) AS n_events,
+                   CAST(sum(value_c) AS BIGINT) AS sum_value_cents
+            FROM x GROUP BY 1, 2
         """,
         "filter_sort_topk": f"""
             SELECT l_orderkey, l_linenumber,

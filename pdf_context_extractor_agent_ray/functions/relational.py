@@ -413,3 +413,44 @@ def top_orders_per_segment(sf_dir: str, k: int = TOP_ORDERS_PER_SEGMENT_K,
     return j.map_batches(partial_joined, batch_format="pandas") \
         .repartition(1).map_batches(rank, batch_format="pandas",
                                     batch_size=None)
+
+
+HOP_US = 15 * 60 * 1_000_000          # hop: 15 minutes
+HOP_WINDOW_US = 60 * 60 * 1_000_000   # window: 1 hour
+
+
+def events_hopping(sf_dir: str):
+    """Hopping (sliding) windowed aggregate: 1-hour windows advancing
+    every 15 minutes, so each event contributes to window/hop = 4
+    overlapping windows. The expansion is a per-batch numpy repeat
+    folded immediately into (window, event_type) partials — the
+    exchange moves bounded-key partial rows, never the 4x-replicated
+    event stream. Windows grow with TIME, not corpus size, so the
+    single-block finish holds them all (same argument as
+    ``events_windowed``)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    k = HOP_WINDOW_US // HOP_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tus = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (tus // HOP_US) * HOP_US
+        value_c = pc.cast(
+            pc.round(pc.multiply(batch["value"], 100),
+                     round_mode="half_towards_infinity"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        offs = np.arange(k, dtype=np.int64) * HOP_US
+        df = pd.DataFrame({
+            "window_start_us": (base[:, None] - offs[None, :]).reshape(-1),
+            "event_type": np.repeat(et, k),
+            "value_c": np.repeat(value_c, k),
+        })
+        agg = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
+            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start_us", "event_type"])
