@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": text_q(F_text.mixture_sample_batch),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
         "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
+        "top_terms_per_doc": lambda sf: F_text.top_terms_per_doc(_docs(sf)),
         "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
@@ -714,6 +715,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS df
             FROM t GROUP BY 1
             ORDER BY df DESC, token ASC LIMIT {F_text.DOC_FREQ_K}
+        """,
+        "top_terms_per_doc": f"""
+            -- tf-idf style per-doc top terms with an ALL-INTEGER order
+            -- (tf desc, rarest df, token): the float tf*ln(N/df) score
+            -- is 1-ulp unstable between numpy and DuckDB (measured)
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split({_NORM}, ' ')) AS token
+                          FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM toks GROUP BY 1),
+            r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf DESC, df.df ASC, tf.token ASC)
+                             AS term_rank
+                  FROM tf JOIN df USING (token))
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(term_rank AS BIGINT) AS term_rank
+            FROM r WHERE term_rank <= {F_text.TOP_TERMS_K}
         """,
         # NB: every aggregate sum() is CAST(... AS BIGINT) — DuckDB
         # sum(BIGINT) returns HUGEINT (int128) while the engine emits

@@ -766,3 +766,110 @@ def length_quantiles(ds):
         "n": pa.array(out["n"], pa.int64()),
         **{f"p{int(q * 100)}": pa.array(out[f"p{int(q * 100)}"], pa.int64())
            for q in QUANTILES}}))
+
+
+TOP_TERMS_K = 3
+TOP_TERMS_BROADCAST_MAX_VOCAB = 1_000_000
+
+
+def _doc_term_rows(batch: pa.Table) -> pa.Table:
+    """Flatten a batch to (doc_id, token, tf) rows. Docs are whole
+    within a batch, so per-doc term frequencies are exact here and the
+    downstream exchange (if any) carries one row per DISTINCT term per
+    doc, never the raw token stream."""
+    from collections import Counter
+    doc_ids, toks, tfs = [], [], []
+    for did, s in zip(batch["doc_id"].to_pylist(),
+                      norm_expr(batch["text"]).to_pylist()):
+        for t, c in Counter(s.split(" ")).items():
+            doc_ids.append(did)
+            toks.append(t)
+            tfs.append(c)
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "token": pa.array(toks, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+def top_terms_per_doc(ds, k: int = TOP_TERMS_K,
+                      broadcast_max_vocab: int = TOP_TERMS_BROADCAST_MAX_VOCAB,
+                      num_buckets: int = 32):
+    """Per-document top-k terms, tf-idf style: order by (tf DESC,
+    df ASC, token ASC) — highest in-document frequency first, rarest
+    corpus-wide term breaking ties. The order is ALL-INTEGER by design:
+    the float score tf*ln(N/df) is not oracle-safe because ln() differs
+    by 1 ulp between numpy and DuckDB (measured), and the driver gate
+    hashes values exactly.
+
+    Size-gated like the other dual-path ops: when the vocabulary fits
+    ``broadcast_max_vocab`` the (token -> df) map is ``ray.put`` ONCE
+    and every batch ranks locally — zero exchange beyond the tiny df
+    fold (vocabulary is Zipf-bounded, not corpus-proportional). Above
+    the gate: (doc_id, token, tf) rows hash-join the df table on token,
+    then fold per doc-hash bucket (vectorized sort + groupby-head per
+    ~1M-row bucket — never a per-doc map_groups)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    # document frequencies via the same partial doc_freq uses; a real
+    # exchange (not the bounded-key single-block fold) because token
+    # cardinality is corpus-derived, not a small enum
+    dfds = ds.map_batches(doc_freq_batch, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df")) \
+        .materialize()
+
+    if dfds.count() <= broadcast_max_vocab:
+        dfmap_ref = ray.put({r["token"]: int(r["df"]) for r in dfds.take_all()})
+
+        def topk_batch(batch: pa.Table) -> pa.Table:
+            dfmap = ray.get(dfmap_ref)
+            out = {"doc_id": [], "token": [], "tf": [], "df": [],
+                   "term_rank": []}
+            for did, s in zip(batch["doc_id"].to_pylist(),
+                              norm_expr(batch["text"]).to_pylist()):
+                c = Counter(s.split(" "))
+                ranked = sorted(c.items(),
+                                key=lambda kv: (-kv[1], dfmap[kv[0]], kv[0]))[:k]
+                for r, (t, tf) in enumerate(ranked, 1):
+                    out["doc_id"].append(did)
+                    out["token"].append(t)
+                    out["tf"].append(tf)
+                    out["df"].append(dfmap[t])
+                    out["term_rank"].append(r)
+            return pa.table({
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "token": pa.array(out["token"], pa.string()),
+                "tf": pa.array(out["tf"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+                "term_rank": pa.array(out["term_rank"], pa.int64())})
+
+        return ds.map_batches(topk_batch, batch_format="pyarrow")
+
+    # at-scale path: term rows materialize ONCE (they feed the join's
+    # left side; df was already derived from the same pass shape), join
+    # df on token, then rank per doc-hash bucket — vectorized
+    # sort + groupby-head per ~1M-row bucket, never a per-doc group call
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    tok = ds.map_batches(_doc_term_rows, batch_format="pyarrow").materialize()
+    j = tok.join(dfds, "inner", num_partitions=max(2, cpus // 2),
+                 on=("token",))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((did * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        return batch.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "tf", "df", "token"],
+                          ascending=[True, False, True, True],
+                          kind="stable")
+        g = g.groupby("doc_id", sort=False).head(k).copy()
+        g["term_rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype("int64")
+        return g[["doc_id", "token", "tf", "df", "term_rank"]]
+
+    return j.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(rank_group, batch_format="pandas")

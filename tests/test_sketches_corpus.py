@@ -375,3 +375,21 @@ def test_lsh_knn_recall(ray_session):
     assert r1 >= 0.08, r1          # >2x the 3.5% probed-fraction baseline
     r3 = mean_recall(3)
     assert r3 >= 0.4, r3           # radius scaling holds
+
+
+def test_top_terms_per_doc_paths_agree(ray_session):
+    """Broadcast-df and forced token-join paths of the per-doc top-k
+    terms return identical ranked rows (the at-scale path is forced by
+    zeroing the vocabulary gate)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import top_terms_per_doc
+
+    def run(**kw):
+        rows = top_terms_per_doc(
+            rd.read_parquet(f"{SF}/documents.parquet"), **kw).take_all()
+        return sorted((r["doc_id"], r["term_rank"], r["token"],
+                       r["tf"], r["df"]) for r in rows)
+
+    fast = run()
+    slow = run(broadcast_max_vocab=0)
+    assert fast == slow and fast
