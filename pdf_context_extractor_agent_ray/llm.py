@@ -151,6 +151,12 @@ _STYLE_ALIASES = {
     "ollama": "generate",
 }
 
+# protocol version for the "messages" wire format — the PUBLIC,
+# documented header value of a public commercial API (the reference
+# ships the same provider option in its template config); requests
+# without it are rejected with HTTP 400
+_MESSAGES_API_VERSION = "2023-06-01"
+
 _COLUMN_SYSTEM_PROMPT = (
     "You label the columns of a financial-statement header row. "
     "Column types: item_name, current_period, previous_period, note. "
@@ -193,9 +199,7 @@ class HttpModelClient:
             url = f"{self.base_url}/v1/messages"
             headers = {"x-api-key": self.api_key or "",
                        "content-type": "application/json",
-                       # required by the messages API — requests
-                       # without it are rejected with HTTP 400
-                       "anthropic-version": "2023-06-01",
+                       "anthropic-version": _MESSAGES_API_VERSION,
                        **self.default_headers}
             payload = {"model": self.model, "max_tokens": self.max_tokens,
                        "temperature": self.temperature, "system": system_prompt,
