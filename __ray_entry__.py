@@ -47,12 +47,26 @@ from pdf_context_extractor_agent_ray.sources.synth_source import (
 
 def _docs(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    from pdf_context_extractor_agent_ray.functions.util import strip_schema_metadata
+    # strip the pandas parquet metadata once at the source so every
+    # downstream shuffle stays on Ray's hashable-schema dedup fast path
+    # (see util.strip_schema_metadata); size gates that need the corpus
+    # row count get it from the parquet footer via _n_docs instead of
+    # ds.count(), which would now execute the read.
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _n_docs(sf_dir: str) -> int:
+    from pdf_context_extractor_agent_ray.functions.util import parquet_num_rows
+    return parquet_num_rows(f"{sf_dir}/documents.parquet")
 
 
 def _emb(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from pdf_context_extractor_agent_ray.functions.util import strip_schema_metadata
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -178,11 +192,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
-        "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(_docs(sf)),
-        "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(_docs(sf)),
-        "dup_clusters": lambda sf: F_dedup.dup_clusters(_docs(sf)),
-        "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(_docs(sf)),
-        "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(_docs(sf)),
+        "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "dup_clusters": lambda sf: F_dedup.dup_clusters(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
+            _docs(sf), n_docs=_n_docs(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
         # similarity search

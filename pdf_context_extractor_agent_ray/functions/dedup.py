@@ -296,7 +296,8 @@ SMALL_GRAPH_PAIRS = 1_000_000
 
 
 def dup_clusters(ds, max_rounds: int = 16,
-                 small_graph_pairs: int = SMALL_GRAPH_PAIRS):
+                 small_graph_pairs: int = SMALL_GRAPH_PAIRS,
+                 n_docs: int | None = None):
     """Near-duplicate clusters: connected components over the MinHash-LSH
     pair graph.
 
@@ -315,7 +316,7 @@ def dup_clusters(ds, max_rounds: int = 16,
     cpus = int(ray.cluster_resources().get("CPU", 4))
     num_partitions = max(2, cpus // 2)
 
-    pairs = lsh_candidate_pairs(ds).materialize()
+    pairs = lsh_candidate_pairs(ds, n_docs=n_docs).materialize()
 
     if pairs.count() <= small_graph_pairs:
         # small-graph path: the pair set fits one process by the gate's
@@ -665,7 +666,8 @@ def _keep_ids_except(ds, drops, broadcast_max_drops: int):
     return j.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
-def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
+def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX,
+                       n_docs: int | None = None):
     """The deduplicated corpus keep-list: every doc_id EXCEPT clustered
     near-duplicates that are not their cluster's representative
     (cluster_id == min doc_id) — i.e. the corpus a training run would
@@ -675,7 +677,7 @@ def near_dup_survivors(ds, broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
     small fraction of the corpus); the keep-list itself is the shared
     size-gated anti-join (``_keep_ids_except``). Output: doc_id.
     """
-    clusters = dup_clusters(ds).materialize()
+    clusters = dup_clusters(ds, n_docs=n_docs).materialize()
 
     def non_reps(batch: pa.Table) -> pa.Table:
         mask = pc.not_equal(batch["doc_id"], batch["cluster_id"])
@@ -693,7 +695,8 @@ KEEP_BEST_ID_SHIFT = 1 << 40
 
 def near_dup_keep_best(ds,
                        broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
-                       broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX):
+                       broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX,
+                       n_docs: int | None = None):
     """Quality-aware dedup keep-list: each near-dup cluster keeps its
     BEST member — longest normalized text, ties to the smallest
     doc_id — instead of ``near_dup_survivors``' smallest-doc_id
@@ -714,7 +717,7 @@ def near_dup_keep_best(ds,
     import ray
     import ray.data as rd
 
-    clusters = dup_clusters(ds).materialize()
+    clusters = dup_clusters(ds, n_docs=n_docs).materialize()
 
     if clusters.count() <= broadcast_max_cluster_docs:
         rows = clusters.take_all()

@@ -8,6 +8,8 @@ import math
 
 import pyarrow as pa
 
+from .util import table_from_pandas
+
 
 def events_json_stats(sf_dir: str):
     """Parse ``events.props`` JSON per row, extract the ``k`` field,
@@ -15,7 +17,10 @@ def events_json_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum, Max, Count
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    from .util import strip_schema_metadata
+
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]))
 
     def extract(batch: pa.Table) -> pa.Table:
         ks = []
@@ -45,7 +50,7 @@ def events_json_stats(sf_dir: str):
         df = extract(batch).to_pandas()
         agg = df.groupby("event_type", as_index=False).agg(
             n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                           ["event_type"],

@@ -21,10 +21,16 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import table_from_pandas
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from .util import strip_schema_metadata
+    # metadata-free blocks keep downstream groupby/join reduces on the
+    # hashable-schema fast path (util.strip_schema_metadata)
+    return strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns))
 
 
 def _finish_grouped_sums(partials, keys: list[str]):
@@ -56,7 +62,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
         agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty_cents=("qty_c", "sum"), sum_price_cents=("price_c", "sum"),
             sum_disc_price_cents=("disc_c", "sum"), n_rows=("qty_c", "size"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -90,7 +96,7 @@ def top_customers(sf_dir: str, k: int = 10,
         }).to_pandas()
         agg = df.groupby("o_custkey", as_index=False).agg(
             revenue_cents=("price_c", "sum"), n_orders=("price_c", "size"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
@@ -169,7 +175,7 @@ def events_windowed(sf_dir: str):
         }).to_pandas()
         agg = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
             n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -190,10 +196,7 @@ def filter_sort_topk(sf_dir: str, k: int = 20):
             "price_cents": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100), round_mode="half_towards_infinity"),
                                    pa.int64()),
         }).to_pandas()
-        return pa.Table.from_pandas(
-            df.sort_values(["price_cents", "l_orderkey", "l_linenumber"],
-                           ascending=[False, True, True]).head(k),
-            preserve_index=False)
+        return table_from_pandas(df.sort_values(["price_cents", "l_orderkey", "l_linenumber"], ascending=[False, True, True]).head(k))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["price_cents", "l_orderkey", "l_linenumber"],
@@ -299,7 +302,7 @@ def region_rollup(sf_dir: str):
         }).to_pandas()
         agg = df.groupby("r_name", as_index=False).agg(
             n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"), ["r_name"])
@@ -319,7 +322,7 @@ def segment_stats(sf_dir: str):
         }).to_pandas()
         agg = df.groupby("c_mktsegment", as_index=False).agg(
             n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"), ["c_mktsegment"])
@@ -378,9 +381,7 @@ def top_orders_per_segment(sf_dir: str, k: int = TOP_ORDERS_PER_SEGMENT_K,
             }).to_pandas()
             df["segment"] = df["o_custkey"].map(lk)
             df = df.dropna(subset=["segment"])  # inner-join semantics
-            return pa.Table.from_pandas(
-                topk(df)[["segment", "orderkey", "totalprice_cents"]],
-                preserve_index=False)
+            return table_from_pandas(topk(df)[["segment", "orderkey", "totalprice_cents"]])
 
         return ds.map_batches(partial, batch_format="pyarrow") \
             .repartition(1).map_batches(rank, batch_format="pandas",
@@ -449,7 +450,7 @@ def events_hopping(sf_dir: str):
         })
         agg = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
             n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .util import round_half_away_e
+from .util import round_half_away_e, strip_schema_metadata, table_from_pandas
 
 DEFAULT_K = 10
 N_HYPERPLANES = 8  # LSH variant: 2^8 buckets
@@ -262,7 +262,8 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
     ref = ray.put((qids, Q, C, probes))
     qid_arr = np.array(qids, dtype=np.int64)
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
 
     def partial(batch: pa.Table) -> pa.Table:
         qids_, Q_, C_, probes_ = ray.get(ref)
@@ -332,7 +333,8 @@ def _exact_embedding_near_dup(sf_dir: str, threshold_e6: int):
     flat = _matrix(t)  # zero-copy flatten, no per-value Python objects
     ref = ray.put((all_ids, flat))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all, M_all = ray.get(ref)
@@ -360,7 +362,8 @@ def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
     import ray.data as rd
     from ray.data.aggregate import Max
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
 
     def sig_bands(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -432,8 +435,7 @@ def embedding_centroids(ds):
             id_vars="label", var_name="dim", value_name="sum_e6")
         long["dim"] = long["dim"].astype("int64")
         long["n"] = long["label"].map(counts).astype("int64")
-        return pa.Table.from_pandas(
-            long[["label", "dim", "n", "sum_e6"]], preserve_index=False)
+        return table_from_pandas(long[["label", "dim", "n", "sum_e6"]])
 
     folded = finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                             ["label", "dim"])
@@ -462,7 +464,7 @@ def label_stats(ds):
                            "c0_e6": round_half_away_e(M[:, 0])})
         agg = df.groupby("label", as_index=False).agg(
             n=("c0_e6", "size"), sum_c0_e6=("c0_e6", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                           ["label"])

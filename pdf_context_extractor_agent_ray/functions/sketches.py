@@ -66,7 +66,10 @@ def approx_distinct_tokens(sf_dir: str):
     import ray.data as rd
     from .text import norm_expr
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    from .util import strip_schema_metadata
+
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]))
 
     def sketch(batch: pa.Table) -> pa.Table:
         norm = norm_expr(batch["text"])

@@ -43,8 +43,13 @@ def _events_bucketed(sf_dir: str, num_buckets: int | None = None):
         n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
         num_buckets = max(8, -(-n // ROWS_PER_BUCKET))
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "ts", "user_id", "event_type", "value"])
+    from .util import strip_schema_metadata
+
+    # metadata-free blocks keep the bucket groupby on the hashable-
+    # schema dedup fast path (util.strip_schema_metadata)
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"]))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -12,6 +12,8 @@ import hashlib
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .util import table_from_pandas
+
 # shared with the SQL oracles (RE2 syntax on both sides)
 WS_RE = r"[ \t\r\n\f\v]+"
 TOKEN_RE = r"[^ ]+"
@@ -282,7 +284,7 @@ def interleave_plan(ds):
         })
         agg = df.groupby(["source", "bucket"], as_index=False).size() \
             .rename(columns={"size": "n"})
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
     tot = parts.groupby(["source", "bucket"], as_index=False)["n"].sum() \
@@ -381,7 +383,7 @@ def length_stats(ds):
         agg = df.groupby("source", as_index=False).agg(
             n=("n_chars", "size"), sum_chars=("n_chars", "sum"),
             sum_chars_sq=("n_chars_sq", "sum"))
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                           ["source"])

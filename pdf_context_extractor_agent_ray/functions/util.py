@@ -12,6 +12,53 @@ def round_half_away_e(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
     return np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
 
 
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata from every Arrow block (zero-copy;
+    fuses with the upstream read).
+
+    Parquet files written by pandas embed a ``b'pandas'`` key-value
+    blob that makes ``pa.Schema`` UNHASHABLE (its metadata compares as
+    a dict), so Ray Data's schema-dedup fast path in
+    ``transform_pyarrow.unify_schemas`` (``len(set(schemas)) == 1``)
+    throws and every shuffle reduce task logs "Failed to hash the
+    schemas" and falls back to a full unify. Stripping once at the
+    source keeps every downstream groupby/sort/join on the fast path
+    and the bench artifact clean.
+
+    Caveat: the appended stage makes ``ds.count()`` execute the plan
+    instead of resolving from parquet metadata — callers that gate on
+    row counts should resolve them via ``parquet_num_rows`` and pass
+    ``n_docs`` explicitly (see ``dedup.lsh_candidate_pairs``).
+    """
+    import pyarrow as pa  # noqa: F401  (documents the batch type)
+
+    # batch_size=None = one batch per block: the strip itself must not
+    # concat blocks (concat unifies the still-dirty schemas and logs
+    # the very warning this helper removes)
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow", batch_size=None)
+
+
+def table_from_pandas(df):
+    """``pa.Table.from_pandas(df, preserve_index=False)`` minus the
+    ``b'pandas'`` schema-metadata blob it attaches — the blob makes the
+    schema unhashable and knocks downstream shuffles off the dedup fast
+    path (see ``strip_schema_metadata``)."""
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from the parquet footer (driver-side, no data read) —
+    the metadata-cheap count a raw ``read_parquet`` would give, usable
+    after ``strip_schema_metadata`` made ``ds.count()`` a full pass."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def finish_grouped(partials, keys: list[str],
                    aggs: dict[str, str] | None = None):
     """Finish a pre-aggregated partial stream (one row per key per

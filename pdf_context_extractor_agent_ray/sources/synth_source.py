@@ -208,7 +208,12 @@ def documents_from_flat(sf_dir: str, limit: Optional[int] = None):
     payload is generated; TESTDATA documents do not carry spans)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from ..functions.util import strip_schema_metadata
+
+    # strip the pandas parquet metadata per-block so gen's 256-row
+    # batching concat unifies hashable schemas (util.strip_schema_metadata)
+    ds = strip_schema_metadata(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]))
     if limit is not None:
         ds = ds.limit(limit)
 
