@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy packing is a running fold — not SQL-expressible
         # (rows-only check; invariants pinned by pytest)
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
+        "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
         "quality_score": text_q(F_text.quality_batch),
         "langid": text_q(F_text.langid_batch),
         "fingerprint": text_q(F_text.fingerprint_batch),
@@ -236,6 +237,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _NORM = "trim(regexp_replace(text, '[ \t\r\n\f\v]+', ' ', 'g'), ' ')"
+
+# greedy fixed-budget packing as a RECURSIVE walk, shared by the
+# pack_sequences and shard_manifest oracles: each bucket's chunks step
+# in (doc_id, chunk_idx) order carrying (seq_idx, filled) — the running
+# fold the engine does vectorized per bucket (functions/text._pack_fold;
+# a chunk that would overflow the budget opens a new sequence, the
+# first chunk is always admitted)
+_PACK_WALK_CTE = f"""
+            WITH RECURSIVE t AS (SELECT doc_id, unnest(tk) AS tok,
+                                        generate_subscripts(tk, 1) AS i
+                                 FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk
+                                       FROM documents)),
+            ch AS (SELECT doc_id,
+                          CAST((i - 1) // {F_text.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
+                          count(*) AS n_tokens
+                   FROM t GROUP BY 1, 2),
+            ord AS (SELECT (doc_id * 2654435761) & 4294967295 AS h, *,
+                           row_number() OVER
+                             (PARTITION BY ((doc_id * 2654435761) & 4294967295)
+                                           % {F_text.PACK_BUCKETS}
+                              ORDER BY doc_id, chunk_idx) AS rn
+                    FROM ch),
+            o2 AS (SELECT CAST(h % {F_text.PACK_BUCKETS} AS BIGINT) AS bucket,
+                          rn, n_tokens FROM ord),
+            walk AS (
+              SELECT bucket, rn, n_tokens,
+                     CAST(0 AS BIGINT) AS seq_idx, n_tokens AS filled
+              FROM o2 WHERE rn = 1
+              UNION ALL
+              SELECT o.bucket, o.rn, o.n_tokens,
+                     CASE WHEN w.filled + o.n_tokens > {F_text.PACK_BUDGET}
+                          THEN w.seq_idx + 1 ELSE w.seq_idx END,
+                     CASE WHEN w.filled + o.n_tokens > {F_text.PACK_BUDGET}
+                          THEN o.n_tokens ELSE w.filled + o.n_tokens END
+              FROM walk w JOIN o2 o ON o.bucket = w.bucket AND o.rn = w.rn + 1),
+            packs AS (SELECT bucket, seq_idx, count(*) AS n_chunks,
+                             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                      FROM walk GROUP BY 1, 2)"""
 _EN = F_text.STOPWORD_RES["en"]
 _DE = F_text.STOPWORD_RES["de"]
 _FR = F_text.STOPWORD_RES["fr"]
@@ -500,42 +539,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             GROUP BY doc_id, (i - 1) // {F_text.CHUNK_TOKENS}
         """,
         "pack_sequences": f"""
-            -- greedy fixed-budget packing as a RECURSIVE walk: each
-            -- bucket's chunks step in (doc_id, chunk_idx) order
-            -- carrying (seq_idx, filled) — the running fold the engine
-            -- does vectorized per bucket (functions/text.pack_sequences;
-            -- a chunk that would overflow the budget opens a new
-            -- sequence, the first chunk is always admitted)
-            WITH RECURSIVE t AS (SELECT doc_id, unnest(tk) AS tok,
-                                        generate_subscripts(tk, 1) AS i
-                                 FROM (SELECT doc_id, string_split({_NORM}, ' ') AS tk
-                                       FROM documents)),
-            ch AS (SELECT doc_id,
-                          CAST((i - 1) // {F_text.CHUNK_TOKENS} AS BIGINT) AS chunk_idx,
-                          count(*) AS n_tokens
-                   FROM t GROUP BY 1, 2),
-            ord AS (SELECT (doc_id * 2654435761) & 4294967295 AS h, *,
-                           row_number() OVER
-                             (PARTITION BY ((doc_id * 2654435761) & 4294967295)
-                                           % {F_text.PACK_BUCKETS}
-                              ORDER BY doc_id, chunk_idx) AS rn
-                    FROM ch),
-            o2 AS (SELECT CAST(h % {F_text.PACK_BUCKETS} AS BIGINT) AS bucket,
-                          rn, n_tokens FROM ord),
-            walk AS (
-              SELECT bucket, rn, n_tokens,
-                     CAST(0 AS BIGINT) AS seq_idx, n_tokens AS filled
-              FROM o2 WHERE rn = 1
-              UNION ALL
-              SELECT o.bucket, o.rn, o.n_tokens,
-                     CASE WHEN w.filled + o.n_tokens > {F_text.PACK_BUDGET}
-                          THEN w.seq_idx + 1 ELSE w.seq_idx END,
-                     CASE WHEN w.filled + o.n_tokens > {F_text.PACK_BUDGET}
-                          THEN o.n_tokens ELSE w.filled + o.n_tokens END
-              FROM walk w JOIN o2 o ON o.bucket = w.bucket AND o.rn = w.rn + 1)
-            SELECT bucket, seq_idx, count(*) AS n_chunks,
-                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-            FROM walk GROUP BY 1, 2
+            {_PACK_WALK_CTE}
+            SELECT bucket, seq_idx, n_chunks, n_tokens FROM packs
+        """,
+        "shard_manifest": f"""
+            -- shard assignment over the packed-sequence walk: lay the
+            -- sequences out in global (bucket, seq_idx) order and give
+            -- each the shard its starting token offset falls in —
+            -- the engine's two-pass prefix sum as one window cumsum
+            -- (functions/text.shard_manifest)
+            {_PACK_WALK_CTE},
+            ordered AS (
+              SELECT n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       ORDER BY bucket, seq_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS prev_cum
+              FROM packs)
+            SELECT CAST(prev_cum // {F_text.SHARD_BUDGET} AS BIGINT) AS shard_id,
+                   count(*) AS n_seqs,
+                   CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+            FROM ordered GROUP BY 1
         """,
         "quality_score": f"""
             WITH f AS (

@@ -650,32 +650,13 @@ PACK_BUDGET = 512   # tokens per packed training sequence
 PACK_BUCKETS = 64   # packing scope: deterministic hash buckets
 
 
-def pack_sequences(ds, budget: int = PACK_BUDGET,
-                   num_buckets: int = PACK_BUCKETS,
-                   chunk_tokens: int = CHUNK_TOKENS):
-    """Greedy sequence packing of token chunks into fixed-budget
-    training sequences — the step after chunking when building LM
-    batches. Packing is a running fold (sequence state resets when the
-    budget would overflow), so it is NOT SQL-expressible (rows-only
-    driver check); pytest pins the invariants instead.
-
-    Determinism without a global order: chunks hash into
-    ``num_buckets`` doc_id buckets and each bucket packs its own
-    chunks in (doc_id, chunk_idx) order — one vectorized-ish fold per
-    bucket, any partitioning of the input yields identical sequences.
-    At scale the bucket is the partition key; sequences never span
-    buckets. Output: bucket, seq_idx, n_chunks, n_tokens (sum of
-    chunk tokens in the sequence, <= budget).
-    """
+def _bucketed_chunk_meta(ds, num_buckets: int, chunk_tokens: int):
+    """Chunk METADATA stream with the deterministic doc_id hash bucket
+    (Knuth multiplicative so sequential ids spread): doc_id, chunk_idx,
+    n_tokens, bucket. chunk_text is dropped before the bucket exchange
+    — packing/sharding only fold token counts, so the shuffle ships
+    ~32 B/chunk instead of the chunk text."""
     import numpy as np
-    import pandas as pd
-
-    if chunk_tokens > budget:
-        # the greedy fold admits a sequence's first chunk
-        # unconditionally — an oversized chunk would silently break the
-        # <= budget output contract
-        raise ValueError(
-            f"chunk_tokens ({chunk_tokens}) must be <= budget ({budget})")
 
     chunks = ds.map_batches(
         lambda b: token_chunks_batch(b, max_tokens=chunk_tokens),
@@ -685,30 +666,150 @@ def pack_sequences(ds, budget: int = PACK_BUDGET,
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bucket = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) \
             % num_buckets
-        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "chunk_idx": batch["chunk_idx"],
+                         "n_tokens": batch["n_tokens"],
+                         "bucket": pa.array(bucket.astype(np.int64))})
 
-    def pack(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "chunk_idx"], kind="stable")
-        toks = df["n_tokens"].to_numpy()
-        seq_ids = np.empty(len(df), dtype=np.int64)
-        seq = 0
-        filled = 0
-        for i, t in enumerate(toks):  # greedy running fold
-            if filled + t > budget and filled:
-                seq += 1
-                filled = 0
-            seq_ids[i] = seq
-            filled += t
-        g = pd.DataFrame({"bucket": df["bucket"].to_numpy(),
-                          "seq_idx": seq_ids, "n_tokens": toks})
-        agg = g.groupby(["bucket", "seq_idx"], as_index=False).agg(
-            n_chunks=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
-        agg["n_chunks"] = agg["n_chunks"].astype("int64")
-        agg["n_tokens"] = agg["n_tokens"].astype("int64")
-        return agg[["bucket", "seq_idx", "n_chunks", "n_tokens"]]
+    return chunks.map_batches(add_bucket, batch_format="pyarrow")
 
-    return chunks.map_batches(add_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pack, batch_format="pandas")
+
+def _pack_fold(df, budget: int):
+    """The greedy running fold shared by ``pack_sequences`` and
+    ``shard_manifest``: one bucket's chunk metadata (sorted here by
+    (doc_id, chunk_idx)) → per-sequence rows ORDERED BY seq_idx.
+    Output columns: bucket, seq_idx, n_chunks, n_tokens."""
+    import numpy as np
+    import pandas as pd
+
+    df = df.sort_values(["doc_id", "chunk_idx"], kind="stable")
+    toks = df["n_tokens"].to_numpy()
+    seq_ids = np.empty(len(df), dtype=np.int64)
+    seq = 0
+    filled = 0
+    for i, t in enumerate(toks):  # greedy running fold
+        if filled + t > budget and filled:
+            seq += 1
+            filled = 0
+        seq_ids[i] = seq
+        filled += t
+    g = pd.DataFrame({"bucket": df["bucket"].to_numpy(),
+                      "seq_idx": seq_ids, "n_tokens": toks})
+    agg = g.groupby(["bucket", "seq_idx"], as_index=False).agg(
+        n_chunks=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+    agg["n_chunks"] = agg["n_chunks"].astype("int64")
+    agg["n_tokens"] = agg["n_tokens"].astype("int64")
+    return agg[["bucket", "seq_idx", "n_chunks", "n_tokens"]]
+
+
+def _check_pack_params(chunk_tokens: int, budget: int) -> None:
+    if chunk_tokens > budget:
+        # the greedy fold admits a sequence's first chunk
+        # unconditionally — an oversized chunk would silently break the
+        # <= budget output contract
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must be <= budget ({budget})")
+
+
+def pack_sequences(ds, budget: int = PACK_BUDGET,
+                   num_buckets: int = PACK_BUCKETS,
+                   chunk_tokens: int = CHUNK_TOKENS):
+    """Greedy sequence packing of token chunks into fixed-budget
+    training sequences — the step after chunking when building LM
+    batches. The packing fold is a running state machine (sequence
+    resets when the budget would overflow); its SQL oracle replicates
+    it as a per-bucket WITH RECURSIVE walk (``__ray_entry__``).
+
+    Determinism without a global order: chunks hash into
+    ``num_buckets`` doc_id buckets and each bucket packs its own
+    chunks in (doc_id, chunk_idx) order — one vectorized-ish fold per
+    bucket, any partitioning of the input yields identical sequences.
+    At scale the bucket is the partition key; sequences never span
+    buckets. Output: bucket, seq_idx, n_chunks, n_tokens (sum of
+    chunk tokens in the sequence, <= budget).
+    """
+    _check_pack_params(chunk_tokens, budget)
+    return _bucketed_chunk_meta(ds, num_buckets, chunk_tokens) \
+        .groupby("bucket").map_groups(lambda df: _pack_fold(df, budget),
+                                      batch_format="pandas")
+
+
+SHARD_BUDGET = 8192  # tokens per training shard (16 packed sequences)
+
+
+def shard_manifest(ds, shard_budget: int = SHARD_BUDGET,
+                   budget: int = PACK_BUDGET,
+                   num_buckets: int = PACK_BUCKETS,
+                   chunk_tokens: int = CHUNK_TOKENS):
+    """Token-budget shard manifest over the packed-sequence stream —
+    the writer-planning step after ``pack_sequences``: lay the
+    sequences out in global (bucket, seq_idx) order and assign each to
+    the shard its starting token offset falls in
+    (``shard_id = prev_cum_tokens // shard_budget``) — contiguous
+    token ranges, the layout a resumable shard writer produces.
+    Output: shard_id, n_seqs, shard_tokens.
+
+    The global prefix sum never sorts globally: per-bucket token
+    totals (``num_buckets`` rows — a constant) fold to the driver,
+    the bucket-prefix offsets broadcast back, and each bucket assigns
+    its own sequences vectorized (local cumsum + bucket offset) —
+    the same two-pass range-rank shape as ``interleave_plan``. The
+    chunk-metadata stream (32 B/chunk, no text) materializes once and
+    feeds both passes. The manifest itself is metadata, not data: one
+    row per ~``shard_budget`` tokens, so the single-block finish holds
+    whenever the shard budget is sized sanely (10^14 corpus tokens at
+    10^8-token shards = 10^6 rows).
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .util import finish_grouped
+
+    _check_pack_params(chunk_tokens, budget)
+    meta = _bucketed_chunk_meta(ds, num_buckets, chunk_tokens).materialize()
+
+    # pass 1: per-bucket token totals -> prefix offsets in bucket order
+    # (a bucket's packed-sequence tokens sum to its chunk tokens, so
+    # the totals fold over chunk metadata without packing first)
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bucket": batch["bucket"].to_numpy(zero_copy_only=False),
+            "tok": batch["n_tokens"].to_numpy(zero_copy_only=False)})
+        return table_from_pandas(
+            df.groupby("bucket", as_index=False)["tok"].sum())
+
+    totals: dict[int, int] = {}
+    for r in meta.map_batches(bucket_partial,
+                              batch_format="pyarrow").take_all():
+        totals[r["bucket"]] = totals.get(r["bucket"], 0) + r["tok"]
+    offsets: dict[int, int] = {}
+    run = 0
+    for b in sorted(totals):
+        offsets[b] = run
+        run += totals[b]
+    off_ref = ray.put(offsets)
+
+    # pass 2: pack each bucket, local cumsum + bucket offset -> shard
+    # partials (a shard can span adjacent buckets, hence the finish)
+    def pack_and_assign(df: pd.DataFrame) -> pd.DataFrame:
+        packs = _pack_fold(df, budget)  # ordered by seq_idx
+        toks = packs["n_tokens"].to_numpy(dtype=np.int64)
+        start = ray.get(off_ref)[int(packs["bucket"].iloc[0])]
+        prev_cum = start + np.concatenate(([0], np.cumsum(toks)[:-1]))
+        g = pd.DataFrame({"shard_id": prev_cum // shard_budget,
+                          "tok": toks})
+        agg = g.groupby("shard_id", as_index=False).agg(
+            n_seqs=("tok", "size"), shard_tokens=("tok", "sum"))
+        agg["shard_id"] = agg["shard_id"].astype("int64")
+        agg["n_seqs"] = agg["n_seqs"].astype("int64")
+        agg["shard_tokens"] = agg["shard_tokens"].astype("int64")
+        return agg[["shard_id", "n_seqs", "shard_tokens"]]
+
+    partials = meta.groupby("bucket").map_groups(
+        pack_and_assign, batch_format="pandas")
+    return finish_grouped(partials, ["shard_id"],
+                          {"n_seqs": "sum", "shard_tokens": "sum"})
 
 
 QUANTILES = (0.5, 0.9, 0.99)

@@ -393,3 +393,36 @@ def test_top_terms_per_doc_paths_agree(ray_session):
     fast = run()
     slow = run(broadcast_max_vocab=0)
     assert fast == slow and fast
+
+
+def test_shard_manifest_invariants_and_agreement(ray_session):
+    """shard_manifest == brute-force prefix-sum over pack_sequences
+    output in global (bucket, seq_idx) order; shard ids contiguous,
+    token mass conserved."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_context_extractor_agent_ray.functions.text import (
+        SHARD_BUDGET, pack_sequences, shard_manifest)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        strip_schema_metadata)
+
+    mk = lambda: strip_schema_metadata(  # noqa: E731
+        rd.read_parquet(f"{SF}/documents.parquet"))
+    packs = pd.DataFrame(pack_sequences(mk()).take_all()) \
+        .sort_values(["bucket", "seq_idx"]).reset_index(drop=True)
+    man = pd.DataFrame(shard_manifest(mk()).take_all()) \
+        .sort_values("shard_id").reset_index(drop=True)
+
+    toks = packs["n_tokens"].to_numpy(dtype=np.int64)
+    prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    bf = pd.DataFrame({"shard_id": prev // SHARD_BUDGET, "tok": toks}) \
+        .groupby("shard_id", as_index=False) \
+        .agg(n_seqs=("tok", "size"), shard_tokens=("tok", "sum"))
+
+    assert man["shard_id"].tolist() == list(range(len(man)))  # contiguous
+    assert int(man["shard_tokens"].sum()) == int(toks.sum())  # conserved
+    assert int(man["n_seqs"].sum()) == len(packs)
+    assert man[["shard_id", "n_seqs", "shard_tokens"]].astype("int64") \
+        .equals(bf.astype("int64"))
