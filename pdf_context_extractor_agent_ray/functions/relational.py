@@ -57,12 +57,14 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
             "price_c": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100), round_mode="half_towards_infinity"), pa.int64()),
             "disc_c": pc.cast(pc.round(pc.multiply(disc_price, 100), round_mode="half_towards_infinity"), pa.int64()),
         })
-        # partial combine: one row per (flag, status) per batch
-        df = tmp.to_pandas()
-        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_cents=("qty_c", "sum"), sum_price_cents=("price_c", "sum"),
-            sum_disc_price_cents=("disc_c", "sum"), n_rows=("qty_c", "size"))
-        return table_from_pandas(agg)
+        # partial combine: one row per (flag, status) per batch —
+        # Arrow-native group_by, no full-batch pandas conversion
+        return tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"),
+             ("disc_c", "sum"), ("qty_c", "count")]) \
+            .rename_columns(["l_returnflag", "l_linestatus",
+                             "sum_qty_cents", "sum_price_cents",
+                             "sum_disc_price_cents", "n_rows"])
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -90,13 +92,12 @@ def top_customers(sf_dir: str, k: int = 10,
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pa.table({
+        return pa.table({
             "o_custkey": batch["o_custkey"],
             "price_c": pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100), round_mode="half_towards_infinity"), pa.int64()),
-        }).to_pandas()
-        agg = df.groupby("o_custkey", as_index=False).agg(
-            revenue_cents=("price_c", "sum"), n_orders=("price_c", "size"))
-        return table_from_pandas(agg)
+        }).group_by("o_custkey").aggregate(
+            [("price_c", "sum"), ("price_c", "count")]) \
+            .rename_columns(["o_custkey", "revenue_cents", "n_orders"])
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
@@ -168,14 +169,14 @@ def events_windowed(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"), pa.int64())
-        df = pa.table({
+        return pa.table({
             "window_start_us": hour,
             "event_type": batch["event_type"],
             "value_c": pc.cast(pc.round(pc.multiply(batch["value"], 100), round_mode="half_towards_infinity"), pa.int64()),
-        }).to_pandas()
-        agg = df.groupby(["window_start_us", "event_type"], as_index=False).agg(
-            n_events=("value_c", "size"), sum_value_cents=("value_c", "sum"))
-        return table_from_pandas(agg)
+        }).group_by(["window_start_us", "event_type"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]) \
+            .rename_columns(["window_start_us", "event_type",
+                             "n_events", "sum_value_cents"])
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -296,13 +297,12 @@ def region_rollup(sf_dir: str):
         n2r_, r2name_ = ray.get(ref)
         nk = batch["c_nationkey"].to_pylist()
         names = [r2name_[n2r_[n]] for n in nk]
-        df = pa.table({
+        return pa.table({
             "r_name": pa.array(names, pa.string()),
             "bal_c": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100), round_mode="half_towards_infinity"), pa.int64()),
-        }).to_pandas()
-        agg = df.groupby("r_name", as_index=False).agg(
-            n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
-        return table_from_pandas(agg)
+        }).group_by("r_name").aggregate(
+            [("bal_c", "count"), ("bal_c", "sum")]) \
+            .rename_columns(["r_name", "n_customers", "sum_acctbal_cents"])
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"), ["r_name"])
@@ -316,13 +316,13 @@ def segment_stats(sf_dir: str):
     ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pa.table({
+        return pa.table({
             "c_mktsegment": batch["c_mktsegment"],
             "bal_c": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100), round_mode="half_towards_infinity"), pa.int64()),
-        }).to_pandas()
-        agg = df.groupby("c_mktsegment", as_index=False).agg(
-            n_customers=("bal_c", "size"), sum_acctbal_cents=("bal_c", "sum"))
-        return table_from_pandas(agg)
+        }).group_by("c_mktsegment").aggregate(
+            [("bal_c", "count"), ("bal_c", "sum")]) \
+            .rename_columns(["c_mktsegment", "n_customers",
+                             "sum_acctbal_cents"])
 
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"), ["c_mktsegment"])
