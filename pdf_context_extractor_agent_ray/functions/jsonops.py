@@ -8,8 +8,6 @@ import math
 
 import pyarrow as pa
 
-from .util import table_from_pandas
-
 
 def events_json_stats(sf_dir: str):
     """Parse ``events.props`` JSON per row, extract the ``k`` field,
@@ -43,14 +41,12 @@ def events_json_stats(sf_dir: str):
         return pa.table({"event_type": batch["event_type"],
                          "k": pa.array(ks, pa.int64())})
 
-    import pandas as pd
     from .util import finish_grouped
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = extract(batch).to_pandas()
-        agg = df.groupby("event_type", as_index=False).agg(
-            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
-        return table_from_pandas(agg)
+        return extract(batch).group_by("event_type").aggregate(
+            [("k", "count"), ("k", "sum"), ("k", "max")]) \
+            .rename_columns(["event_type", "n", "sum_k", "max_k"])
 
     return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                           ["event_type"],

@@ -191,13 +191,16 @@ def filter_sort_topk(sf_dir: str, k: int = 20):
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-        df = pa.table({
+        t = pa.table({
             "l_orderkey": batch["l_orderkey"],
             "l_linenumber": batch["l_linenumber"],
             "price_cents": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100), round_mode="half_towards_infinity"),
                                    pa.int64()),
-        }).to_pandas()
-        return table_from_pandas(df.sort_values(["price_cents", "l_orderkey", "l_linenumber"], ascending=[False, True, True]).head(k))
+        })
+        idx = pc.sort_indices(t, sort_keys=[("price_cents", "descending"),
+                                            ("l_orderkey", "ascending"),
+                                            ("l_linenumber", "ascending")])
+        return t.take(idx[:k])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["price_cents", "l_orderkey", "l_linenumber"],

@@ -375,15 +375,13 @@ def length_stats(ds):
     """Per-source length moments: per-batch partial (count/sum/sumsq
     per source) then the bounded-key finish (sources are a small
     enum)."""
-    import pandas as pd
     from .util import finish_grouped
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = length_stats_batch(batch).to_pandas()
-        agg = df.groupby("source", as_index=False).agg(
-            n=("n_chars", "size"), sum_chars=("n_chars", "sum"),
-            sum_chars_sq=("n_chars_sq", "sum"))
-        return table_from_pandas(agg)
+        return length_stats_batch(batch).group_by("source").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"),
+             ("n_chars_sq", "sum")]) \
+            .rename_columns(["source", "n", "sum_chars", "sum_chars_sq"])
 
     return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                           ["source"])
