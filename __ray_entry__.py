@@ -36,7 +36,10 @@ from pdf_context_extractor_agent_ray.functions.multimodal import (
     media_stats,
 )
 from pdf_context_extractor_agent_ray.pipelines.extraction import extraction_pipeline
-from pdf_context_extractor_agent_ray.stages.context import table_contexts
+from pdf_context_extractor_agent_ray.stages.context import (
+    boilerplate_stats,
+    table_contexts,
+)
 from pdf_context_extractor_agent_ray.stages.pages import page_stats
 from pdf_context_extractor_agent_ray.sources.synth_source import (
     documents_from_flat,
@@ -164,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": lambda sf: media_frame_sample(documents_from_flat(sf)),
         "page_stats": lambda sf: page_stats(documents_from_flat(sf)),
         "table_contexts": lambda sf: table_contexts(documents_from_flat(sf)),
+        "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         # text analysis
         "text_normalize": text_q(F_text.normalize_batch),
         "token_stats": text_q(F_text.token_stats_batch),
@@ -461,6 +465,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM tot
             LEFT JOIN agg ON agg.doc_id = tot.doc_id
             LEFT JOIN tbd ON tbd.doc_id = tot.doc_id
+        """,
+        "boilerplate_stats": f"""
+            -- the density heuristic in SQL, in lockstep with
+            -- stages/context._is_boilerplate: ASCII-ws trim, < 6 chars
+            -- or non-informative (digit/punct class) share > 0.7
+            -- compared in exact integer arithmetic (n*10 > len*7)
+            WITH s AS (SELECT doc_id, kind, text,
+                              trim(text, ' \t\r\n\f\v') AS st
+                       FROM read_parquet('{spans_pq}')),
+            d AS (SELECT DISTINCT doc_id FROM s),
+            t AS (SELECT doc_id,
+                         length(text) AS n_chars,
+                         CASE WHEN length(st) < 6
+                                   OR (length(st) - length(regexp_replace(st,
+                                        '[0-9 .,:;：，。%()（）—-]', '', 'g'))) * 10
+                                      > length(st) * 7
+                              THEN 1 ELSE 0 END AS bp
+                  FROM s WHERE kind = 'text')
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(1 - t.bp), 0) AS BIGINT) AS n_text_kept,
+                   CAST(coalesce(sum(t.bp), 0) AS BIGINT) AS n_text_dropped,
+                   CAST(coalesce(sum(CASE WHEN t.bp = 0 THEN t.n_chars
+                                          ELSE 0 END), 0) AS BIGINT) AS kept_chars
+            FROM d LEFT JOIN t ON t.doc_id = d.doc_id
+            GROUP BY d.doc_id
         """,
         "table_contexts": f"""
             WITH s AS (SELECT doc_id, span_idx, kind, text, media_ref,

@@ -35,15 +35,22 @@ TABLE_CONTEXT_SCHEMA = pa.schema([
 
 # boilerplate density heuristic thresholds
 MIN_CONTENT_CHARS = 6
-MAX_DIGIT_PUNCT_RATIO = 0.7
+# ratio threshold 0.7 compared in exact integer arithmetic (n*10 > len*7)
+MAX_DIGIT_PUNCT_PCT10 = 7
+
+# the non-informative character class — keep the literal set and the
+# SQL oracle's regex class (__ray_entry__ boilerplate_stats) in
+# lockstep; ASCII digits only ('0'..'9', not Unicode isdigit) and the
+# ASCII_WS strip match DuckDB's trim()/RE2 semantics exactly
+DIGIT_PUNCT_CHARS = frozenset("0123456789 .,:;：，。%-—()（）")
 
 
 def _is_boilerplate(text: str) -> bool:
-    s = text.strip()
+    s = text.strip(ASCII_WS)
     if len(s) < MIN_CONTENT_CHARS:
         return True
-    informative = sum(1 for ch in s if not (ch.isdigit() or ch in " .,:;：，。%-——()（）"))
-    return (len(s) - informative) / len(s) > MAX_DIGIT_PUNCT_RATIO
+    non_informative = sum(1 for ch in s if ch in DIGIT_PUNCT_CHARS)
+    return non_informative * 10 > len(s) * MAX_DIGIT_PUNCT_PCT10
 
 
 def table_contexts(docs_ds, k_lines: int = CONTEXT_LINES):
@@ -83,6 +90,45 @@ def table_contexts(docs_ds, k_lines: int = CONTEXT_LINES):
                 out["context_after"].append("\n".join(after))
                 out["table_head"].append(" ".join(texts[start].split(CELL_SEP)))
         return pa.Table.from_pydict(out, schema=TABLE_CONTEXT_SCHEMA)
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+BOILERPLATE_STATS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("n_text_kept", pa.int64()),
+    ("n_text_dropped", pa.int64()),
+    ("kept_chars", pa.int64()),   # character count of surviving text spans
+])
+
+
+def boilerplate_stats(docs_ds):
+    """Per-doc main-content yield of the density heuristic: how many
+    text spans ``strip_boilerplate`` keeps/drops and the surviving
+    character mass — the report a corpus-cleaning run ships. One
+    vectorizable span pass, no shuffle; SQL-oracle twin in
+    ``__ray_entry__`` (pytest pins agreement with the actual
+    ``strip_boilerplate`` rebuild)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, offs, kinds, texts, _refs, _o = spans_column_views(batch)
+        out = {n: [] for n in BOILERPLATE_STATS_SCHEMA.names}
+        for i in range(len(doc_ids)):
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            kept = dropped = chars = 0
+            for j in range(lo, hi):
+                if kinds[j] != "text":
+                    continue
+                if _is_boilerplate(texts[j]):
+                    dropped += 1
+                else:
+                    kept += 1
+                    chars += len(texts[j])
+            out["doc_id"].append(doc_ids[i])
+            out["n_text_kept"].append(kept)
+            out["n_text_dropped"].append(dropped)
+            out["kept_chars"].append(chars)
+        return pa.Table.from_pydict(out, schema=BOILERPLATE_STATS_SCHEMA)
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 

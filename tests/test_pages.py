@@ -101,3 +101,23 @@ def test_strip_boilerplate_preserves_structure(ray_session):
         got_nontext = [(s["kind"], s["text"]) for s in spans if s["kind"] != "text"]
         assert got_nontext == orig_nontext
         assert len(spans) <= len(d["spans"])
+
+
+def test_boilerplate_stats_agree_with_strip(ray_session):
+    """The stats report must equal counting the actual strip_boilerplate
+    rebuild against the original docs."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.stages.context import (
+        boilerplate_stats, strip_boilerplate)
+    docs = [generate_doc(f"bps-{i:03d}") for i in range(30)]
+    ds = rd.from_arrow(docs_to_table(docs))
+    stats = {r["doc_id"]: r for r in boilerplate_stats(ds).take_all()}
+    stripped = {r["doc_id"]: r["spans"]
+                for r in strip_boilerplate(ds).take_all()}
+    for d in docs:
+        kept = [s for s in stripped[d["doc_id"]] if s["kind"] == "text"]
+        orig_text = [s for s in d["spans"] if s[0] == "text"]
+        r = stats[d["doc_id"]]
+        assert r["n_text_kept"] == len(kept)
+        assert r["n_text_dropped"] == len(orig_text) - len(kept)
+        assert r["kept_chars"] == sum(len(s["text"]) for s in kept)
