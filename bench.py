@@ -6,9 +6,13 @@ replicated BENCH_REPLICATION×) — documents/sec end-to-end.
 
 Also times every ``queries()`` entry at the same sf_dir.
 
-Prints ONE JSON line:
+Prints TWO JSON lines: first {"detail": {...}} with every per-query
+timing and all disclosed scaling pairs (also written to
+BENCH_DETAIL.json), then a compact FINAL line (headline sec, docs/s,
+scaling value + pair count, query-count summary) kept well under the
+driver's 2000-char stdout tail so the recorded artifact always parses:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+   "queries_n": N, "scaling": {...}, "sf": ..., "num_cpus": N, ...}
 
 ``--scaling``: runs the headline in FRESH processes at two CPU levels
 (default 4 and 16 — N and 4N) on the same input and reports both
@@ -113,6 +117,12 @@ def run_headline() -> dict:
     # (observed 1.3-3x spread on identical code). BENCH_TIMED_REPS=1
     # for fast iteration.
     reps = max(1, int(os.environ.get("BENCH_TIMED_REPS", "2")))
+    if warm_mode == "0":
+        # a deliberately-cold run must be a SINGLE pass: min() of 2+
+        # reps reports the second (warmed) pass while the artifact is
+        # still labeled warmup:'0', which is not comparable to the
+        # recorded 12.4-16.6k cold baseline (ADVICE r3)
+        reps = 1
 
     def timed_pass() -> float:
         t0 = time.time()
@@ -203,7 +213,39 @@ def main() -> None:
             and not os.environ.get("BENCH_NO_SCALING"):
         row["scaling"] = run_scaling(
             trials=int(os.environ.get("BENCH_SCALING_TRIALS_MAIN", "3")))
-    print(json.dumps(row))
+
+    # The driver keeps only the LAST ~2000 chars of stdout and parses
+    # the final JSON line; the full row (58 per-query floats + all
+    # disclosed scaling pairs) outgrew that tail in r3 and recorded
+    # "parsed": null. Emit the full detail on an EARLIER line (and as a
+    # side file for the repo record), and keep the FINAL line a compact
+    # summary guaranteed well under the tail.
+    print(json.dumps({"detail": row}))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(row, f, indent=1)
+    except OSError:
+        pass
+    compact = {k: row[k] for k in
+               ("metric", "value", "unit", "sf", "num_cpus", "docs",
+                "docs_per_sec", "warmup", "warmup_sec", "timed_reps")
+               if k in row}
+    if queries:
+        compact["queries_n"] = len(queries)
+        compact["queries_total_sec"] = round(sum(queries.values()), 3)
+        compact["queries_max"] = max(queries, key=queries.get)
+        compact["queries_detail"] = "earlier stdout line + BENCH_DETAIL.json"
+    if "scaling" in row:
+        s = row["scaling"]
+        compact["scaling"] = {
+            "metric": s["metric"], "value": s["value"],
+            "paired_trials": s["paired_trials"],
+            **{k: s[k] for k in s if k.startswith("docs_per_sec_")},
+        }
+    line = json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    print(line)
 
 
 SCALING_TRIALS = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))

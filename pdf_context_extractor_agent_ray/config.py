@@ -278,7 +278,12 @@ def load_decision_log(path: str) -> dict[tuple[str, ...], str]:
         choice = {"llm": "model"}.get(choice, choice)
         if choice not in ("rules", "model", "skip"):
             continue
-        out[tuple(str(c) for c in r.get("header_row", []))] = choice
+        header = r.get("header_row")
+        if not isinstance(header, list):
+            # a malformed record must not install a replay decision for
+            # the empty header row (ADVICE r3)
+            continue
+        out[tuple(str(c) for c in header)] = choice
     return out
 
 

@@ -83,7 +83,9 @@ def _jaccard_e6(norm_a: str, norm_b: str) -> int:
     sa, sb = set(_shingles(norm_a)), set(_shingles(norm_b))
     union = len(sa | sb)
     # round-half-away to match the DuckDB oracle's round()
-    return int(len(sa & sb) / union * 1e6 + 0.5) if union else 0
+    # multiply-FIRST (1e6*i/u) to mirror the oracle's operand order;
+    # (i/u)*1e6 can differ by 1 at exact .5 boundaries
+    return int(1e6 * len(sa & sb) / union + 0.5) if union else 0
 
 
 LSH_BROADCAST_MAX_DOCS = 200_000
@@ -204,7 +206,7 @@ def _lsh_pairs_broadcast(ds):
         for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
             sa, sb = sset(a), sset(b)
             union = len(sa | sb)
-            jac = int(len(sa & sb) / union * 1e6 + 0.5) if union else 0
+            jac = int(1e6 * len(sa & sb) / union + 0.5) if union else 0
             if jac >= JACCARD_THRESHOLD_E6:
                 oa.append(a)
                 ob.append(b)
@@ -523,7 +525,8 @@ def _ngram_jaccard_driver(ds, threshold_e6: int):
     ua, ub = A[p_starts], B[p_starts]
     sz = pd.Series(sizes)
     union = sz.loc[ua].to_numpy(np.float64) + sz.loc[ub].to_numpy(np.float64) - inter
-    jac = round_half_away_e(inter / np.maximum(union, 1))
+    # multiply-first mirrors the oracle's round(1e6*i/u) operand order
+    jac = round_half_away_e(1e6 * inter / np.maximum(union, 1), scale=1.0)
     keep = jac >= threshold_e6
     return rd.from_arrow(_pairs_table(
         ua[keep].tolist(), ub[keep].tolist(), jac[keep].tolist()))
@@ -611,7 +614,7 @@ def _ngram_jaccard_distributed(ds, threshold_e6: int):
         i = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
         union = (batch["n_a"].to_numpy(zero_copy_only=False)
                  + batch["n_b"].to_numpy(zero_copy_only=False) - i)
-        jac = round_half_away_e(i / np.maximum(union, 1))
+        jac = round_half_away_e(1e6 * i / np.maximum(union, 1), scale=1.0)
         keep = jac >= threshold_e6
         return _pairs_table(
             batch["doc_a"].to_numpy(zero_copy_only=False)[keep].tolist(),

@@ -234,8 +234,15 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
         "n_tokens": pa.array(n, pa.int64()),
         "n_distinct_tokens": pa.array(nd, pa.int64()),
         "top_token_count": pa.array(top, pa.int64()),
-        "dup_token_frac_e6": pa.array(round_half_away_e((n - nd) / n), pa.int64()),
-        "top_token_frac_e6": pa.array(round_half_away_e(top / n), pa.int64()),
+        # Multiply-FIRST to mirror the oracle's round(1e6*d/n) operand
+        # order: (d/n)*1e6 differs by 1 at exact .5 boundaries (e.g.
+        # n=640, d=41 -> 64062 vs 64063). int*1e6 is exact in float64
+        # for counts < 2^53/1e6, so multiply-first matches DuckDB
+        # bit-for-bit.
+        "dup_token_frac_e6": pa.array(
+            round_half_away_e(1e6 * (n - nd) / n, scale=1.0), pa.int64()),
+        "top_token_frac_e6": pa.array(
+            round_half_away_e(1e6 * top / n, scale=1.0), pa.int64()),
     })
 
 

@@ -108,18 +108,19 @@ def ensure_spans_parquet(sf_dir: str) -> str:
 
 
 def _engine_code_hash() -> str:
-    """Hash of the per-document semantics sources (docproc + patterns).
-    Part of the extracted-oracle cache key so the artifact can never
-    silently diverge from the engine after a code change — the
-    file-bytes hash plays the role SYNTH_VERSION plays for the
-    generator."""
+    """Hash of every source module on the sequential-oracle extraction
+    path (docproc + patterns + oracle.extractor + schema). Part of the
+    extracted-oracle cache key so the artifact can never silently
+    diverge from the engine after a code change — the file-bytes hash
+    plays the role SYNTH_VERSION plays for the generator."""
     import hashlib
     import os
 
-    from .. import docproc, patterns
+    from .. import docproc, patterns, schema
+    from ..oracle import extractor
 
     h = hashlib.md5()
-    for mod in (docproc, patterns):
+    for mod in (docproc, patterns, extractor, schema):
         with open(os.path.abspath(mod.__file__), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]

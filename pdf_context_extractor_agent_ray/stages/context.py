@@ -40,9 +40,12 @@ MAX_DIGIT_PUNCT_PCT10 = 7
 
 # the non-informative character class — keep the literal set and the
 # SQL oracle's regex class (__ray_entry__ boilerplate_stats) in
-# lockstep; ASCII digits only ('0'..'9', not Unicode isdigit) and the
-# ASCII_WS strip match DuckDB's trim()/RE2 semantics exactly
-DIGIT_PUNCT_CHARS = frozenset("0123456789 .,:;：，。%-—()（）")
+# lockstep: an EXPLICIT codepoint set (no Unicode isdigit()) so Python
+# and DuckDB/RE2 agree exactly. Includes the fullwidth digits ０-９ and
+# the ideographic space U+3000 common in this Chinese financial-document
+# domain (ADVICE r3), while the line TRIM stays ASCII_WS on both sides.
+DIGIT_PUNCT_CHARS = frozenset(
+    "0123456789０１２３４５６７８９ 　.,:;：，。%-—()（）")
 
 
 def _is_boilerplate(text: str) -> bool:
@@ -135,7 +138,13 @@ def boilerplate_stats(docs_ds):
 
 def strip_boilerplate(docs_ds):
     """Documents with boilerplate text spans removed (density heuristic);
-    ordering and all non-text spans preserved."""
+    ordering and all non-text spans preserved.
+
+    Parity note: the heuristic trims ``ASCII_WS`` only (not Unicode
+    ``str.strip()``) and counts the explicit ``DIGIT_PUNCT_CHARS``
+    codepoint set (not ``str.isdigit``) so the DuckDB/RE2 oracle can
+    reproduce it byte-for-byte; fullwidth digits and U+3000 are covered
+    by explicit members of the set, in lockstep with the SQL class."""
 
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids, offs, kinds, texts, refs, span_offs = spans_column_views(batch)

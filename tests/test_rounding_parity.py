@@ -1,0 +1,54 @@
+"""Exact .5-boundary parity between the engine's e6 fraction rounding
+and DuckDB's round(1000000.0 * num / den): the operand order matters.
+
+(num/den)*1e6 and 1e6*num/den differ by 1 ulp at exact .5 boundaries
+(measured: num=41, den=640 -> 64062 vs 64063); every engine site must
+multiply FIRST, mirroring the oracle SQL (ADVICE r3, medium)."""
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from pdf_context_extractor_agent_ray.functions.text import repetition_stats_batch
+from pdf_context_extractor_agent_ray.functions.util import round_half_away_e
+
+
+def test_round_half_away_multiply_first_matches_duckdb():
+    # (num, den) pairs that land exactly on a .5 boundary after *1e6,
+    # plus a sweep of non-boundary pairs
+    pairs = [(41, 640), (1, 16), (3, 32), (7, 64), (123, 1920)]
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        den = int(rng.integers(1, 5000))
+        num = int(rng.integers(0, den + 1))
+        pairs.append((num, den))
+    num = np.array([p[0] for p in pairs], dtype=np.int64)
+    den = np.array([p[1] for p in pairs], dtype=np.int64)
+    eng = round_half_away_e(1e6 * num / den, scale=1.0)
+    con = duckdb.connect()
+    ora = con.execute(
+        "SELECT CAST(round(1000000.0 * n / d) AS BIGINT) "
+        "FROM (SELECT unnest(?) AS n, unnest(?) AS d)",
+        [num.tolist(), den.tolist()],
+    ).fetchnumpy()
+    assert (eng == list(ora.values())[0]).all()
+    # the divide-first order is genuinely different on the boundary case
+    wrong = round_half_away_e(np.array([41 / 640]))
+    assert wrong[0] == 64062 and eng[0] == 64063
+
+
+def test_repetition_stats_boundary_doc_matches_oracle():
+    # 599 distinct tokens + 41 extra repeats of one token:
+    # n=640, n_distinct=599, dup=41 -> 1e6*41/640 = 64062.5 exactly
+    toks = [f"tok{i}" for i in range(599)] + ["tok0"] * 41
+    text = " ".join(toks)
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([text], pa.string())})
+    out = repetition_stats_batch(batch).to_pydict()
+    assert out["n_tokens"] == [640]
+    assert out["n_distinct_tokens"] == [599]
+    assert out["dup_token_frac_e6"] == [64063]  # half-away, oracle-exact
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT CAST(round(1000000.0 * (640 - 599) / 640) AS BIGINT)"
+    ).fetchone()[0]
+    assert got == 64063
