@@ -47,9 +47,45 @@ def minhash_signature(norm: str) -> list[str]:
     return sig
 
 
+def minhash_signatures_for(norms: list[str]) -> list[list[str]]:
+    """Batch-memoized signatures, value-identical to
+    ``minhash_signature`` per doc: hashlib runs once per (perm,
+    DISTINCT shingle) across the whole batch instead of once per
+    occurrence — the same vocab dedup ``simhash_batch`` does for its
+    token vocabulary (shared shingles across near-duplicate docs are
+    exactly the common case in a dedup corpus). Per-doc minima are then
+    integer work: per perm, rank the vocab digests once (argsort) and
+    ``np.minimum.reduceat`` the occurrence ranks per doc."""
+    import numpy as np
+
+    if not norms:
+        return []
+    vocab: dict[str, int] = {}
+    occ: list[int] = []
+    starts = [0]
+    for n in norms:
+        # per-doc distinct is enough: min over duplicates is unchanged
+        occ.extend({vocab.setdefault(s, len(vocab)) for s in _shingles(n)})
+        starts.append(len(occ))
+    occ_a = np.asarray(occ, dtype=np.int64)
+    st = np.asarray(starts[:-1], dtype=np.int64)
+    vs = [s.encode() for s in vocab]  # encode once, reuse across perms
+    md5 = hashlib.md5
+    out = np.empty((N_PERM, len(norms)), dtype="U32")
+    for i in range(N_PERM):
+        pre = f"{i}#".encode()
+        digests = np.array(
+            [md5(pre + s).hexdigest() for s in vs], dtype="U32")
+        order = np.argsort(digests, kind="stable")
+        rank = np.empty(len(vs), dtype=np.int64)
+        rank[order] = np.arange(len(vs))
+        out[i] = digests[order][np.minimum.reduceat(rank[occ_a], st)]
+    return [list(out[:, k]) for k in range(len(norms))]
+
+
 def minhash_batch(batch: pa.Table) -> pa.Table:
     norms = _norm(batch["text"])
-    sigs = [minhash_signature(n) for n in norms]
+    sigs = minhash_signatures_for(norms)
     cols = {"doc_id": batch["doc_id"]}
     for i in range(N_PERM):
         cols[f"sig_{i}"] = pa.array([s[i] for s in sigs], pa.string())
@@ -125,8 +161,7 @@ def _sig_and_bands(batch: pa.Table) -> pa.Table:
     norms = _norm(batch["text"])
     doc_ids = batch["doc_id"].to_pylist()
     out_doc, out_band, out_key = [], [], []
-    for d, n in zip(doc_ids, norms):
-        sig = minhash_signature(n)
+    for d, sig in zip(doc_ids, minhash_signatures_for(norms)):
         for b in range(LSH_BANDS):
             out_doc.append(d)
             out_band.append(b)
@@ -164,7 +199,7 @@ def _lsh_pairs_broadcast(ds):
         norms = _norm(batch["text"])
         cols = {"doc_id": batch["doc_id"],
                 "norm_text": pa.array(norms, pa.string())}
-        sigs = [minhash_signature(n) for n in norms]  # once per doc, not per band
+        sigs = minhash_signatures_for(norms)  # batch-memoized distinct shingles
         keys = [[_band_key(sig, b) for b in range(LSH_BANDS)] for sig in sigs]
         for b in range(LSH_BANDS):
             cols[f"band_{b}"] = pa.array([k[b] for k in keys], pa.string())
@@ -247,8 +282,8 @@ def _lsh_pairs_join(ds, num_partitions: int | None = None):
     def sig_and_bands_from_norm(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         out_doc, out_band, out_key = [], [], []
-        for d, n in zip(doc_ids, batch["norm_text"].to_pylist()):
-            sig = minhash_signature(n)
+        sigs = minhash_signatures_for(batch["norm_text"].to_pylist())
+        for d, sig in zip(doc_ids, sigs):
             for b in range(LSH_BANDS):
                 out_doc.append(d)
                 out_band.append(b)
@@ -767,6 +802,16 @@ def near_dup_keep_best(ds,
     def encode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        # the packed key is exact only inside these ranges — a 64-bit
+        # id corpus must fail LOUD here, not return a wrong winner
+        if len(ids) and (int(ids.max()) >= KEEP_BEST_ID_SHIFT
+                         or int(ids.min()) < 0
+                         or int(nc.max()) >= (1 << 23)):
+            raise ValueError(
+                "near_dup_keep_best order-embedding overflow: requires "
+                "0 <= doc_id < 2^40 and n_chars < 2^23, got "
+                f"doc_id in [{ids.min()}, {ids.max()}], "
+                f"max n_chars {nc.max()}")
         key = nc * KEEP_BEST_ID_SHIFT + (KEEP_BEST_ID_SHIFT - 1 - ids)
         return pa.table({"cluster_id": batch["cluster_id"],
                          "doc_id": batch["doc_id"],

@@ -71,6 +71,43 @@ class BloomFilter:
                 return False
         return True
 
+    @staticmethod
+    def hash_batch(doc_ids: list[str]):
+        """(h1, h2) uint64 arrays for a batch — one blake2b per doc,
+        shared across every partition Bloom a CompletedFilter probes."""
+        import hashlib
+        import numpy as np
+        b2 = hashlib.blake2b
+        h1 = np.empty(len(doc_ids), np.uint64)
+        h2 = np.empty(len(doc_ids), np.uint64)
+        for j, d in enumerate(doc_ids):
+            dig = b2(d.encode(), digest_size=16).digest()
+            h1[j] = int.from_bytes(dig[:8], "big")
+            h2[j] = int.from_bytes(dig[8:], "big") | 1
+        return h1, h2
+
+    def might_contain_batch(self, h1, h2):
+        """Vectorized probe over pre-hashed ids (``hash_batch``).
+
+        Bit-exact with the scalar path: Python computes
+        ``(h1 + i*h2) % m`` in arbitrary precision (the sum exceeds
+        2^64), so the numpy twin reduces both operands mod m FIRST —
+        ``((h1 % m) + i*(h2 % m)) % m`` is the same residue and stays
+        under 2^64 for any m < 2^59 (m is 20 bits/key, so that bound is
+        ~2.8e16 keys per partition)."""
+        import numpy as np
+        assert self.m < 1 << 59, self.m
+        bits = np.frombuffer(bytes(self.bits), dtype=np.uint8)
+        m = np.uint64(self.m)
+        r1 = h1 % m
+        r2 = h2 % m
+        out = np.ones(len(h1), dtype=bool)
+        for i in range(self.k):
+            p = (r1 + np.uint64(i) * r2) % m
+            byte = bits[(p >> np.uint64(3)).astype(np.int64)]
+            out &= ((byte >> (p & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+        return out
+
     @classmethod
     def build(cls, doc_ids, n_expected: Optional[int] = None) -> "BloomFilter":
         ids = list(doc_ids)
@@ -282,6 +319,23 @@ class CompletedFilter:
             if lo <= doc_id <= hi and bf.might_contain(doc_id):
                 return True
         return False
+
+    def might_contain_batch(self, doc_ids: list[str]):
+        """Vectorized membership over a batch: hash each id once, then
+        per partition a numpy range prune + batched Bloom probe on the
+        not-yet-matched, in-range subset only."""
+        import numpy as np
+        out = np.zeros(len(doc_ids), dtype=bool)
+        if not len(doc_ids) or not self.parts:
+            return out
+        ids = np.asarray(doc_ids, dtype=np.str_)
+        h1, h2 = BloomFilter.hash_batch(doc_ids)
+        for lo, hi, bf in self.parts:
+            mask = (ids >= lo) & (ids <= hi) & ~out
+            if mask.any():
+                idx = np.flatnonzero(mask)
+                out[idx] = bf.might_contain_batch(h1[idx], h2[idx])
+        return out
 
 
 def completed_filter(output_path: str) -> Optional[CompletedFilter]:

@@ -136,8 +136,8 @@ def _bloom_anti_join(ds, cf, counter=None):
 
     def drop_done(batch: pa.Table) -> pa.Table:
         f = ray.get(ref)
-        mask = [not f.might_contain(d) for d in batch.column("doc_id").to_pylist()]
-        out = batch.filter(pa.array(mask, pa.bool_()))
+        keep = ~f.might_contain_batch(batch.column("doc_id").to_pylist())
+        out = batch.filter(pa.array(keep, pa.bool_()))
         if counter is not None and len(out) != len(batch):
             ray.get(counter.add.remote(len(batch) - len(out)))
         return out

@@ -89,6 +89,24 @@ def test_bloom_filter_no_false_negatives():
     assert rt.bits == bf.bits and all(rt.might_contain(d) for d in ids)
 
 
+def test_bloom_batch_probe_matches_scalar():
+    """The vectorized probe (the at-scale resume path) is bit-exact
+    with the scalar reference: same arbitrary-precision residues via
+    mod-m-first reduction."""
+    import numpy as np
+
+    ids = [f"doc-{i:08d}" for i in range(5000)]
+    bf = dio.BloomFilter.build(ids)
+    probe = ids[:2500] + [f"other-{i:08d}" for i in range(2500)] + ["", "x"]
+    h1, h2 = dio.BloomFilter.hash_batch(probe)
+    vec = bf.might_contain_batch(h1, h2)
+    assert (vec == np.array([bf.might_contain(d) for d in probe])).all()
+    cf = dio.CompletedFilter([(min(ids), max(ids), bf)])
+    vec2 = cf.might_contain_batch(probe)
+    assert (vec2 == np.array([cf.might_contain(d) for d in probe])).all()
+    assert vec2[:2500].all() and not vec2[-2:].any()
+
+
 def test_resume_bloom_path_converges(ray_session, corpus, tmp_path):
     """Forcing the manifest-only Bloom path (exact gate at 0) must
     still converge: rerun skips all finished docs, processes the rest,
