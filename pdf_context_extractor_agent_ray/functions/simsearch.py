@@ -111,9 +111,21 @@ def load_query_vectors(sf_dir: str, n_queries: int = 5) -> dict[int, list[float]
     return out
 
 
+def _hyperplane_matrix(seed: int, n: int, dim: int) -> np.ndarray:
+    """Seeded hyperplane matrix, memoized per worker process so hot
+    per-batch closures never regenerate it."""
+    key = (seed, n, dim)
+    got = _HYPERPLANE_CACHE.get(key)
+    if got is None:
+        got = _HYPERPLANE_CACHE[key] = np.random.RandomState(seed).randn(n, dim)
+    return got
+
+
+_HYPERPLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
 def _hyperplanes(dim: int, seed: int = 7) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.randn(N_HYPERPLANES, dim)
+    return _hyperplane_matrix(seed, N_HYPERPLANES, dim)
 
 
 def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
@@ -353,7 +365,8 @@ def _exact_embedding_near_dup(sf_dir: str, threshold_e6: int):
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
-def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
+def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int,
+                                 max_bucket: int = EMBED_MAX_BUCKET):
     """Scale path: (band, bucket) groupby over hyperplane sign
     signatures. The exchange carries (band, bucket, vec_id, embedding)
     — ~EMBED_BANDS x dim x 8 bytes per vector; in-bucket scoring is an
@@ -366,22 +379,28 @@ def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
 
     def sig_bands(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["vec_id"]
         M = _matrix(batch)
-        H = np.random.RandomState(11).randn(EMBED_BANDS * EMBED_BAND_BITS, M.shape[1])
+        # hyperplanes memoized per (seed, dim) per worker process —
+        # not regenerated per batch
+        H = _hyperplane_matrix(11, EMBED_BANDS * EMBED_BAND_BITS, M.shape[1])
         bits = (M @ H.T > 0).astype(np.uint8)
-        out_band, out_bucket, out_id, out_emb = [], [], [], []
+        # the embedding column repeats identically per band: one
+        # fixed-width Arrow list array built zero-copy from the flat
+        # float buffer, reused across bands (no Python list-of-lists)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(M.ravel(), pa.float64()), M.shape[1])
+        parts = []
         for b in range(EMBED_BANDS):
             seg = bits[:, b * EMBED_BAND_BITS:(b + 1) * EMBED_BAND_BITS]
             keys = np.packbits(seg, axis=1, bitorder="little")[:, 0]
-            out_band.extend([b] * len(ids))
-            out_bucket.extend(keys.tolist())
-            out_id.extend(ids.tolist())
-            out_emb.extend(M.tolist())
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "bucket": pa.array(out_bucket, pa.int32()),
-                         "vec_id": pa.array(out_id, pa.int64()),
-                         "embedding": pa.array(out_emb, pa.list_(pa.float64()))})
+            parts.append(pa.table({
+                "band": pa.array(np.full(len(M), b, np.int32)),
+                "bucket": pa.array(keys.astype(np.int32)),
+                "vec_id": ids,
+                "embedding": emb,
+            }))
+        return pa.concat_tables(parts)
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
@@ -391,22 +410,26 @@ def _bucketed_embedding_near_dup(sf_dir: str, threshold_e6: int):
             return empty
         df = df.sort_values("vec_id")
         ids = df["vec_id"].to_numpy()
-        M = np.array(df["embedding"].tolist(), dtype=np.float64)
-        rows = []
-        if len(ids) > EMBED_MAX_BUCKET:
-            for i in range(len(ids) - 1):
-                a, b = M[i], M[i + 1]
-                s = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
-                se6 = int(round_half_away_e(np.array([s]))[0])
-                if se6 >= threshold_e6:
-                    rows.append((int(ids[i]), int(ids[i + 1]), se6))
+        M = np.vstack(df["embedding"].to_numpy())
+        if len(ids) > max_bucket:
+            # degenerate bucket: chain-link consecutive ids, scored in
+            # ONE batched matmul instead of a per-pair Python loop
+            A, B = M[:-1], M[1:]
+            s = np.matmul(A[:, None, :], B[:, :, None]).ravel() \
+                / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+            se6 = round_half_away_e(s)
+            keep = se6 >= threshold_e6
+            out = pd.DataFrame({"vec_a": ids[:-1][keep],
+                                "vec_b": ids[1:][keep],
+                                "sim_e6": se6[keep]})
         else:
             sims = (M @ M.T) / (np.linalg.norm(M, axis=1)[:, None]
                                 * np.linalg.norm(M, axis=1)[None, :])
             se6 = round_half_away_e(sims)
             ii, jj = np.nonzero(np.triu(se6 >= threshold_e6, k=1))
-            rows = [(int(ids[i]), int(ids[j]), int(se6[i, j])) for i, j in zip(ii, jj)]
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "sim_e6"]) if rows else empty
+            out = pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj],
+                                "sim_e6": se6[ii, jj]})
+        return out.astype("int64") if len(out) else empty
 
     pairs = ds.map_batches(sig_bands, batch_format="pyarrow") \
         .groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")

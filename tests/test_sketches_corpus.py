@@ -235,6 +235,42 @@ def test_embedding_near_dup_bucketed_path(ray_session):
         assert exact[pair] == sim, pair
 
 
+def test_embedding_chain_link_branch_subset_of_exact(ray_session):
+    """Forcing every bucket degenerate (max_bucket=1) exercises the
+    vectorized chain-link scorer; its pairs must carry the same exact
+    similarities the broadcast path computes."""
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_context_extractor_agent_ray.functions.simsearch import (
+        EMBED_DUP_THRESHOLD_E6, _bucketed_embedding_near_dup,
+        embedding_near_dup)
+
+    # consecutive vec_ids near-identical so chain-links clear the
+    # threshold (the real corpus's dups are rarely id-adjacent)
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 16))
+    vecs = base.repeat(2, axis=0)
+    vecs[1::2] += rng.normal(scale=0.01, size=vecs[1::2].shape)
+    d = "/tmp/graft_chainlink_emb"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float64())),
+    }), f"{d}/embeddings.parquet")
+
+    exact = {(r["vec_a"], r["vec_b"]): r["sim_e6"]
+             for r in embedding_near_dup(d).take_all()}
+    chained = {(r["vec_a"], r["vec_b"]): r["sim_e6"]
+               for r in _bucketed_embedding_near_dup(
+                   d, EMBED_DUP_THRESHOLD_E6, max_bucket=1).take_all()}
+    assert chained, "chain-link branch emitted nothing"
+    for pair, sim in chained.items():
+        assert exact[pair] == sim, pair
+
+
 def test_dup_clusters_both_paths_agree(ray_session):
     """The union-find fast path and the distributed label-propagation
     path must produce identical components."""
