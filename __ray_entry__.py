@@ -381,6 +381,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     try:
         spans_pq = ensure_spans_parquet(sf_dir)
         ex_spans_pq, ex_docs_pq = ensure_extracted_spans_parquet(sf_dir)
+        hyp_pq, cen_pq = F_sim.ensure_knn_artifacts(sf_dir)
     except OSError:
         # sf dir absent: still return valid SQL strings (only the
         # span oracles would fail to execute, at their call site)
@@ -388,6 +389,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         spans_pq = f"{missing}.parquet"
         ex_spans_pq = f"{missing}-ex-spans.parquet"
         ex_docs_pq = f"{missing}-ex-docs.parquet"
+        hyp_pq = f"{missing}-knn-hyp.parquet"
+        cen_pq = f"{missing}-knn-cen.parquet"
     _TRIM = "trim(text, ' \t\r\n\f\v')"
     return {
         "extract_summary": f"""
@@ -927,6 +930,77 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             r AS (SELECT *, row_number() OVER
                            (PARTITION BY query_id ORDER BY sim_e6 DESC, vec_id ASC) AS rnk
                   FROM s)
+            SELECT query_id, vec_id, sim_e6, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= {F_sim.DEFAULT_K}
+        """,
+        "knn_lsh": f"""
+            -- artifact-backed ANN twin (VERDICT r3 #4): the seeded
+            -- hyperplane matrix is materialized to parquet by
+            -- functions/simsearch.ensure_knn_artifacts; SQL replays the
+            -- sign-bucket assignment, hamming<=1 probe expansion and
+            -- the cosine rerank over probed buckets only
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+            h AS (SELECT bit, CAST(h AS DOUBLE[]) AS hv
+                  FROM read_parquet('{hyp_pq}')),
+            sig AS (SELECT vec_id,
+                           CAST(sum(CASE WHEN list_dot_product(e, hv) > 0
+                                         THEN (1 << bit) ELSE 0 END)
+                                AS BIGINT) AS bucket
+                    FROM emb CROSS JOIN h GROUP BY vec_id),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM emb
+                  WHERE vec_id < 5),
+            flips AS (SELECT unnest([{", ".join(str(x) for x in
+                [0] + [1 << b for b in range(F_sim.N_HYPERPLANES)])}]) AS f),
+            probes AS (SELECT DISTINCT s.vec_id AS query_id,
+                              xor(s.bucket, CAST(f AS BIGINT)) AS bucket
+                       FROM sig s CROSS JOIN flips WHERE s.vec_id < 5),
+            scored AS (SELECT p.query_id, s.vec_id,
+                              CAST(round(list_cosine_similarity(emb.e, q.qe)
+                                         * 1000000) AS BIGINT) AS sim_e6
+                       FROM sig s JOIN probes p ON s.bucket = p.bucket
+                                  JOIN emb ON emb.vec_id = s.vec_id
+                                  JOIN q ON q.query_id = p.query_id
+                       WHERE s.vec_id >= 5),
+            r AS (SELECT *, row_number() OVER
+                           (PARTITION BY query_id ORDER BY sim_e6 DESC, vec_id ASC) AS rnk
+                  FROM scored)
+            SELECT query_id, vec_id, sim_e6, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= {F_sim.DEFAULT_K}
+        """,
+        "knn_ivf": f"""
+            -- artifact-backed IVF twin: trained centroids from
+            -- ensure_knn_artifacts; nearest-list assignment and the
+            -- nprobe probe pick both tie-break (sim DESC, list ASC),
+            -- exactly the engine's argmax/lexsort order
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+            c AS (SELECT list_id, CAST(c AS DOUBLE[]) AS cv
+                  FROM read_parquet('{cen_pq}')),
+            asg AS (SELECT vec_id, list_id FROM (
+                      SELECT e.vec_id, c.list_id, row_number() OVER
+                             (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.e, c.cv) DESC,
+                                       c.list_id ASC) AS rn
+                      FROM emb e CROSS JOIN c) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM emb
+                  WHERE vec_id < 5),
+            qp AS (SELECT query_id, list_id FROM (
+                      SELECT q.query_id, c.list_id, row_number() OVER
+                             (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(q.qe, c.cv) DESC,
+                                       c.list_id ASC) AS rn
+                      FROM q CROSS JOIN c) WHERE rn <= {F_sim.IVF_NPROBE}),
+            scored AS (SELECT qp.query_id, a.vec_id,
+                              CAST(round(list_cosine_similarity(emb.e, q.qe)
+                                         * 1000000) AS BIGINT) AS sim_e6
+                       FROM asg a JOIN qp ON a.list_id = qp.list_id
+                                  JOIN emb ON emb.vec_id = a.vec_id
+                                  JOIN q ON q.query_id = qp.query_id
+                       WHERE a.vec_id >= 5),
+            r AS (SELECT *, row_number() OVER
+                           (PARTITION BY query_id ORDER BY sim_e6 DESC, vec_id ASC) AS rnk
+                  FROM scored)
             SELECT query_id, vec_id, sim_e6, CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= {F_sim.DEFAULT_K}
         """,

@@ -160,11 +160,11 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
               for i, qid in enumerate(qids)}
     probe_union = np.array(sorted(set().union(*map(set, probes.values()))
                                   or {0}), dtype=np.int64)
-    ref = ray.put((qids, _normalize_rows(Q), H, probes, probe_union))
+    ref = ray.put((qids, Q, H, probes, probe_union))
     qid_arr = np.array(qids, dtype=np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:
-        qids_, Qn, H_, probes_, union_ = ray.get(ref)
+        qids_, Q_, H_, probes_, union_ = ray.get(ref)
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = ~np.isin(vec_ids, qid_arr)
         out_q, out_v, out_s = [], [], []
@@ -178,10 +178,13 @@ def lsh_bucketed_knn(ds, query_vectors: dict[int, list[float]],
             # partition pruning — unprobed blocks are never read)
             cand = np.isin(sigs, union_)
             if cand.any():
-                Mn = _normalize_rows(M[cand])
+                Mc = M[cand]
                 vids = vids[cand]
                 sigs = sigs[cand]
-                sims = Mn @ Qn.T
+                # dot/(|a|*|b|): same op order as list_cosine_similarity
+                # so the artifact-backed DuckDB oracle hashes exactly
+                sims = (Mc @ Q_.T) / (np.linalg.norm(Mc, axis=1)[:, None]
+                                      * np.linalg.norm(Q_, axis=1)[None, :])
                 for col, qid in enumerate(qids_):
                     mask = np.isin(sigs, probes_[qid])
                     if not mask.any():
@@ -222,12 +225,20 @@ def _ivf_centroids(sf_dir: str, nlist: int = IVF_NLIST,
     nprobe/nlist lists recovers only that fraction of true neighbors;
     k-means cells concentrate a query's neighborhood in few lists.
     """
-    import ray.data as rd
+    import pyarrow.parquet as pq
 
-    sample = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                             columns=["embedding"]).limit(train_sample)
-    X = np.concatenate([_matrix(b) for b in
-                        sample.iter_batches(batch_format="pyarrow")])
+    # bounded head sample read WITHOUT a Ray session (training is a
+    # driver-side computation either way, and the artifact writer for
+    # the DuckDB oracle must produce the identical centroids outside
+    # Ray): stream row groups until train_sample rows
+    chunks, got = [], 0
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    for rb in f.iter_batches(columns=["embedding"]):
+        chunks.append(_matrix(pa.Table.from_batches([rb])))
+        got += len(rb)
+        if got >= train_sample:
+            break
+    X = np.concatenate(chunks)[:train_sample]
     Xn = _normalize_rows(X)
     nlist = min(nlist, len(Xn))
 
@@ -269,8 +280,13 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
     qids = sorted(query_vectors)
     Q = np.array([query_vectors[q] for q in qids], dtype=np.float64)
     C = _ivf_centroids(sf_dir)
-    qlists = np.argsort(-(_normalize_rows(Q) @ C.T), axis=1)[:, :nprobe]
-    probes = {qid: np.sort(qlists[i]) for i, qid in enumerate(qids)}
+    # cosine op order (dot/(|q|*|c|)) + explicit (sim desc, list asc)
+    # tie-break: mirrors the oracle's ORDER BY exactly
+    qsims = (Q @ C.T) / (np.linalg.norm(Q, axis=1)[:, None]
+                         * np.linalg.norm(C, axis=1)[None, :])
+    lists = np.arange(C.shape[0])
+    probes = {qid: np.sort(np.lexsort((lists, -qsims[i]))[:nprobe])
+              for i, qid in enumerate(qids)}
     ref = ray.put((qids, Q, C, probes))
     qid_arr = np.array(qids, dtype=np.int64)
 
@@ -285,7 +301,12 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
         if keep.any():
             M = _matrix(batch)[keep]
             vids = vec_ids[keep]
-            assign = np.argmax(_normalize_rows(M) @ C_.T, axis=1)
+            # list assignment in the oracle's cosine op order; argmax
+            # takes the FIRST (lowest list id) max, the same tie-break
+            # as ORDER BY sim DESC, list_id ASC
+            csims = (M @ C_.T) / (np.linalg.norm(M, axis=1)[:, None]
+                                  * np.linalg.norm(C_, axis=1)[None, :])
+            assign = np.argmax(csims, axis=1)
             sims = (M @ Q_.T) / (np.linalg.norm(M, axis=1)[:, None]
                                  * np.linalg.norm(Q_, axis=1)[None, :])
             for col, qid in enumerate(qids_):
@@ -304,6 +325,44 @@ def ivf_knn(sf_dir: str, query_vectors: dict[int, list[float]] | None = None,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return _finish_topk(partials, k)
+
+
+def ensure_knn_artifacts(sf_dir: str) -> tuple[str, str]:
+    """Versioned /tmp parquet artifacts backing the ANN DuckDB oracles:
+    the seeded hyperplane matrix (knn_lsh) and the trained IVF
+    centroids (knn_ivf) — exactly the float64 arrays the engine
+    broadcasts, so SQL can replay sign-bucket assignment, probe
+    expansion and the list-dot rerank bit-for-bit. Cache keyed on this
+    module's bytes + the sf dir (an engine change auto-invalidates,
+    mirroring ``ensure_extracted_spans_parquet``). Returns
+    (hyperplanes_pq, centroids_pq)."""
+    import hashlib
+    import os
+    import pyarrow.parquet as pq
+
+    with open(__file__, "rb") as f:
+        code = f.read()
+    key = hashlib.md5(code + os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = f"/tmp/graft_knn/{key}"
+    hyp_pq = f"{out_dir}/hyperplanes.parquet"
+    cen_pq = f"{out_dir}/centroids.parquet"
+    if os.path.exists(hyp_pq) and os.path.exists(cen_pq):
+        return hyp_pq, cen_pq
+    os.makedirs(out_dir, exist_ok=True)
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    H = _hyperplanes(dim)
+    pq.write_table(pa.table({
+        "bit": pa.array(range(H.shape[0]), pa.int32()),
+        "h": pa.array([list(row) for row in H], pa.list_(pa.float64())),
+    }), hyp_pq)
+    C = _ivf_centroids(sf_dir)
+    pq.write_table(pa.table({
+        "list_id": pa.array(range(C.shape[0]), pa.int32()),
+        "c": pa.array([list(row) for row in C], pa.list_(pa.float64())),
+    }), cen_pq)
+    return hyp_pq, cen_pq
 
 
 EMBED_DUP_THRESHOLD_E6 = 450_000
