@@ -181,11 +181,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_stats": F_rel.segment_stats,
         "top_orders_per_segment": F_rel.top_orders_per_segment,
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
+        # new in r4: Gopher-rules gate + training-mix report
+        "quality_gate": text_q(F_text.quality_gate_batch),
+        "source_mix": lambda sf: F_text.source_mix(_docs(sf)),
         # greedy packing is a running fold, SQL twin is a recursive walk
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
-        "quality_score": text_q(F_text.quality_batch),
-        "langid": text_q(F_text.langid_batch),
         "fingerprint": text_q(F_text.fingerprint_batch),
         "rolling_fingerprint": text_q(F_text.rolling_fingerprint_batch),
         "bpe_token_count": text_q(F_text.bpe_token_count_batch),
@@ -234,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- long-stable tail (hash-green r1-r3; re-verified every
         # pytest run) — entries here may fall past the driver's
         # 50-entry correctness window ----
+        "quality_score": text_q(F_text.quality_batch),
+        "langid": text_q(F_text.langid_batch),
         "media_stats": lambda sf: media_stats(documents_from_flat(sf)),
         "media_resize": lambda sf: media_resize(documents_from_flat(sf)),
         "media_frame_sample": lambda sf: media_frame_sample(documents_from_flat(sf)),
@@ -790,6 +793,49 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(round(1000000.0 * top_token_count / n_tokens) AS BIGINT)
                        AS top_token_frac_e6
             FROM agg
+        """,
+        "quality_gate": f"""
+            -- Gopher-rules gate: CASE order == the engine's rule
+            -- precedence (functions/text.quality_gate_batch); the e6
+            -- fractions reuse repetition_stats' exact expressions
+            WITH t AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                       FROM documents),
+            per AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS nd,
+                           CAST(max(c) AS BIGINT) AS top
+                    FROM per GROUP BY 1),
+            f AS (SELECT doc_id, n_tokens,
+                         CAST(round(1000000.0 * (n_tokens - nd) / n_tokens)
+                              AS BIGINT) AS dup_e6,
+                         CAST(round(1000000.0 * top / n_tokens)
+                              AS BIGINT) AS top_e6
+                  FROM agg)
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN n_tokens < {F_text.QUALITY_GATE_MIN_TOKENS}
+                                  OR n_tokens > {F_text.QUALITY_GATE_MAX_TOKENS}
+                                  OR dup_e6 > {F_text.QUALITY_GATE_MAX_DUP_E6}
+                                  OR top_e6 > {F_text.QUALITY_GATE_MAX_TOP_E6}
+                             THEN 0 ELSE 1 END AS BIGINT) AS keep,
+                   CASE WHEN n_tokens < {F_text.QUALITY_GATE_MIN_TOKENS} THEN 'too_short'
+                        WHEN n_tokens > {F_text.QUALITY_GATE_MAX_TOKENS} THEN 'too_long'
+                        WHEN dup_e6 > {F_text.QUALITY_GATE_MAX_DUP_E6} THEN 'repetitive'
+                        WHEN top_e6 > {F_text.QUALITY_GATE_MAX_TOP_E6} THEN 'top_token'
+                        ELSE 'pass' END AS reason
+            FROM f
+        """,
+        "source_mix": f"""
+            WITH t AS (SELECT source, lang,
+                              count(*) AS n_docs,
+                              CAST(sum(len(string_split({_NORM}, ' ')))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY 1, 2)
+            SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+                   CAST(round(1000000.0 * n_tokens
+                              / (SELECT sum(n_tokens) FROM t)) AS BIGINT)
+                       AS token_share_e6
+            FROM t
         """,
         "doc_freq": f"""
             WITH t AS (SELECT DISTINCT doc_id, tok

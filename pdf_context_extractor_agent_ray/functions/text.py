@@ -981,3 +981,82 @@ def top_terms_per_doc(ds, k: int = TOP_TERMS_K,
 
     return j.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(rank_group, batch_format="pandas")
+
+
+# Gopher-style quality gate: first-failing-rule precedence, thresholds
+# in the same integer e6 units as repetition_stats so the SQL twin is
+# a CASE over the identical expressions
+QUALITY_GATE_MIN_TOKENS = 24
+QUALITY_GATE_MAX_TOKENS = 4096
+QUALITY_GATE_MAX_DUP_E6 = 650_000
+QUALITY_GATE_MAX_TOP_E6 = 250_000
+
+
+def quality_gate_batch(batch: pa.Table) -> pa.Table:
+    """Composable corpus-cleaning gate (the Gopher-rules filter shape):
+    per doc, evaluate ordered rules over the repetition_stats features
+    and emit keep (0/1) plus the FIRST failing rule as a reason code —
+    the report a filtering run ships alongside the kept corpus.
+    Doc-local and stateless; the SQL oracle is a CASE chain over the
+    same integer expressions (rule order == CASE order)."""
+    import numpy as np
+
+    rep = repetition_stats_batch(batch)
+    n = rep["n_tokens"].to_numpy(zero_copy_only=False)
+    dup = rep["dup_token_frac_e6"].to_numpy(zero_copy_only=False)
+    top = rep["top_token_frac_e6"].to_numpy(zero_copy_only=False)
+    reason = np.full(len(n), "pass", dtype=object)
+    # assign in REVERSE precedence so earlier rules overwrite later ones
+    reason[top > QUALITY_GATE_MAX_TOP_E6] = "top_token"
+    reason[dup > QUALITY_GATE_MAX_DUP_E6] = "repetitive"
+    reason[n > QUALITY_GATE_MAX_TOKENS] = "too_long"
+    reason[n < QUALITY_GATE_MIN_TOKENS] = "too_short"
+    return pa.table({
+        "doc_id": rep["doc_id"],
+        "n_tokens": rep["n_tokens"],
+        "keep": pa.array((reason == "pass").astype(np.int64), pa.int64()),
+        "reason": pa.array(reason, pa.string()),
+    })
+
+
+def source_mix(ds):
+    """Per (source, lang) corpus-mixture report: docs, split-token
+    mass, and each cell's e6 share of the total token mass — the table
+    a training-mix planner consumes (and the input interleave_plan's
+    weights would come from). Per-batch partials over bounded keys
+    (sources x langs), one coalesced fold, then the share column from
+    the fold's own totals — no extra pass, no shuffle."""
+    import numpy as np
+
+    from .util import finish_grouped, round_half_away_e, table_from_pandas
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        norm = norm_expr(batch["text"])
+        # collapsed single spaces: tokens == spaces + 1 (empty norm ->
+        # [''] -> 1, same as SQL len(string_split(norm, ' ')))
+        toks = pc.add(pc.count_substring(norm, " "), 1)
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "lang": batch["lang"].to_pylist(),
+            "n_tokens": toks.to_numpy(zero_copy_only=False).astype("int64")})
+        agg = df.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return table_from_pandas(agg)
+
+    folded = finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["source", "lang"])
+
+    def add_share(df):
+        if not len(df):
+            df["token_share_e6"] = df.get("n_tokens")
+            return df
+        total = float(df["n_tokens"].sum())
+        df = df.copy()
+        # multiply-first: round(1e6 * part / total), oracle operand order
+        df["token_share_e6"] = round_half_away_e(
+            1e6 * df["n_tokens"].to_numpy(np.float64) / total, scale=1.0)
+        return df
+
+    return folded.map_batches(add_share, batch_format="pandas",
+                              batch_size=None)

@@ -52,3 +52,25 @@ def test_repetition_stats_boundary_doc_matches_oracle():
         "SELECT CAST(round(1000000.0 * (640 - 599) / 640) AS BIGINT)"
     ).fetchone()[0]
     assert got == 64063
+
+
+def test_quality_gate_rule_precedence():
+    """First failing rule wins: a doc that is BOTH too short and
+    repetitive reports 'too_short'; boundary values pass."""
+    import pyarrow as pa
+    from pdf_context_extractor_agent_ray.functions.text import (
+        QUALITY_GATE_MIN_TOKENS, quality_gate_batch)
+
+    docs = {
+        1: "x " * 5,                       # 5 dup tokens: short AND repetitive
+        2: " ".join(f"t{i}" for i in range(QUALITY_GATE_MIN_TOKENS)),  # boundary pass
+        3: " ".join(["dup"] * 200),        # long enough, all duplicates
+        4: " ".join(f"u{i}" for i in range(100)),                      # clean pass
+    }
+    out = quality_gate_batch(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())})).to_pydict()
+    got = dict(zip(out["doc_id"], out["reason"]))
+    assert got == {1: "too_short", 2: "pass", 3: "repetitive", 4: "pass"}
+    keeps = dict(zip(out["doc_id"], out["keep"]))
+    assert keeps == {1: 0, 2: 1, 3: 0, 4: 1}
