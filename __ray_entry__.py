@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_ivf": F_sim.ivf_knn,
+        "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
@@ -977,6 +978,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                            (PARTITION BY query_id ORDER BY sim_e6 DESC, vec_id ASC) AS rnk
                   FROM s)
             SELECT query_id, vec_id, sim_e6, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= {F_sim.DEFAULT_K}
+        """,
+        "knn_self_join": f"""
+            -- exact all-vectors kNN self-join (semantic-dedup
+            -- prerequisite): same sim/ordering contract as knn_topk
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            s AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+                         CAST(round(1000000.0 * list_cosine_similarity(a.v, b.v))
+                              AS BIGINT) AS sim_e6
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim_e6 DESC, nbr_id ASC) AS rnk
+                  FROM s)
+            SELECT vec_id, nbr_id, sim_e6, CAST(rnk AS BIGINT) AS rank
             FROM r WHERE rnk <= {F_sim.DEFAULT_K}
         """,
         "knn_lsh": f"""

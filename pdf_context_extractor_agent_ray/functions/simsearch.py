@@ -550,3 +550,145 @@ def label_stats(ds):
 
     return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
                           ["label"])
+
+
+SELF_JOIN_BROADCAST_MAX = 1_000_000   # corpus matrix ~ dim*8 B/vec broadcast
+SELF_JOIN_BLOCK_VECS = 262_144        # candidate block size above the gate
+SELF_JOIN_MERGE_BUCKET_ROWS = 1_000_000
+_SELF_ID_SHIFT = 1 << 40  # composite key exact while vec_id < 2^40
+
+
+def _self_topk_block(ids: np.ndarray, M: np.ndarray,
+                     cand_ids: np.ndarray, C: np.ndarray,
+                     k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact per-row top-k of ``M`` rows against candidate matrix ``C``
+    (self pairs excluded), fully vectorized: composite int64 key
+    ``sim_e6 * 2^40 + (2^40-1 - nbr_id)`` makes one argpartition +
+    small argsort realize the (sim_e6 desc, nbr_id asc) ordering
+    contract exactly — no per-row Python."""
+    if cand_ids.max(initial=0) >= _SELF_ID_SHIFT or cand_ids.min(initial=0) < 0:
+        raise ValueError("knn_self_join composite key requires 0 <= vec_id < 2^40")
+    sims = (M @ C.T) / (np.linalg.norm(M, axis=1)[:, None]
+                        * np.linalg.norm(C, axis=1)[None, :])
+    se6 = round_half_away_e(sims)  # same op order as list_cosine_similarity
+    key = se6 * _SELF_ID_SHIFT + (_SELF_ID_SHIFT - 1 - cand_ids[None, :])
+    self_mask = ids[:, None] == cand_ids[None, :]
+    # min+1, not min: -int64.min overflows back to int64.min, which
+    # would sort self FIRST under argpartition(-key) instead of last
+    key[self_mask] = np.iinfo(np.int64).min + 1
+    kk = min(k, key.shape[1] - int(self_mask.any()))
+    if kk <= 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    part = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+    ordr = np.argsort(-np.take_along_axis(key, part, axis=1),
+                      axis=1, kind="stable")
+    cols = np.take_along_axis(part, ordr, axis=1)
+    rows = np.repeat(np.arange(len(ids)), kk)
+    cols = cols.ravel()
+    keep = ~self_mask[rows, cols]  # rows whose id wasn't in cands keep all kk
+    return (np.repeat(ids, kk)[keep], cand_ids[cols][keep],
+            se6[rows, cols][keep])
+
+
+def knn_self_join(sf_dir: str, k: int = DEFAULT_K,
+                  broadcast_max_vectors: int = SELF_JOIN_BROADCAST_MAX,
+                  block_vecs: int = SELF_JOIN_BLOCK_VECS):
+    """Exact all-vectors kNN self-join (the semantic-dedup / clustering
+    prerequisite): for EVERY vector its top-k cosine neighbors, self
+    excluded. Output: vec_id, nbr_id, sim_e6, rank (1-based; ties
+    sim_e6 desc then nbr_id asc — the knn_topk contract).
+
+    Size-gated. Up to ``broadcast_max_vectors`` the candidate matrix
+    broadcasts ONCE (``ray.put``) and each batch finishes its own rows'
+    exact top-k in one matmul — zero exchange, output emitted directly.
+    Above the gate candidates stream in ``block_vecs`` blocks (driver
+    reads one block at a time from parquet, ``ray.put`` each): one
+    map_batches pass per block emits per-row partial top-k vs that
+    block, and a vec_id-hash bucket fold merges partials vectorized —
+    the exchange is n*k*n_blocks fixed-width rows, never embeddings.
+    The blocked path is the exact mid-scale design; at 100 TB an ANN
+    index (``knn_ivf``'s trained lists as the partition key) replaces
+    the exact pass, trading recall for a bounded candidate set.
+    """
+    import ray
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n_vecs = pq.ParquetFile(path).metadata.num_rows
+    ds = strip_schema_metadata(rd.read_parquet(
+        path, columns=["vec_id", "embedding"]))
+
+    if n_vecs <= broadcast_max_vectors:
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        cand_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ref = ray.put((cand_ids, _matrix(t)))
+
+        def topk(batch: pa.Table) -> pa.Table:
+            cids, C = ray.get(ref)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v, n, s = _self_topk_block(ids, _matrix(batch), cids, C, k)
+            kk = len(s) // max(len(ids), 1) if len(ids) else 0
+            rank = (np.tile(np.arange(1, kk + 1), len(ids))
+                    if kk * len(ids) == len(s)
+                    else _rank_within(v))
+            return pa.table({"vec_id": pa.array(v, pa.int64()),
+                             "nbr_id": pa.array(n, pa.int64()),
+                             "sim_e6": pa.array(s, pa.int64()),
+                             "rank": pa.array(rank, pa.int64())})
+
+        return ds.map_batches(topk, batch_format="pyarrow")
+
+    # blocked exact path: stream candidate blocks through the object
+    # store one at a time; merge partial top-k in vec_id-hash buckets
+    pf = pq.ParquetFile(path)
+    partials = []
+    for blk in pf.iter_batches(batch_size=block_vecs,
+                               columns=["vec_id", "embedding"]):
+        t = pa.Table.from_batches([blk])
+        cand_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ref = ray.put((cand_ids, _matrix(t)))
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cids, C = ray.get(_ref)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v, n, s = _self_topk_block(ids, _matrix(batch), cids, C, k)
+            return pa.table({"vec_id": pa.array(v, pa.int64()),
+                             "nbr_id": pa.array(n, pa.int64()),
+                             "sim_e6": pa.array(s, pa.int64())})
+
+        partials.append(ds.map_batches(partial, batch_format="pyarrow"))
+
+    allp = partials[0].union(*partials[1:]) if len(partials) > 1 else partials[0]
+    n_buckets = max(1, (n_vecs * k) // SELF_JOIN_MERGE_BUCKET_ROWS)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % n_buckets
+        return batch.append_column("bucket", pa.array(b.astype(np.int64),
+                                                      pa.int64()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "nbr_id": pd.Series([], dtype="int64"),
+                                 "sim_e6": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        df = df.sort_values(["vec_id", "sim_e6", "nbr_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("vec_id", group_keys=False).head(k).copy()
+        df["rank"] = df.groupby("vec_id").cumcount().to_numpy() + 1
+        return df[["vec_id", "nbr_id", "sim_e6", "rank"]]
+
+    return allp.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+def _rank_within(vec_ids: np.ndarray) -> np.ndarray:
+    """1-based positional rank within consecutive equal vec_id runs
+    (rows already ordered per id)."""
+    if not len(vec_ids):
+        return vec_ids
+    starts = np.r_[0, np.flatnonzero(np.diff(vec_ids)) + 1]
+    return np.arange(len(vec_ids)) - np.repeat(starts, np.diff(np.r_[starts, len(vec_ids)])) + 1

@@ -481,3 +481,37 @@ def test_shard_manifest_invariants_and_agreement(ray_session):
     assert int(man["n_seqs"].sum()) == len(packs)
     assert man[["shard_id", "n_seqs", "shard_tokens"]].astype("int64") \
         .equals(bf.astype("int64"))
+
+
+def test_knn_self_join_paths_agree_and_contract(ray_session):
+    """Broadcast and blocked-exact paths of the all-vectors kNN
+    self-join are identical; every vector gets exactly k ranked
+    neighbors, self excluded, ranks contiguous from 1."""
+    from pdf_context_extractor_agent_ray.functions.simsearch import (
+        DEFAULT_K, knn_self_join)
+
+    key = lambda r: (r["vec_id"], r["rank"], r["nbr_id"], r["sim_e6"])
+    fast = sorted(key(r) for r in knn_self_join(SF).take_all())
+    slow = sorted(key(r) for r in knn_self_join(
+        SF, broadcast_max_vectors=0, block_vecs=130).take_all())
+    assert fast == slow and fast
+    per_vec: dict[int, list[int]] = {}
+    for vec_id, rank, nbr_id, _ in fast:
+        assert nbr_id != vec_id
+        per_vec.setdefault(vec_id, []).append(rank)
+    for ranks in per_vec.values():
+        assert ranks == list(range(1, DEFAULT_K + 1))
+
+
+def test_knn_self_join_oversized_id_fails_loud(ray_session, tmp_path):
+    """vec_id >= 2^40 must raise, not silently corrupt the composite
+    ordering key."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    from pdf_context_extractor_agent_ray.functions.simsearch import _self_topk_block
+
+    ids = np.array([1 << 40], dtype=np.int64)
+    M = np.ones((1, 4), dtype=np.float64)
+    with pytest.raises(ValueError, match="2\\^40"):
+        _self_topk_block(ids, M, ids, M, 5)
