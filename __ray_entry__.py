@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped operators (ordered-log windows / as-of join)
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
+        "events_funnel": F_stream.events_funnel,
         "events_json_stats": F_json.events_json_stats,
         "approx_distinct_tokens": (lambda sf: __import__(
             "pdf_context_extractor_agent_ray.functions.sketches",
@@ -1175,6 +1176,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                    count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_funnel": """
+            -- ordered funnel: stage i reached at min ts STRICTLY after
+            -- the user's stage-(i-1) time (streamops.events_funnel)
+            WITH v AS (SELECT user_id, min(CAST(epoch_us(ts) AS BIGINT)) AS t1
+                       FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t2
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click'
+                    AND CAST(epoch_us(e.ts) AS BIGINT) > v.t1 GROUP BY 1),
+            p AS (SELECT e.user_id, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t3
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND CAST(epoch_us(e.ts) AS BIGINT) > c.t2 GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(0 AS BIGINT) AS sum_lag_us FROM v
+            UNION ALL
+            SELECT 2, 'click', CAST(count(*) AS BIGINT),
+                   CAST(COALESCE(sum(c.t2 - v.t1), 0) AS BIGINT)
+            FROM c JOIN v USING (user_id)
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+                   CAST(COALESCE(sum(p.t3 - v.t1), 0) AS BIGINT)
+            FROM p JOIN v USING (user_id)
         """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

@@ -140,3 +140,77 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US,
         return agg[["user_id", "session_idx", "n_events", "start_us", "end_us"]]
 
     return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES,
+                  num_buckets: int | None = None):
+    """Ordered conversion funnel over the events log: a user reaches
+    stage i at the MIN timestamp of a stage-i event STRICTLY after
+    their stage-(i-1) time (stage 1: min ts of that type overall).
+
+    Output (one row per stage, always all stages): stage (1-based),
+    stage_name, n_users reached, sum_lag_us (sum over reaching users
+    of t_stage - t_stage1; 0 at stage 1) — all integers, exact.
+
+    Per-user mins are bucket-local (user hashed to ONE bucket), so the
+    whole per-user chain folds vectorized inside each bucket — merges
+    and groupby-mins over every user at once, one partial row per
+    stage per bucket — and the finish sums a bounded len(stages)-key
+    table. The exchange moves len(stages) rows per bucket, never
+    events.
+    """
+    from .util import finish_grouped
+
+    ds = _events_bucketed(sf_dir, num_buckets)
+    n_stages = len(stages)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ts_us = df["ts"].to_numpy(dtype=np.int64)
+        e = pd.DataFrame({"user_id": df["user_id"].to_numpy(dtype=np.int64),
+                          "event_type": df["event_type"].to_numpy(),
+                          "ts_us": ts_us})
+        out_stage, out_users, out_lag = [], [], []
+        cur = None   # columns: user_id, cur_us (stage time so far)
+        t1 = None    # columns: user_id, t1_us
+        for i, ev in enumerate(stages):
+            sub = e[e["event_type"] == ev]
+            if cur is None:
+                cur = sub.groupby("user_id", as_index=False)["ts_us"].min() \
+                    .rename(columns={"ts_us": "cur_us"})
+                t1 = cur.rename(columns={"cur_us": "t1_us"})
+                lag = 0
+            else:
+                m = sub.merge(cur.rename(columns={"cur_us": "prev_us"}),
+                              on="user_id")
+                m = m[m["ts_us"] > m["prev_us"]]
+                cur = m.groupby("user_id", as_index=False)["ts_us"].min() \
+                    .rename(columns={"ts_us": "cur_us"})
+                j = cur.merge(t1, on="user_id")
+                lag = int((j["cur_us"] - j["t1_us"]).sum())
+            out_stage.append(i + 1)
+            out_users.append(int(len(cur)))
+            out_lag.append(lag)
+        return pd.DataFrame({"stage": pd.Series(out_stage, dtype="int64"),
+                             "n_users": pd.Series(out_users, dtype="int64"),
+                             "sum_lag_us": pd.Series(out_lag, dtype="int64")})
+
+    folded = finish_grouped(
+        ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["stage"])
+
+    def name_stages(df: pd.DataFrame) -> pd.DataFrame:
+        # emit ALL stages even if no bucket reached one (oracle's
+        # COALESCE(count,0) rows)
+        base = pd.DataFrame({"stage": pd.Series(range(1, n_stages + 1),
+                                                dtype="int64")})
+        df = base.merge(df, on="stage", how="left").fillna(0)
+        df["stage_name"] = [stages[s - 1] for s in df["stage"]]
+        df["n_users"] = df["n_users"].astype("int64")
+        df["sum_lag_us"] = df["sum_lag_us"].astype("int64")
+        return df[["stage", "stage_name", "n_users", "sum_lag_us"]]
+
+    return folded.map_batches(name_stages, batch_format="pandas",
+                              batch_size=None)

@@ -32,3 +32,40 @@ def test_equal_ts_views_resolve_to_max_event_id(ray_session, tmp_path):
                 f"read_parquet('{tmp_path}/events.parquet')")
     df = con.execute(e.oracle_sql()["asof_click_view"]).fetchdf()
     assert len(df) == 1 and df["view_event_id"][0] == 3
+
+
+def test_events_funnel_strictly_after_and_bucket_invariance(ray_session, tmp_path):
+    """Stage i counts only events STRICTLY after stage i-1; a user
+    whose click precedes (or ties) their first view never converts;
+    result is invariant to the bucket count."""
+    from pdf_context_extractor_agent_ray.functions.streamops import events_funnel
+
+    t0 = np.datetime64("2024-01-01T10:00:00", "us")
+    m = np.timedelta64(60, "s")
+    rows = [
+        # user 1: full funnel view->click->purchase
+        (1, t0, 1, "view"), (2, t0 + m, 1, "click"), (3, t0 + 2 * m, 1, "purchase"),
+        # user 2: click BEFORE view -> stage 1 only
+        (4, t0, 2, "click"), (5, t0 + m, 2, "view"),
+        # user 3: click ties view ts exactly -> strict > excludes it
+        (6, t0, 3, "view"), (7, t0, 3, "click"),
+        # user 4: view+click, purchase before click -> stage 2 only
+        (8, t0, 4, "view"), (9, t0 + 2 * m, 4, "click"), (10, t0 + m, 4, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    for nb in (1, 4):
+        out = {r["stage"]: r for r in events_funnel(str(tmp_path),
+                                                    num_buckets=nb).take_all()}
+        assert [out[s]["n_users"] for s in (1, 2, 3)] == [4, 2, 1]
+        assert out[1]["sum_lag_us"] == 0
+        assert out[2]["sum_lag_us"] == 60_000_000 + 120_000_000
+        assert out[3]["sum_lag_us"] == 120_000_000
+        assert [out[s]["stage_name"] for s in (1, 2, 3)] == ["view", "click", "purchase"]
