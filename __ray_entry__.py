@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_rollup": F_rel.region_rollup,
         "segment_stats": F_rel.segment_stats,
         "top_orders_per_segment": F_rel.top_orders_per_segment,
+        "customer_distribution": F_rel.customer_distribution,
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         # new in r4: Gopher-rules gate + training-mix report
         "quality_gate": text_q(F_text.quality_gate_batch),
@@ -1108,6 +1109,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM j)
             SELECT segment, orderkey, totalprice_cents, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= {F_rel.TOP_ORDERS_PER_SEGMENT_K}
+        """,
+        "customer_distribution": """
+            -- TPC-H Q13 shape incl. zero-order customers; the 0 row is
+            -- always present (relational.customer_distribution)
+            WITH oc AS (SELECT o_custkey, count(*) AS c_count
+                        FROM orders GROUP BY 1),
+            hist AS (SELECT c_count, count(*) AS custdist FROM oc GROUP BY 1
+                     UNION ALL
+                     SELECT 0, (SELECT count(*) FROM customer)
+                               - (SELECT count(*) FROM oc))
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(custdist AS BIGINT) AS custdist
+            FROM hist
         """,
         "approx_distinct_tokens": f"""
             -- bit-exact HLL twin of functions/sketches.py: same

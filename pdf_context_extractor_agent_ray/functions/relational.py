@@ -458,3 +458,65 @@ def events_hopping(sf_dir: str):
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["window_start_us", "event_type"])
+
+
+CUSTDIST_ROWS_PER_BUCKET = 1_000_000
+
+
+def customer_distribution(sf_dir: str, num_buckets: int | None = None):
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    INCLUDING zero-order customers. Output: c_count, custdist (the
+    c_count = 0 row is always present, derived as total customers
+    minus customers with orders).
+
+    Shape at scale: per-batch (o_custkey, n) partial counts (one row
+    per DISTINCT custkey per batch) hash into ~1M-row custkey buckets;
+    each bucket folds its custkeys vectorized and emits its own
+    bounded counts-of-counts histogram, so the second exchange is
+    len(histogram) rows per bucket — the full per-customer table never
+    coalesces anywhere. The zero row needs only the customer-table
+    row count (parquet footer) and the histogram's own mass: no join
+    against the customer table at all.
+    """
+    from .util import parquet_num_rows, table_from_pandas
+
+    n_customers = parquet_num_rows(f"{sf_dir}/customer.parquet")
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if num_buckets is None:
+        num_buckets = max(1, n_orders // CUSTDIST_ROWS_PER_BUCKET)
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, counts = np.unique(key, return_counts=True)
+        b = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)) % num_buckets
+        return pa.table({"bucket": pa.array(b.astype(np.int64), pa.int64()),
+                         "o_custkey": pa.array(ids, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c_count": pd.Series([], dtype="int64"),
+                                 "custdist": pd.Series([], dtype="int64")})
+        per_cust = df.groupby("o_custkey")["n"].sum()
+        hist = per_cust.value_counts()
+        return pd.DataFrame({"c_count": hist.index.astype("int64"),
+                             "custdist": hist.to_numpy().astype("int64")})
+
+    folded = _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("bucket").map_groups(bucket_hist, batch_format="pandas"),
+        ["c_count"])
+
+    def add_zero_row(df: pd.DataFrame) -> pd.DataFrame:
+        zero = pd.DataFrame({"c_count": pd.Series([0], dtype="int64"),
+                             "custdist": pd.Series(
+                                 [n_customers - int(df["custdist"].sum())],
+                                 dtype="int64")})
+        out = pd.concat([df[df["c_count"] != 0], zero], ignore_index=True)
+        return out.sort_values(["custdist", "c_count"],
+                               ascending=[False, False]).reset_index(drop=True)
+
+    return folded.map_batches(add_zero_row, batch_format="pandas",
+                              batch_size=None)

@@ -515,3 +515,21 @@ def test_knn_self_join_oversized_id_fails_loud(ray_session, tmp_path):
     M = np.ones((1, 4), dtype=np.float64)
     with pytest.raises(ValueError, match="2\\^40"):
         _self_topk_block(ids, M, ids, M, 5)
+
+
+def test_customer_distribution_invariants(ray_session):
+    """Bucket-count invariance; zero-order row always present; total
+    histogram mass equals the customer count; order mass matches."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        customer_distribution)
+    from pdf_context_extractor_agent_ray.functions.util import parquet_num_rows
+
+    base = sorted((r["c_count"], r["custdist"])
+                  for r in customer_distribution(SF).take_all())
+    rebucketed = sorted((r["c_count"], r["custdist"])
+                        for r in customer_distribution(SF, num_buckets=7).take_all())
+    assert base == rebucketed and base
+    d = dict(base)
+    assert 0 in d
+    assert sum(d.values()) == parquet_num_rows(f"{SF}/customer.parquet")
+    assert sum(c * n for c, n in d.items()) == parquet_num_rows(f"{SF}/orders.parquet")
