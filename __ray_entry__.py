@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
+        "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
         "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
         "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
@@ -636,6 +637,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         ELSE 'fr' END AS pred_lang,
                    greatest(en, de, fr) AS score
             FROM s
+        """,
+        "cross_split_contamination": f"""
+            -- composes the dataset_split + fingerprint contracts:
+            -- eval docs whose prefix fingerprint appears in train
+            WITH b AS (SELECT doc_id,
+                              CASE WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.SPLIT_SALT}'), 1, 16))::UBIGINT
+                                        % 100 AS BIGINT) < {F_text.SPLIT_BOUNDARIES[0]} THEN 'train'
+                                   WHEN CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.SPLIT_SALT}'), 1, 16))::UBIGINT
+                                        % 100 AS BIGINT) < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
+                                   ELSE 'test' END AS split,
+                              md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS text_hash
+                       FROM documents),
+            t AS (SELECT DISTINCT text_hash FROM b WHERE split = 'train')
+            SELECT doc_id, split,
+                   CAST(CASE WHEN b.text_hash IN (SELECT text_hash FROM t)
+                        THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM b WHERE split <> 'train'
         """,
         "fingerprint": f"""
             SELECT doc_id,

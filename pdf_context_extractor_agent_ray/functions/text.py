@@ -1060,3 +1060,78 @@ def source_mix(ds):
 
     return folded.map_batches(add_share, batch_format="pandas",
                               batch_size=None)
+
+
+def cross_split_contamination(ds,
+                              broadcast_max_hashes: int = DECONTAM_BROADCAST_MAX):
+    """Train→eval leakage report: for every val/test document, whether
+    its content fingerprint also appears in the train split — the
+    check a training run ships before trusting its held-out numbers
+    (split assignment per ``dataset_split_batch``, fingerprint per
+    ``fingerprint_batch``; both reused verbatim so this composes the
+    two hash-green contracts).
+
+    Output: doc_id, split ('val'/'test'), contaminated (0/1).
+
+    Size-gated like every membership test in the engine: up to
+    ``broadcast_max_hashes`` distinct train fingerprints the set
+    broadcasts (``ray.put`` once, ``pc.is_in`` per batch); above it
+    eval fingerprints left-join the train hash set hash-partitioned
+    on text_hash — the driver never holds a corpus-proportional set.
+    """
+    import ray
+
+    def split_fp(batch: pa.Table) -> pa.Table:
+        sp = dataset_split_batch(batch)
+        fp = fingerprint_batch(batch)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": sp["split"],
+                         "text_hash": fp["text_hash"]})
+
+    both = ds.map_batches(split_fp, batch_format="pyarrow")
+
+    def train_hashes(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["split"], "train"))
+        return pa.table({"train_hash": pc.unique(t["text_hash"])})
+
+    # materialized: the size gate and the chosen path both consume it
+    train = both.map_batches(train_hashes, batch_format="pyarrow").materialize()
+
+    def eval_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["split"], "train"))
+
+    evals = both.map_batches(eval_side, batch_format="pyarrow")
+
+    if train.count() <= broadcast_max_hashes:
+        ref = ray.put(pa.array(
+            sorted({r["train_hash"] for r in train.take_all()}), pa.string()))
+
+        def mark(batch: pa.Table) -> pa.Table:
+            bl = ray.get(ref)
+            hit = pc.is_in(batch["text_hash"], value_set=bl)
+            return pa.table({"doc_id": batch["doc_id"],
+                             "split": batch["split"],
+                             "contaminated": pc.cast(hit, pa.int64())})
+
+        return evals.map_batches(mark, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # GLOBAL distinct before the join: unlike decontaminate (matches
+    # dropped), matches are KEPT here — a residual duplicate right key
+    # would duplicate eval rows. One groupby exchange, join-path only.
+    from ray.data.aggregate import Count
+    distinct = train.groupby("train_hash").aggregate(Count())
+    marked = distinct.map_batches(
+        lambda b: pa.table({"train_hash": b["train_hash"],
+                            "_m": pa.array([1] * len(b), pa.int8())}),
+        batch_format="pyarrow")
+    j = evals.join(marked, "left_outer", num_partitions=max(2, cpus // 2),
+                   on=("text_hash",), right_on=("train_hash",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": batch["split"],
+                         "contaminated": pc.cast(
+                             pc.is_valid(batch["_m"]), pa.int64())})
+
+    return j.map_batches(finish, batch_format="pyarrow")

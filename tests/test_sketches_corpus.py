@@ -533,3 +533,33 @@ def test_customer_distribution_invariants(ray_session):
     assert 0 in d
     assert sum(d.values()) == parquet_num_rows(f"{SF}/customer.parquet")
     assert sum(c * n for c, n in d.items()) == parquet_num_rows(f"{SF}/orders.parquet")
+
+
+def test_cross_split_contamination_paths_agree(ray_session):
+    """Broadcast-set and hash-join paths mark the same eval docs; at
+    least one contaminated doc exists in the duplicated corpus and
+    every contaminated eval doc's fingerprint really is in train."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import (
+        cross_split_contamination, dataset_split_batch, fingerprint_batch)
+
+    key = lambda r: (r["doc_id"], r["split"], r["contaminated"])
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    fast = sorted(key(r) for r in cross_split_contamination(ds).take_all())
+    slow = sorted(key(r) for r in cross_split_contamination(
+        rd.read_parquet(f"{SF}/documents.parquet"),
+        broadcast_max_hashes=0).take_all())
+    assert fast == slow and fast
+    assert any(c for _, _, c in fast), "corpus dups should leak across splits"
+
+    # ground truth recomputed sequentially
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet")
+    sp = dataset_split_batch(t).to_pydict()
+    fp = fingerprint_batch(t).to_pydict()
+    split = dict(zip(sp["doc_id"], sp["split"]))
+    h = dict(zip(fp["doc_id"], fp["text_hash"]))
+    train = {h[d] for d, s in split.items() if s == "train"}
+    want = sorted((d, split[d], int(h[d] in train))
+                  for d in split if split[d] != "train")
+    assert fast == want
