@@ -181,6 +181,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_stats": F_rel.segment_stats,
         "top_orders_per_segment": F_rel.top_orders_per_segment,
         "customer_distribution": F_rel.customer_distribution,
+        # new in r4: window fn / anti-join / pivot / multi-way join /
+        # range join over the relational tables
+        "running_totals": F_rel.running_totals,
+        "idle_customers": F_rel.idle_customers,
+        "order_priority_matrix": F_rel.order_priority_matrix,
+        "local_supplier_volume": F_rel.local_supplier_volume,
+        "orders_in_windows": F_rel.orders_in_windows,
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         # new in r4: Gopher-rules gate + training-mix report
         "quality_gate": text_q(F_text.quality_gate_batch),
@@ -189,11 +196,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy packing is a running fold, SQL twin is a recursive walk
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
-        "fingerprint": text_q(F_text.fingerprint_batch),
-        "rolling_fingerprint": text_q(F_text.rolling_fingerprint_batch),
-        "bpe_token_count": text_q(F_text.bpe_token_count_batch),
-        "dataset_split": text_q(F_text.dataset_split_batch),
-        "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
         "stratified_sample": text_q(F_text.stratified_sample_batch),
         "mixture_sample": text_q(F_text.mixture_sample_batch),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
@@ -235,6 +237,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on may fall past the driver's 50-entry correctness window;
         # every NEW or recently-changed operator must sit ABOVE this
         # line ----
+        "fingerprint": text_q(F_text.fingerprint_batch),
+        "rolling_fingerprint": text_q(F_text.rolling_fingerprint_batch),
+        "bpe_token_count": text_q(F_text.bpe_token_count_batch),
+        "dataset_split": text_q(F_text.dataset_split_batch),
+        "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
         "events_json_stats": F_json.events_json_stats,
@@ -1312,5 +1319,81 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    count(*) AS n_customers,
                    CAST(sum({_CENTS.format('c_acctbal')}) AS BIGINT) AS sum_acctbal_cents
             FROM customer GROUP BY 1
+        """,
+        "running_totals": f"""
+            SELECT o_custkey, o_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us,
+                   CAST(sum({_CENTS.format('o_totalprice')}) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
+            FROM orders
+        """,
+        "idle_customers": f"""
+            -- Q22 shape; the above-average test is the engine's exact
+            -- integer cross-multiply (bal*n > sum), no float division
+            WITH bal AS (SELECT c_custkey,
+                                CAST(c_nationkey AS BIGINT) AS n_nationkey,
+                                {_CENTS.format('c_acctbal')} AS bal_cents
+                         FROM customer),
+            pos AS (SELECT count(*) AS n_pos,
+                           CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+                    FROM bal WHERE bal_cents > 0)
+            SELECT n_nationkey, count(*) AS numcust,
+                   CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+            FROM bal, pos
+            WHERE bal_cents * pos.n_pos > pos.sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = bal.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '{F_rel.IDLE_CUTOFF} 00:00:00')
+            GROUP BY 1
+        """,
+        "order_priority_matrix": """
+            -- n_total sums the bounded status enum (engine pivot does
+            -- the same), NOT count(*), so an out-of-enum status would
+            -- diverge loudly in rows, not silently in totals
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+                   CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+            FROM orders GROUP BY 1
+        """,
+        "local_supplier_volume": f"""
+            SELECT n.n_name,
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1
+        """,
+        "orders_in_windows": f"""
+            -- range join against the deterministic overlapping promo
+            -- windows (functions/relational.promo_windows)
+            WITH w AS (SELECT CAST(i AS BIGINT) AS window_id,
+                              CAST({F_rel.RANGE_JOIN_T0_US}
+                                   + i * {F_rel.RANGE_JOIN_STRIDE_DAYS * F_rel.RANGE_JOIN_DAY_US} AS BIGINT) AS window_start_us,
+                              CAST({F_rel.RANGE_JOIN_T0_US}
+                                   + i * {F_rel.RANGE_JOIN_STRIDE_DAYS * F_rel.RANGE_JOIN_DAY_US}
+                                   + (CASE i % 3 WHEN 0 THEN {F_rel.RANGE_JOIN_LEN_DAYS[0]}
+                                                 WHEN 1 THEN {F_rel.RANGE_JOIN_LEN_DAYS[1]}
+                                                 ELSE {F_rel.RANGE_JOIN_LEN_DAYS[2]} END)
+                                     * {F_rel.RANGE_JOIN_DAY_US} AS BIGINT) AS window_end_us
+                       FROM unnest(range(0, {F_rel.RANGE_JOIN_N_WINDOWS})) AS t(i)),
+            o AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT) AS tus,
+                         {_CENTS.format('o_totalprice')} AS price_c
+                  FROM orders)
+            SELECT w.window_id, w.window_start_us, w.window_end_us,
+                   count(*) AS n_orders,
+                   CAST(sum(o.price_c) AS BIGINT) AS revenue_cents
+            FROM w JOIN o ON o.tus >= w.window_start_us
+                         AND o.tus < w.window_end_us
+            GROUP BY 1, 2, 3
         """,
     }

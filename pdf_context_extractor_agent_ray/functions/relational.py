@@ -520,3 +520,436 @@ def customer_distribution(sf_dir: str, num_buckets: int | None = None):
 
     return folded.map_batches(add_zero_row, batch_format="pandas",
                               batch_size=None)
+
+
+RUNNING_ROWS_PER_BUCKET = 1_000_000
+
+
+def running_totals(sf_dir: str, num_buckets: int | None = None):
+    """Per-customer RUNNING revenue: for every order, the cumulative
+    sum of that customer's order totals in (o_orderdate, o_orderkey)
+    order — the classic partition-ordered window aggregate
+    (``SUM() OVER (PARTITION BY ... ORDER BY ...)``).
+
+    Shape at scale: orders hash into ~1M-row custkey buckets (a
+    customer's orders all land in one bucket), each bucket sorts once
+    and runs ONE vectorized pandas grouped cumsum over every customer
+    in the bucket — never a per-customer Python call
+    (streamops-style bucketed fold). Output is row-per-order, so the
+    operator streams: each bucket emits its own block straight to the
+    consumer, nothing coalesces.
+    """
+    from .util import parquet_num_rows
+
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if num_buckets is None:
+        num_buckets = max(1, n_orders // RUNNING_ROWS_PER_BUCKET)
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderdate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "price_c": pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100),
+                                        round_mode="half_towards_infinity"),
+                               pa.int64()),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate_us", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+        df["running_cents"] = df.groupby("o_custkey", sort=False)["price_c"].cumsum()
+        return df[["o_custkey", "o_orderkey", "o_orderdate_us", "running_cents"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+# distinct order-custkey sets up to this many bytes of orders parquet
+# broadcast as an Arrow value_set; above it the anti-join runs as a
+# hash-partitioned left_outer Dataset.join against the per-custkey
+# order counts (never a driver set)
+IDLE_ANTI_BROADCAST_MAX_BYTES = 256 << 20
+IDLE_CUTOFF = "2000-01-01"  # "idle" = no order on/after this date
+
+
+def idle_customers(sf_dir: str, cutoff: str = IDLE_CUTOFF,
+                   broadcast_max_bytes: int = IDLE_ANTI_BROADCAST_MAX_BYTES,
+                   num_partitions: int | None = None):
+    """TPC-H Q22 shape: customers with an ABOVE-AVERAGE positive
+    balance and no RECENT order (none on/after ``cutoff``), rolled up
+    per nation (n_nationkey, numcust, totacctbal_cents).
+
+    Two passes over the customer table, both distributed:
+
+    1. global (count, sum) of positive balances via per-batch partials
+       — the average is then applied as an exact INTEGER cross-multiply
+       (``bal_cents * n_pos > sum_pos_cents``), so the engine and the
+       DuckDB oracle agree bit-for-bit with no float-division epsilon;
+    2. filter + ANTI-JOIN against the orders custkeys: broadcast
+       distinct-key value_set below ``broadcast_max_bytes`` of orders
+       parquet, hash-partitioned ``left_outer`` join against the
+       per-custkey order counts above it (both paths tested for
+       agreement).
+    """
+    import os
+    import ray
+
+    # pass 1: exact global positive-balance count+sum (tiny result)
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100),
+                               round_mode="half_towards_infinity"), pa.int64())
+        bal = bal.filter(pc.greater(bal, 0))
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n_pos": pa.array([len(bal)], pa.int64()),
+                         "sum_pos": pa.array([pc.sum(bal).as_py() or 0], pa.int64())})
+
+    stats = _finish_grouped_sums(
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(pos_partial, batch_format="pyarrow"), ["k"]).take_all()
+    n_pos, sum_pos = stats[0]["n_pos"], stats[0]["sum_pos"]
+
+    ds = _read(sf_dir, "customer", cust_cols)
+
+    def rich_only(batch: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100),
+                               round_mode="half_towards_infinity"), pa.int64())
+        keep = pc.greater(pc.multiply(bal, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(sum_pos, pa.int64()))
+        t = pa.table({"c_custkey": batch["c_custkey"],
+                      "n_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+                      "bal_cents": bal})
+        return t.filter(keep)
+
+    rich = ds.map_batches(rich_only, batch_format="pyarrow")
+
+    def rollup(stream):
+        return _finish_grouped_sums(
+            stream.map_batches(
+                lambda t: pa.table({"n_nationkey": t["n_nationkey"],
+                                    "bal_cents": t["bal_cents"]})
+                .group_by("n_nationkey")
+                .aggregate([("bal_cents", "count"), ("bal_cents", "sum")])
+                .rename_columns(["n_nationkey", "numcust", "totacctbal_cents"]),
+                batch_format="pyarrow"),
+            ["n_nationkey"])
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = 0
+
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"))
+
+    if orders_bytes <= broadcast_max_bytes:
+        import pyarrow.parquet as pq
+        recent = pq.read_table(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate"])
+        recent = recent.filter(
+            pc.greater_equal(recent["o_orderdate"], cutoff_ts))
+        have = pc.unique(recent["o_custkey"].combine_chunks())
+        ref = ray.put(have)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(
+                pc.is_in(batch["c_custkey"], value_set=ray.get(ref))))
+
+        return rollup(rich.map_batches(anti, batch_format="pyarrow"))
+
+    # at-scale path: per-batch distinct custkeys pre-shrink the orders
+    # side, groupby dedups globally, then a hash-partitioned left_outer
+    # join marks matches and the filter keeps the nulls (anti-join)
+    from ray.data.aggregate import Count
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    have_ds = orders.map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(
+            t.filter(pc.greater_equal(t["o_orderdate"], cutoff_ts))
+            ["o_custkey"].combine_chunks())}),
+        batch_format="pyarrow").groupby("o_custkey").aggregate(
+            Count(alias_name="n_orders"))
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-orders_bytes // (128 << 20))))
+    j = rich.join(have_ds, "left_outer", num_partitions=num_partitions,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def keep_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_orders"].isna()][["n_nationkey", "bal_cents"]]
+
+    anti_df = j.map_batches(keep_nulls, batch_format="pandas")
+    return rollup(anti_df.map_batches(
+        lambda t: pa.table({"n_nationkey": pc.cast(t["n_nationkey"], pa.int64()),
+                            "bal_cents": pc.cast(t["bal_cents"], pa.int64())}),
+        batch_format="pyarrow"))
+
+
+ORDER_STATUSES = ("F", "O", "P")  # bounded enum, pivot column order
+
+
+def order_priority_matrix(sf_dir: str):
+    """PIVOT: order counts as a priority × status matrix — one row per
+    o_orderpriority with a count column per status (n_f/n_o/n_p) plus
+    the row total. Per-batch 2-D partial counts (priority × status is
+    a bounded enum product), bounded-key finish, then the pivot itself
+    happens on the tiny folded table — the wide layout never exists
+    at data scale."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "o_orderstatus": batch["o_orderstatus"],
+        }).group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("o_orderstatus", "count")]) \
+            .rename_columns(["o_orderpriority", "o_orderstatus", "n"])
+
+    folded = _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority", "o_orderstatus"])
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index="o_orderpriority", columns="o_orderstatus",
+                              values="n", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"o_orderpriority": wide.index})
+        for s in ORDER_STATUSES:
+            col = wide[s] if s in wide.columns else 0
+            out[f"n_{s.lower()}"] = pd.Series(col).to_numpy(dtype="int64") \
+                if s in wide.columns else np.zeros(len(wide), dtype="int64")
+        out["n_total"] = (out[[f"n_{s.lower()}" for s in ORDER_STATUSES]]
+                          .sum(axis=1).astype("int64"))
+        return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+    return folded.map_batches(pivot, batch_format="pandas", batch_size=None)
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1997-01-01",
+                          broadcast_max_bytes: int = CUSTOMER_DIM_BROADCAST_MAX_BYTES,
+                          num_partitions: int | None = None):
+    """TPC-H Q5 shape: revenue per nation from lineitems where the
+    SUPPLIER and the ordering CUSTOMER share a nation inside one
+    region, for orders inside a date window — the multi-way join:
+    region⋈nation broadcast (bounded enums), customer⋈orders broadcast
+    dict below the byte gate / hash-partitioned ``Dataset.join`` above,
+    orders⋈lineitem always hash-partitioned on the order key (the
+    large-large exchange), supplier attached the same gated way on the
+    supp key. Revenue is per-row cents (round half-away) so the DuckDB
+    oracle sums identically."""
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {rk for rk, rn in zip(region_t["r_regionkey"].to_pylist(),
+                                  region_t["r_name"].to_pylist()) if rn == region}
+    nation_in = {nk: nm for nk, nm, rg in zip(nation["n_nationkey"].to_pylist(),
+                                              nation["n_name"].to_pylist(),
+                                              nation["n_regionkey"].to_pylist())
+                 if rg in rkeys}
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            nbytes = os.path.getsize(f"{sf_dir}/lineitem.parquet") \
+                + os.path.getsize(f"{sf_dir}/orders.parquet")
+        except OSError:
+            nbytes = 0
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-nbytes // (128 << 20))))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi)))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"]})
+
+    o = orders.map_batches(in_window, batch_format="pyarrow")
+
+    try:
+        cust_bytes = os.path.getsize(f"{sf_dir}/customer.parquet")
+    except OSError:
+        cust_bytes = 0
+
+    if cust_bytes <= broadcast_max_bytes:
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        c_map = {k: v for k, v in zip(cust["c_custkey"].to_pylist(),
+                                      cust["c_nationkey"].to_pylist())
+                 if v in nation_in}
+        cref = ray.put(c_map)
+
+        def attach_cnation(batch: pa.Table) -> pa.Table:
+            lk = ray.get(cref)
+            nk = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False)) \
+                .map(lk).to_numpy(dtype="float64", na_value=np.nan)
+            keep = ~np.isnan(nk)
+            return pa.table({
+                "o_orderkey": pa.array(
+                    batch["o_orderkey"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64()),
+                "c_nationkey": pa.array(nk[keep].astype(np.int64), pa.int64()),
+            })
+
+        o = o.map_batches(attach_cnation, batch_format="pyarrow")
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def cust_in_region(batch: pa.Table) -> pa.Table:
+            t = pa.table({"c_custkey": batch["c_custkey"],
+                          "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64())})
+            return t.filter(pc.is_in(
+                t["c_nationkey"],
+                value_set=pa.array(sorted(nation_in), pa.int64())))
+
+        o = o.join(cust_ds.map_batches(cust_in_region, batch_format="pyarrow"),
+                   "inner", num_partitions=num_partitions,
+                   on=("o_custkey",), right_on=("c_custkey",))
+        o = o.map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                          batch_format="pyarrow")
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    li = lineitem.map_batches(li_project, batch_format="pyarrow")
+    j = li.join(o, "inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    try:
+        supp_bytes = os.path.getsize(f"{sf_dir}/supplier.parquet")
+    except OSError:
+        supp_bytes = 0
+
+    name_ref = ray.put({k: v for k, v in nation_in.items()})
+
+    def finish_names(stream):
+        def partial(batch: pa.Table) -> pa.Table:
+            # fold to (nationkey, sum) FIRST — bounded enum — then map
+            # the <=|nations| keys to names, never a per-row lookup
+            names = ray.get(name_ref)
+            g = pa.table({"c_nationkey": batch["c_nationkey"],
+                          "rev_c": batch["rev_c"]}) \
+                .group_by("c_nationkey").aggregate([("rev_c", "sum")])
+            return pa.table({
+                "n_name": pa.array([names[n] for n in
+                                    g["c_nationkey"].to_pylist()], pa.string()),
+                "revenue_cents": g["rev_c_sum"],
+            })
+
+        return _finish_grouped_sums(
+            stream.map_batches(partial, batch_format="pyarrow"), ["n_name"])
+
+    if supp_bytes <= broadcast_max_bytes:
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        s_map = dict(zip(supp["s_suppkey"].to_pylist(),
+                         supp["s_nationkey"].to_pylist()))
+        sref = ray.put(s_map)
+
+        def local_only(batch: pa.Table) -> pa.Table:
+            lk = ray.get(sref)
+            sn = pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False)) \
+                .map(lk).to_numpy(dtype="float64", na_value=np.nan)
+            cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            mask = pa.array(sn == cn)  # NaN (unknown supplier) never equal
+            return batch.filter(mask).select(["c_nationkey", "rev_c"])
+
+        return finish_names(j.map_batches(local_only, batch_format="pyarrow"))
+
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j2 = j.join(supp_ds.map_batches(
+        lambda t: pa.table({"s_suppkey": t["s_suppkey"],
+                            "s_nationkey": pc.cast(t["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow"), "inner", num_partitions=num_partitions,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def local_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_nationkey"],
+                                     batch["s_nationkey"])) \
+            .select(["c_nationkey", "rev_c"])
+
+    return finish_names(j2.map_batches(local_filter, batch_format="pyarrow"))
+
+
+# deterministic overlapping promo windows (a RANGE-JOIN interval
+# table): window i starts T0 + i*STRIDE days and runs 90/120/150 days
+# by i % 3, so a given order date falls inside 1-3 windows — a true
+# interval join, not a tumbling bucket. Windows grow with TIME, not
+# data, so the interval side is always the broadcast side.
+RANGE_JOIN_T0_US = 788_918_400_000_000  # 1995-01-01 00:00:00 UTC
+RANGE_JOIN_DAY_US = 86_400_000_000
+RANGE_JOIN_STRIDE_DAYS = 60
+RANGE_JOIN_N_WINDOWS = 40
+RANGE_JOIN_LEN_DAYS = (90, 120, 150)  # by window_id % 3
+
+
+def promo_windows() -> list[tuple[int, int, int]]:
+    """(window_id, start_us, end_us) for the shared interval table."""
+    out = []
+    for i in range(RANGE_JOIN_N_WINDOWS):
+        start = RANGE_JOIN_T0_US + i * RANGE_JOIN_STRIDE_DAYS * RANGE_JOIN_DAY_US
+        end = start + RANGE_JOIN_LEN_DAYS[i % 3] * RANGE_JOIN_DAY_US
+        out.append((i, start, end))
+    return out
+
+
+def orders_in_windows(sf_dir: str):
+    """RANGE JOIN: orders (points) against the overlapping promo
+    interval table — per window, how many orders landed inside it and
+    their total value. The interval side is tiny and time-bounded, so
+    the join is a broadcast interval join: each batch evaluates the
+    K window predicates as K vectorized masks and folds straight into
+    (window_id, n, sum) partials — the point side is never replicated
+    through an exchange (compare ``events_hopping``, where uniform
+    hops allow arithmetic bucketing; irregular/overlapping intervals
+    need the predicate form). At 100 TB the same shape holds: windows
+    grow with time, orders stream through once."""
+    windows = promo_windows()
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tus = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        price = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        ids, starts, ends, ns, sums = [], [], [], [], []
+        for wid, s, e in windows:
+            mask = (tus >= s) & (tus < e)
+            n = int(mask.sum())
+            if n:
+                ids.append(wid); starts.append(s); ends.append(e)
+                ns.append(n); sums.append(int(price[mask].sum()))
+        return pa.table({"window_id": pa.array(ids, pa.int64()),
+                         "window_start_us": pa.array(starts, pa.int64()),
+                         "window_end_us": pa.array(ends, pa.int64()),
+                         "n_orders": pa.array(ns, pa.int64()),
+                         "revenue_cents": pa.array(sums, pa.int64())})
+
+    return _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_id", "window_start_us", "window_end_us"])

@@ -1,0 +1,122 @@
+"""Dual-path agreement + invariants for the r4 relational operators
+(window fn / anti-join / pivot / multi-way join / range join). The
+value-vs-oracle gate lives in test_driver_contract; these tests pin
+the size-gated at-scale paths (forced with zero-byte gates) and the
+operator-level invariants the oracle can't see."""
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_idle_customers_paths_agree(ray_session):
+    """Broadcast value_set anti-join and the forced left_outer
+    Dataset.join anti-join keep the identical per-nation rollup."""
+    from pdf_context_extractor_agent_ray.functions.relational import idle_customers
+
+    fast = idle_customers(SF).to_pandas() \
+        .sort_values("n_nationkey").reset_index(drop=True)
+    slow = idle_customers(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("n_nationkey").reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert (fast["numcust"] > 0).all() and (fast["totacctbal_cents"] > 0).all()
+
+
+def test_local_supplier_volume_paths_agree(ray_session):
+    """Broadcast customer/supplier maps vs forced hash-partitioned
+    Dataset.joins (zero-byte gate forces BOTH dimension joins) emit
+    the identical per-nation revenue."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        local_supplier_volume)
+
+    fast = local_supplier_volume(SF).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    slow = local_supplier_volume(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+
+
+def test_running_totals_window_invariants(ray_session):
+    """The bucketed cumsum is a real partition-ordered running sum:
+    per customer the max running value equals the customer's total,
+    row count equals the orders table, and the running sequence is
+    nondecreasing in (date, orderkey) order (prices are positive)."""
+    from pdf_context_extractor_agent_ray.functions.relational import running_totals
+
+    out = running_totals(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    assert len(out) == len(orders)
+
+    cents = np.floor(np.abs(orders["o_totalprice"].to_numpy()) * 100 + 0.5)
+    totals = pd.DataFrame({"o_custkey": orders["o_custkey"],
+                           "c": cents.astype("int64")}) \
+        .groupby("o_custkey")["c"].sum()
+    got = out.groupby("o_custkey")["running_cents"].max()
+    assert got.sort_index().equals(totals.sort_index())
+
+    s = out.sort_values(["o_custkey", "o_orderdate_us", "o_orderkey"])
+    diffs = s.groupby("o_custkey")["running_cents"].diff().dropna()
+    assert (diffs > 0).all()
+
+
+def test_running_totals_bucket_invariance(ray_session):
+    """Bucket count must not change values (a customer's orders always
+    co-locate): 1 bucket vs 7 buckets, identical table."""
+    from pdf_context_extractor_agent_ray.functions.relational import running_totals
+
+    key = ["o_custkey", "o_orderkey"]
+    a = running_totals(SF, num_buckets=1).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = running_totals(SF, num_buckets=7).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) and a.equals(b)
+
+
+def test_orders_in_windows_is_a_real_interval_join(ray_session):
+    """Every emitted window count matches a direct numpy recount, the
+    windows genuinely overlap (total joined rows exceed the number of
+    distinct orders covered), and irregular lengths show up (three
+    distinct window widths)."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        orders_in_windows, promo_windows)
+
+    out = orders_in_windows(SF).to_pandas()
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"])
+    tus = o["o_orderdate"].cast("int64").to_numpy()
+    price = np.floor(np.abs(o["o_totalprice"].to_numpy()) * 100 + 0.5).astype("int64")
+
+    by_id = out.set_index("window_id")
+    covered = np.zeros(len(tus), dtype=bool)
+    for wid, s, e in promo_windows():
+        mask = (tus >= s) & (tus < e)
+        n = int(mask.sum())
+        if n == 0:
+            assert wid not in by_id.index
+            continue
+        row = by_id.loc[wid]
+        assert row["n_orders"] == n
+        assert row["revenue_cents"] == int(price[mask].sum())
+        assert row["window_end_us"] - row["window_start_us"] in \
+            (90 * 86_400_000_000, 120 * 86_400_000_000, 150 * 86_400_000_000)
+        covered |= mask
+    assert out["n_orders"].sum() > covered.sum()  # overlap: points join >1 window
+    widths = (out["window_end_us"] - out["window_start_us"]).unique()
+    assert len(widths) == 3
+
+
+def test_order_priority_matrix_margins(ray_session):
+    """Pivot row totals equal the per-priority order counts and the
+    grand total equals the table row count."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        order_priority_matrix)
+
+    out = order_priority_matrix(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderpriority"]).to_pandas()
+    counts = orders["o_orderpriority"].value_counts()
+    assert out["n_total"].sum() == len(orders)
+    for _, r in out.iterrows():
+        assert r["n_total"] == counts[r["o_orderpriority"]]
+        assert r["n_f"] + r["n_o"] + r["n_p"] == r["n_total"]
