@@ -193,11 +193,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": text_q(F_text.quality_gate_batch),
         "source_mix": lambda sf: F_text.source_mix(_docs(sf)),
         "events_funnel": F_stream.events_funnel,
+        # new in r4: length-weighted hash sampling + inverted index
+        "weighted_sample": text_q(F_text.weighted_sample_batch),
+        "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
         # greedy packing is a running fold, SQL twin is a recursive walk
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
-        "stratified_sample": text_q(F_text.stratified_sample_batch),
-        "mixture_sample": text_q(F_text.mixture_sample_batch),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
         "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
         "top_terms_per_doc": lambda sf: F_text.top_terms_per_doc(_docs(sf)),
@@ -242,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": text_q(F_text.bpe_token_count_batch),
         "dataset_split": text_q(F_text.dataset_split_batch),
         "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
+        "stratified_sample": text_q(F_text.stratified_sample_batch),
+        "mixture_sample": text_q(F_text.mixture_sample_batch),
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
         "events_json_stats": F_json.events_json_stats,
@@ -774,6 +777,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "weighted_sample": f"""
+            -- length-weighted deterministic sampling: threshold is
+            -- min(min(n_tokens, cap) * ppm, 1e6), hash is the shared
+            -- md5-int convention
+            WITH t AS (SELECT doc_id,
+                              CAST(array_length(regexp_extract_all({_NORM}, '[^ ]+')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            w AS (SELECT doc_id, n_tokens,
+                         CAST(least(least(n_tokens, {F_text.WEIGHTED_TOKEN_CAP})
+                                    * {F_text.WEIGHTED_PPM_PER_TOKEN},
+                                    1000000) AS BIGINT) AS keep_threshold_ppm
+                  FROM t)
+            SELECT doc_id, n_tokens, keep_threshold_ppm
+            FROM w
+            WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR || '#{F_text.WEIGHTED_SALT}'), 1, 16))::UBIGINT
+                       % 1000000 AS BIGINT) < keep_threshold_ppm
+        """,
+        "postings": f"""
+            -- inverted index heads: exact df + first-K posting ids
+            WITH t AS (SELECT DISTINCT doc_id, tok
+                       FROM (SELECT doc_id,
+                                    unnest(string_split({_NORM}, ' ')) AS tok
+                             FROM documents)),
+            r AS (SELECT tok, doc_id,
+                         row_number() OVER (PARTITION BY tok
+                                            ORDER BY doc_id) AS rn
+                  FROM t),
+            g AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+            h AS (SELECT tok,
+                         string_agg(CAST(doc_id AS VARCHAR), ','
+                                    ORDER BY doc_id) AS posting
+                  FROM r WHERE rn <= {F_text.POSTINGS_HEAD_K} GROUP BY 1)
+            SELECT g.tok AS token, CAST(g.df AS BIGINT) AS df, h.posting
+            FROM g JOIN h ON g.tok = h.tok
         """,
         "stratified_sample": f"""
             SELECT doc_id, source, lang

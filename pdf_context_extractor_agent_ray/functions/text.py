@@ -1135,3 +1135,99 @@ def cross_split_contamination(ds,
                              pc.is_valid(batch["_m"]), pa.int64())})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling + inverted index (r4)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SALT = "wsample-v1"
+WEIGHTED_TOKEN_CAP = 2000      # weight saturates at this many tokens
+WEIGHTED_PPM_PER_TOKEN = 3000  # keep-probability slope (ppm per token)
+
+
+def weighted_sample_batch(batch: pa.Table) -> pa.Table:
+    """Length-WEIGHTED deterministic sampling: keep a doc with
+    probability proportional to its token count (capped) — the
+    importance-sampling primitive for token-budget curation (long docs
+    carry more tokens per kept row). Keep iff
+    ``md5(doc_id#salt) % 1e6 < min(min(n_tokens, CAP) * PPM, 1e6)``.
+    Hash sampling, not RNG: identical under re-runs, repartitioning
+    and corpus growth; doc-local, so the operator is one streaming
+    pass with no exchange."""
+    norm = norm_expr(batch["text"])
+    n_tokens = pc.cast(pc.count_substring_regex(norm, TOKEN_RE),
+                       pa.int64()).to_pylist()
+    ids = batch["doc_id"].to_pylist()
+    thresh = [min(min(n, WEIGHTED_TOKEN_CAP) * WEIGHTED_PPM_PER_TOKEN,
+                  1_000_000) for n in n_tokens]
+    keep = [int.from_bytes(
+        hashlib.md5(f"{i}#{WEIGHTED_SALT}".encode()).digest()[:8],
+        "big") % 1_000_000 < t for i, t in zip(ids, thresh)]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "keep_threshold_ppm": pa.array(thresh, pa.int64()),
+    }).filter(pa.array(keep, pa.bool_()))
+
+
+POSTINGS_HEAD_K = 16
+POSTINGS_ROWS_PER_BUCKET = 4_000_000  # (token, partial) rows per bucket
+
+
+def postings(ds, n_docs: int | None = None, head_k: int = POSTINGS_HEAD_K,
+             num_buckets: int | None = None):
+    """Inverted-index build: token -> (exact document frequency, the
+    first ``head_k`` doc_ids of its posting list) — the search-index /
+    lookup primitive with the BOUNDED-exchange index shape: full
+    posting lists of Zipf-head tokens are corpus-sized and must never
+    ship, so the operator keeps an exact mergeable HEAD instead.
+
+    Shape at scale: each batch folds its docs to ONE row per distinct
+    token — (partial df, the batch's first ``head_k`` sorted doc_ids)
+    — so the exchange carries vocab x blocks rows of fixed width,
+    never the token stream. Docs are whole within a batch, so partial
+    dfs are disjoint counts (sum is exact) and head merge is an exact
+    min-K merge. Rows hash by TOKEN into buckets, co-locating every
+    partial of a token; the per-token merge in the fold is bounded by
+    vocabulary (Zipf), not corpus size.
+    """
+    import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = max(1, (n_docs or 0) * 40 // POSTINGS_ROWS_PER_BUCKET)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter, defaultdict
+        dfs: Counter = Counter()
+        heads: defaultdict = defaultdict(list)
+        for i, s in zip(batch["doc_id"].to_pylist(),
+                        norm_expr(batch["text"]).to_pylist()):
+            for t in set(s.split(" ")):
+                dfs[t] += 1
+                heads[t].append(i)
+        tokens = sorted(dfs)
+        return pa.table({
+            "bucket": pa.array(
+                [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                 % num_buckets for t in tokens], pa.int64()),
+            "token": pa.array(tokens, pa.string()),
+            "df_part": pa.array([dfs[t] for t in tokens], pa.int64()),
+            "head": pa.array([",".join(map(str, sorted(heads[t])[:head_k]))
+                              for t in tokens], pa.string()),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        toks, dfs_out, posts = [], [], []
+        for tok, grp in df.groupby("token", sort=True):
+            ids = sorted(int(x) for s in grp["head"] for x in s.split(",")
+                         if x != "")[:head_k]
+            toks.append(tok)
+            dfs_out.append(int(grp["df_part"].sum()))
+            posts.append(",".join(map(str, ids)))
+        return pd.DataFrame({"token": pd.Series(toks, dtype="object"),
+                             "df": pd.Series(dfs_out, dtype="int64"),
+                             "posting": pd.Series(posts, dtype="object")})
+
+    return ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
