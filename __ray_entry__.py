@@ -196,14 +196,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: length-weighted hash sampling + inverted index
         "weighted_sample": text_q(F_text.weighted_sample_batch),
         "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
+        # new in r4: trailing RANGE-frame window + PMI collocations
+        "rolling_revenue": F_rel.rolling_revenue,
+        "pmi_bigrams": lambda sf: F_text.pmi_bigrams(_docs(sf)),
         # greedy packing is a running fold, SQL twin is a recursive walk
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
-        "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
         "top_terms_per_doc": lambda sf: F_text.top_terms_per_doc(_docs(sf)),
         "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
-        "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
         "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
@@ -245,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scores": lambda sf: F_score.model_scores(_docs(sf)),
         "stratified_sample": text_q(F_text.stratified_sample_batch),
         "mixture_sample": text_q(F_text.mixture_sample_batch),
+        "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
+        "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
         "events_json_stats": F_json.events_json_stats,
@@ -777,6 +780,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "rolling_revenue": f"""
+            -- trailing {F_rel.ROLLING_WINDOW_DAYS}-day RANGE-frame window over the per-day series
+            WITH d AS (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) AS BIGINT) AS day_us,
+                              count(*) AS n_orders,
+                              CAST(sum({_CENTS.format('o_totalprice')}) AS BIGINT) AS revenue_cents
+                       FROM orders GROUP BY 1)
+            SELECT day_us, n_orders, revenue_cents,
+                   CAST(sum(revenue_cents) OVER
+                        (ORDER BY day_us
+                         RANGE BETWEEN {(F_rel.ROLLING_WINDOW_DAYS - 1) * 86_400_000_000} PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS rolling7_cents
+            FROM d
+        """,
+        "pmi_bigrams": f"""
+            -- top-k collocations by the integer PMI image
+            -- c_xy * N_uni^2 * 1e6 // (N_pairs * c_x * c_y); HUGEINT
+            -- arithmetic mirrors the engine's Python-int exactness
+            WITH t AS (SELECT string_split({_NORM}, ' ') AS tk FROM documents),
+            toks AS (SELECT unnest(tk) AS tok FROM t),
+            uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            nu AS (SELECT CAST(sum(c) AS HUGEINT) AS n_uni FROM uni),
+            bi AS (SELECT tk[i] AS a, tk[i+1] AS b
+                   FROM t, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(i)),
+            bg AS (SELECT a, b, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+            np AS (SELECT CAST(sum(c_xy) AS HUGEINT) AS n_pairs FROM bg),
+            q AS (SELECT a, b, c_xy FROM bg WHERE c_xy >= {F_text.PMI_MIN_COUNT})
+            SELECT q.a AS token_a, q.b AS token_b,
+                   CAST(q.c_xy AS BIGINT) AS c_xy,
+                   CAST(ux.c AS BIGINT) AS c_x,
+                   CAST(uy.c AS BIGINT) AS c_y,
+                   CAST((CAST(q.c_xy AS HUGEINT) * nu.n_uni * nu.n_uni * 1000000)
+                        // (np.n_pairs * ux.c * uy.c) AS BIGINT) AS pmi_e6
+            FROM q
+            JOIN uni ux ON ux.tok = q.a
+            JOIN uni uy ON uy.tok = q.b, nu, np
+            ORDER BY pmi_e6 DESC, token_a, token_b
+            LIMIT {F_text.PMI_TOP_K}
         """,
         "weighted_sample": f"""
             -- length-weighted deterministic sampling: threshold is

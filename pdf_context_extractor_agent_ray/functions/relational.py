@@ -953,3 +953,45 @@ def orders_in_windows(sf_dir: str):
     return _finish_grouped_sums(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["window_id", "window_start_us", "window_end_us"])
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_revenue(sf_dir: str, window_days: int = ROLLING_WINDOW_DAYS):
+    """Trailing-window time series: per-day order count/revenue plus
+    the trailing 7-day revenue sum (RANGE-frame window aggregate — the
+    moving-average primitive, distinct from the tumbling/hopping
+    COUNT-frame windows). Per-batch partials fold to one row per DAY
+    (keys grow with time, not data), so the rolling pass runs on the
+    tiny folded series: one cumsum + one searchsorted, exact integers.
+    """
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    day_us = 86_400_000_000
+    span_us = (window_days - 1) * day_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tus = pc.cast(batch["o_orderdate"], pa.int64())
+        day = pc.multiply(pc.divide(tus, day_us), day_us)
+        return pa.table({
+            "day_us": day,
+            "price_c": pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100),
+                                        round_mode="half_towards_infinity"),
+                               pa.int64()),
+        }).group_by("day_us").aggregate(
+            [("price_c", "count"), ("price_c", "sum")]) \
+            .rename_columns(["day_us", "n_orders", "revenue_cents"])
+
+    folded = _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"), ["day_us"])
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day_us").reset_index(drop=True)
+        days = df["day_us"].to_numpy()
+        cs = df["revenue_cents"].to_numpy().cumsum()
+        lo = np.searchsorted(days, days - span_us, side="left")
+        df["rolling7_cents"] = cs - np.where(lo > 0, cs[lo - 1], 0)
+        return df
+
+    return folded.map_batches(rolling, batch_format="pandas",
+                              batch_size=None)

@@ -1231,3 +1231,145 @@ def postings(ds, n_docs: int | None = None, head_k: int = POSTINGS_HEAD_K,
 
     return ds.map_batches(pair_partial, batch_format="pyarrow") \
         .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+# exact-integer PMI needs c_xy * n_uni^2 * 1e6 to fit a 128-bit
+# HUGEINT on the SQL side: guard the corpus token count accordingly
+PMI_MAX_TOKENS = 1 << 35
+
+
+def pmi_bigrams(ds, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K,
+                broadcast_max_vocab: int = TOP_TERMS_BROADCAST_MAX_VOCAB):
+    """Collocation mining: top-k bigrams by pointwise mutual
+    information, with an ALL-INTEGER score so the DuckDB oracle hashes
+    identically — ``pmi_e6 = c_xy * N_uni^2 * 1e6 // (N_pairs * c_x *
+    c_y)`` (the monotone integer image of p(xy)/(p(x)p(y)); log() is
+    monotone, and transcendentals are not oracle-safe — see
+    top_terms_per_doc).
+
+    Shape at scale: bigram and unigram counts pre-aggregate per batch
+    (Zipf-bounded vocab keys through the exchange, never the token
+    stream), the support threshold ``min_count`` prunes the candidate
+    set BEFORE any scoring, unigram counts attach broadcast below
+    ``broadcast_max_vocab`` distinct tokens and via two hash joins on
+    the token columns above it, and scoring + partial top-k run
+    per block with Python-int exactness (candidates are
+    support-bounded, not corpus-bounded). Guard: exact 128-bit scoring
+    holds to ~``PMI_MAX_TOKENS`` corpus tokens; beyond that shard the
+    corpus or switch to float scoring (documented loudly, not silent).
+    """
+    from collections import Counter
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in norm_expr(batch["text"]).to_pylist():
+            c.update(s.split(" "))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "c": pa.array(list(c.values()), pa.int64())})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in norm_expr(batch["text"]).to_pylist():
+            toks = s.split(" ")
+            c.update(zip(toks, toks[1:]))
+        return pa.table({
+            "token_a": pa.array([t[0] for t in c], pa.string()),
+            "token_b": pa.array([t[1] for t in c], pa.string()),
+            "c_xy": pa.array(list(c.values()), pa.int64())})
+
+    # materialize the POST-AGGREGATE count tables (bounded by vocab /
+    # Zipf, never corpus-sized): totals, vocab gate and candidate
+    # filter each consume them, and a lazy Dataset would re-run the
+    # corpus pass per consumer
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("c", alias_name="c")).materialize()
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby(["token_a", "token_b"]) \
+        .aggregate(Sum("c_xy", alias_name="c_xy")).materialize()
+
+    # exact totals from the count tables themselves (tiny partials)
+    def total(ds_counts, col):
+        import ray.data  # noqa: F401
+        t = ds_counts.map_batches(
+            lambda b: pa.table({"k": pa.array([0], pa.int64()),
+                                "n": pa.array([pc.sum(b[col]).as_py() or 0],
+                                              pa.int64())}),
+            batch_format="pyarrow")
+        from .util import finish_grouped
+        rows = finish_grouped(t, ["k"]).take_all()
+        return rows[0]["n"] if rows else 0
+
+    n_uni = total(uni, "c")
+    n_pairs = total(bi, "c_xy")
+    if n_uni >= PMI_MAX_TOKENS:
+        raise ValueError(
+            f"pmi_bigrams exact-integer scoring holds only below "
+            f"{PMI_MAX_TOKENS} corpus tokens (got {n_uni}); shard the "
+            f"corpus or use a float-scored variant")
+
+    cand = bi.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c_xy"], min_count)),
+        batch_format="pyarrow")
+
+    def score_rank(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "token_a": pd.Series([], dtype="object"),
+                "token_b": pd.Series([], dtype="object"),
+                "c_xy": pd.Series([], dtype="int64"),
+                "c_x": pd.Series([], dtype="int64"),
+                "c_y": pd.Series([], dtype="int64"),
+                "pmi_e6": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["pmi_e6"] = [
+            (int(cxy) * n_uni * n_uni * 1_000_000)
+            // (n_pairs * int(cx) * int(cy))
+            for cxy, cx, cy in zip(df["c_xy"], df["c_x"], df["c_y"])]
+        df["pmi_e6"] = df["pmi_e6"].astype("int64")
+        return df.sort_values(["pmi_e6", "token_a", "token_b"],
+                              ascending=[False, True, True]).head(k)[
+            ["token_a", "token_b", "c_xy", "c_x", "c_y", "pmi_e6"]]
+
+    import ray
+
+    # vocab size via the unigram table's own row count proxy: counts
+    # are one row per token, so a cheap block-count partial suffices
+    n_vocab = total(uni.map_batches(
+        lambda b: pa.table({"c": pa.array([len(b)], pa.int64())}),
+        batch_format="pyarrow"), "c")
+
+    if n_vocab <= broadcast_max_vocab:
+        lk = {r["token"]: r["c"] for r in uni.take_all()}
+        ref = ray.put(lk)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            df = df.copy()
+            df["c_x"] = df["token_a"].map(m).astype("int64")
+            df["c_y"] = df["token_b"].map(m).astype("int64")
+            return score_rank(df)
+
+        return cand.map_batches(attach, batch_format="pandas") \
+            .repartition(1).map_batches(score_rank, batch_format="pandas",
+                                        batch_size=None)
+
+    # at-scale path: two hash joins attach c_x / c_y, then the same
+    # per-block score + partial top-k
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    nparts = max(2, cpus // 2)
+    ux = uni.map_batches(lambda b: pa.table({"tok_x": b["token"], "c_x": b["c"]}),
+                         batch_format="pyarrow")
+    uy = uni.map_batches(lambda b: pa.table({"tok_y": b["token"], "c_y": b["c"]}),
+                         batch_format="pyarrow")
+    j = cand.join(ux, "inner", num_partitions=nparts,
+                  on=("token_a",), right_on=("tok_x",)) \
+        .join(uy, "inner", num_partitions=nparts,
+              on=("token_b",), right_on=("tok_y",))
+    return j.map_batches(score_rank, batch_format="pandas") \
+        .repartition(1).map_batches(score_rank, batch_format="pandas",
+                                    batch_size=None)

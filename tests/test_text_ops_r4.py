@@ -83,3 +83,55 @@ def test_postings_bucket_invariance(ray_session):
     b = postings(_docs().repartition(7), num_buckets=5).to_pandas() \
         .sort_values("token").reset_index(drop=True)
     assert len(a) and a.equals(b)
+
+
+def test_rolling_revenue_matches_pandas_rolling(ray_session):
+    """The trailing 7-day RANGE window equals an independent pandas
+    recount (time-indexed rolling sum over the daily series)."""
+    import pyarrow.parquet as pq
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        ROLLING_WINDOW_DAYS, rolling_revenue)
+
+    out = rolling_revenue(SF).to_pandas().sort_values("day_us") \
+        .reset_index(drop=True)
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    import numpy as np
+    o["day"] = o["o_orderdate"].dt.floor("D")
+    o["cents"] = np.floor(np.abs(o["o_totalprice"].to_numpy()) * 100
+                          + 0.5).astype("int64")
+    daily = o.groupby("day")["cents"].sum().sort_index()
+    roll = daily.rolling(f"{ROLLING_WINDOW_DAYS}D").sum().astype("int64")
+    assert len(out) == len(daily)
+    assert out["revenue_cents"].tolist() == daily.tolist()
+    assert out["rolling7_cents"].tolist() == roll.tolist()
+    assert (out["rolling7_cents"] >= out["revenue_cents"]).all()
+
+
+def test_pmi_bigrams_paths_agree_and_rank_sane(ray_session):
+    """Broadcast unigram map vs forced double hash join emit the
+    identical top-k, every returned bigram clears the support
+    threshold, and each pmi_e6 re-derives from its own row's counts
+    plus the independently recomputed corpus totals."""
+    import duckdb
+    from pdf_context_extractor_agent_ray.functions.text import (
+        PMI_MIN_COUNT, pmi_bigrams)
+
+    fast = pmi_bigrams(_docs()).to_pandas().reset_index(drop=True)
+    slow = pmi_bigrams(_docs(), broadcast_max_vocab=0).to_pandas() \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert (fast["c_xy"] >= PMI_MIN_COUNT).all()
+
+    con = duckdb.connect()
+    n_uni, n_pairs = con.execute(f"""
+        WITH t AS (SELECT string_split({NORM}, ' ') AS tk
+                   FROM read_parquet('{SF}/documents.parquet'))
+        SELECT (SELECT sum(len(tk)) FROM t),
+               (SELECT sum(greatest(len(tk) - 1, 0)) FROM t)
+    """).fetchone()
+    n_uni, n_pairs = int(n_uni), int(n_pairs)
+    for _, r in fast.iterrows():
+        expect = (int(r["c_xy"]) * n_uni * n_uni * 1_000_000) \
+            // (n_pairs * int(r["c_x"]) * int(r["c_y"]))
+        assert int(r["pmi_e6"]) == expect
