@@ -198,7 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
         # new in r4: trailing RANGE-frame window + PMI collocations
         "rolling_revenue": F_rel.rolling_revenue,
-        "pmi_bigrams": lambda sf: F_text.pmi_bigrams(_docs(sf)),
+        "pmi_bigrams": lambda sf: F_text.pmi_bigrams(
+            _docs(sf), n_docs=_n_docs(sf)),
         # greedy packing is a running fold, SQL twin is a recursive walk
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),

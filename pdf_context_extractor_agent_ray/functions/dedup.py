@@ -603,7 +603,9 @@ def _ngram_jaccard_distributed(ds, threshold_e6: int):
 
     sh = ds.map_batches(_shingle_hash_rows, batch_format="pyarrow").materialize()
     n_rows = sh.count()
-    num_buckets = max(8, -(-n_rows // NGRAM_ROWS_PER_BUCKET))
+    from .util import bucket_count
+    num_buckets = bucket_count(n_rows, NGRAM_ROWS_PER_BUCKET,
+                               parallelism=max(8, cpus))
     sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
 
     def add_bucket(batch: pa.Table) -> pa.Table:

@@ -478,12 +478,12 @@ def customer_distribution(sf_dir: str, num_buckets: int | None = None):
     row count (parquet footer) and the histogram's own mass: no join
     against the customer table at all.
     """
-    from .util import parquet_num_rows, table_from_pandas
+    from .util import bucket_count, parquet_num_rows
 
     n_customers = parquet_num_rows(f"{sf_dir}/customer.parquet")
     n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
     if num_buckets is None:
-        num_buckets = max(1, n_orders // CUSTDIST_ROWS_PER_BUCKET)
+        num_buckets = bucket_count(n_orders, CUSTDIST_ROWS_PER_BUCKET)
     ds = _read(sf_dir, "orders", ["o_custkey"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -539,11 +539,11 @@ def running_totals(sf_dir: str, num_buckets: int | None = None):
     operator streams: each bucket emits its own block straight to the
     consumer, nothing coalesces.
     """
-    from .util import parquet_num_rows
+    from .util import bucket_count, parquet_num_rows
 
     n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
     if num_buckets is None:
-        num_buckets = max(1, n_orders // RUNNING_ROWS_PER_BUCKET)
+        num_buckets = bucket_count(n_orders, RUNNING_ROWS_PER_BUCKET)
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                   "o_orderdate", "o_totalprice"])
 

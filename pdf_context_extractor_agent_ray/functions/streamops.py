@@ -40,8 +40,9 @@ def _events_bucketed(sf_dir: str, num_buckets: int | None = None):
     import ray.data as rd
 
     if num_buckets is None:
+        from .util import bucket_count
         n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-        num_buckets = max(8, -(-n // ROWS_PER_BUCKET))
+        num_buckets = bucket_count(n, ROWS_PER_BUCKET)
 
     from .util import strip_schema_metadata
 

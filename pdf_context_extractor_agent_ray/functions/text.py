@@ -1190,7 +1190,10 @@ def postings(ds, n_docs: int | None = None, head_k: int = POSTINGS_HEAD_K,
     dfs are disjoint counts (sum is exact) and head merge is an exact
     min-K merge. Rows hash by TOKEN into buckets, co-locating every
     partial of a token; the per-token merge in the fold is bounded by
-    vocabulary (Zipf), not corpus size.
+    vocabulary (Zipf), not corpus size. At a single bucket the hash
+    exchange is pure overhead (~2-3 s fixed, CLAUDE.md invariant), so
+    that case folds on one coalesced block instead — same ``fold``,
+    same result, tested by the bucket-invariance test.
     """
     import pandas as pd
 
@@ -1229,8 +1232,11 @@ def postings(ds, n_docs: int | None = None, head_k: int = POSTINGS_HEAD_K,
                              "df": pd.Series(dfs_out, dtype="int64"),
                              "posting": pd.Series(posts, dtype="object")})
 
-    return ds.map_batches(pair_partial, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(fold, batch_format="pandas")
+    partials = ds.map_batches(pair_partial, batch_format="pyarrow")
+    if num_buckets == 1:
+        return partials.repartition(1).map_batches(
+            fold, batch_format="pandas", batch_size=None)
+    return partials.groupby("bucket").map_groups(fold, batch_format="pandas")
 
 
 PMI_MIN_COUNT = 5
@@ -1240,8 +1246,13 @@ PMI_TOP_K = 20
 PMI_MAX_TOKENS = 1 << 35
 
 
+PMI_DRIVER_FOLD_MAX_DOCS = 200_000
+
+
 def pmi_bigrams(ds, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K,
-                broadcast_max_vocab: int = TOP_TERMS_BROADCAST_MAX_VOCAB):
+                broadcast_max_vocab: int = TOP_TERMS_BROADCAST_MAX_VOCAB,
+                n_docs: int | None = None,
+                driver_fold_max_docs: int = PMI_DRIVER_FOLD_MAX_DOCS):
     """Collocation mining: top-k bigrams by pointwise mutual
     information, with an ALL-INTEGER score so the DuckDB oracle hashes
     identically — ``pmi_e6 = c_xy * N_uni^2 * 1e6 // (N_pairs * c_x *
@@ -1285,12 +1296,24 @@ def pmi_bigrams(ds, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K,
     # materialize the POST-AGGREGATE count tables (bounded by vocab /
     # Zipf, never corpus-sized): totals, vocab gate and candidate
     # filter each consume them, and a lazy Dataset would re-run the
-    # corpus pass per consumer
-    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("c", alias_name="c")).materialize()
-    bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
-        .groupby(["token_a", "token_b"]) \
-        .aggregate(Sum("c_xy", alias_name="c_xy")).materialize()
+    # corpus pass per consumer. Below the doc gate the bounded-key
+    # partials fold on one block (finish_grouped) — two hash-aggregate
+    # exchanges are ~2-3 s of pure fixed cost there (CLAUDE.md
+    # invariant); above it the exchanges are the correct shape.
+    from .util import finish_grouped
+    if n_docs is not None and n_docs <= driver_fold_max_docs:
+        uni = finish_grouped(
+            ds.map_batches(uni_partial, batch_format="pyarrow"),
+            ["token"]).materialize()
+        bi = finish_grouped(
+            ds.map_batches(bi_partial, batch_format="pyarrow"),
+            ["token_a", "token_b"]).materialize()
+    else:
+        uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+            .groupby("token").aggregate(Sum("c", alias_name="c")).materialize()
+        bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
+            .groupby(["token_a", "token_b"]) \
+            .aggregate(Sum("c_xy", alias_name="c_xy")).materialize()
 
     # exact totals from the count tables themselves (tiny partials)
     def total(ds_counts, col):

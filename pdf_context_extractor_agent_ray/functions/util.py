@@ -88,3 +88,22 @@ def finish_grouped(partials, keys: list[str],
 
     return partials.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None)
+
+
+def bucket_count(n_rows: int, rows_per_bucket: int,
+                 parallelism: int | None = None) -> int:
+    """Bucket count for hash-bucketed ``groupby(bucket).map_groups``
+    folds: enough buckets to (a) bound per-bucket rows (a bucket block
+    must fit a worker heap) AND (b) keep every core busy at small
+    scale — a single bucket serializes the fold behind the exchange
+    and costs 3-6x wall (measured: customer_distribution 18.3 s at one
+    bucket vs 3.0 s at 32 on sf0.1/32 cpus). Only valid where bucket
+    count is semantically free (pure hash-bucketed folds) — NOT for
+    semantic bucket counts like pack_sequences' PACK_BUCKETS."""
+    if parallelism is None:
+        try:
+            import ray
+            parallelism = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            parallelism = 4
+    return max(1, parallelism, -(-n_rows // rows_per_bucket))

@@ -117,9 +117,9 @@ def test_pmi_bigrams_paths_agree_and_rank_sane(ray_session):
     from pdf_context_extractor_agent_ray.functions.text import (
         PMI_MIN_COUNT, pmi_bigrams)
 
-    fast = pmi_bigrams(_docs()).to_pandas().reset_index(drop=True)
+    fast = pmi_bigrams(_docs(), n_docs=500).to_pandas().reset_index(drop=True)
     slow = pmi_bigrams(_docs(), broadcast_max_vocab=0).to_pandas() \
-        .reset_index(drop=True)
+        .reset_index(drop=True)  # n_docs=None: groupby counts + joins
     assert len(fast) and fast.equals(slow)
     assert (fast["c_xy"] >= PMI_MIN_COUNT).all()
 
