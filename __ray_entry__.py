@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
         # new in r4: trailing RANGE-frame window + PMI collocations
         "rolling_revenue": F_rel.rolling_revenue,
+        # new in r4: ROLLUP grains + exact distribution moments
+        "sales_cube": F_rel.sales_cube,
+        "value_moments": F_rel.value_moments,
         "pmi_bigrams": lambda sf: F_text.pmi_bigrams(
             _docs(sf), n_docs=_n_docs(sf)),
         # greedy packing is a running fold, SQL twin is a recursive walk
@@ -209,8 +212,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
         "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
-        "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
-        "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -249,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": text_q(F_text.mixture_sample_batch),
         "doc_freq": lambda sf: F_text.doc_freq(_docs(sf)),
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
+        "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
+        "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
         "events_json_stats": F_json.events_json_stats,
@@ -781,6 +784,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "sales_cube": f"""
+            -- ROLLUP grains with 'ALL' labels (engine derives the
+            -- coarser grains from the folded bounded-enum leaf table)
+            WITH c AS (SELECT r.r_name AS rn, n.n_name AS nn,
+                              {_CENTS.format('c.c_acctbal')} AS bal
+                       FROM customer c
+                       JOIN nation n ON n.n_nationkey = c.c_nationkey
+                       JOIN region r ON r.r_regionkey = n.n_regionkey)
+            SELECT COALESCE(rn, 'ALL') AS r_name,
+                   COALESCE(nn, 'ALL') AS n_name,
+                   count(*) AS n_customers,
+                   CAST(sum(bal) AS BIGINT) AS sum_acctbal_cents
+            FROM c GROUP BY ROLLUP(rn, nn)
+        """,
+        "value_moments": f"""
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(c) AS BIGINT) AS sum_cents,
+                   CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_sq_cents2,
+                   CAST(min(c) AS BIGINT) AS min_cents,
+                   CAST(max(c) AS BIGINT) AS max_cents
+            FROM (SELECT event_type, {_CENTS.format('value')} AS c FROM events)
+            GROUP BY 1
         """,
         "rolling_revenue": f"""
             -- trailing {F_rel.ROLLING_WINDOW_DAYS}-day RANGE-frame window over the per-day series

@@ -995,3 +995,104 @@ def rolling_revenue(sf_dir: str, window_days: int = ROLLING_WINDOW_DAYS):
 
     return folded.map_batches(rolling, batch_format="pandas",
                               batch_size=None)
+
+
+def sales_cube(sf_dir: str):
+    """ROLLUP multi-level aggregate: customer count + balance at three
+    grains — (region, nation), (region, ALL), (ALL, ALL) — in ONE
+    corpus pass. The leaf partials are bounded-enum keyed (region x
+    nation), so every coarser grain derives from the folded leaf table
+    on a single block; subtotal labels use 'ALL' (not NULL) so the
+    value-hash gate stays clean. The DuckDB twin is GROUP BY ROLLUP
+    with COALESCE'd labels."""
+    import ray
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    n2rn = {nk: (r2name[rg], nm)
+            for nk, nm, rg in zip(nation["n_nationkey"].to_pylist(),
+                                  nation["n_name"].to_pylist(),
+                                  nation["n_regionkey"].to_pylist())}
+    ref = ray.put(n2rn)
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        g = pa.table({
+            "c_nationkey": batch["c_nationkey"],
+            "bal_c": pc.cast(pc.round(pc.multiply(batch["c_acctbal"], 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        }).group_by("c_nationkey").aggregate(
+            [("bal_c", "count"), ("bal_c", "sum")])
+        names = [lk[n] for n in g["c_nationkey"].to_pylist()]
+        return pa.table({
+            "r_name": pa.array([x[0] for x in names], pa.string()),
+            "n_name": pa.array([x[1] for x in names], pa.string()),
+            "n_customers": g["bal_c_count"],
+            "sum_acctbal_cents": g["bal_c_sum"],
+        })
+
+    leaf = _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["r_name", "n_name"])
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        by_region = df.groupby("r_name", as_index=False).agg(
+            n_customers=("n_customers", "sum"),
+            sum_acctbal_cents=("sum_acctbal_cents", "sum"))
+        by_region["n_name"] = "ALL"
+        grand = pd.DataFrame({
+            "r_name": ["ALL"], "n_name": ["ALL"],
+            "n_customers": [df["n_customers"].sum()],
+            "sum_acctbal_cents": [df["sum_acctbal_cents"].sum()]})
+        out = pd.concat([df, by_region, grand], ignore_index=True)
+        out["n_customers"] = out["n_customers"].astype("int64")
+        out["sum_acctbal_cents"] = out["sum_acctbal_cents"].astype("int64")
+        return out[["r_name", "n_name", "n_customers", "sum_acctbal_cents"]] \
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+    return leaf.map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
+# exact integer moments hold in int64 while n * max_cents^2 < 2^63;
+# the partial fold asserts it loudly instead of wrapping silently
+VALUE_MOMENTS_INT64_GUARD = (1 << 63) - 1
+
+
+def value_moments(sf_dir: str):
+    """Sufficient statistics for per-type value distributions over the
+    events log: n, sum, sum-of-squares (cents-scaled integers) plus
+    min/max — everything a consumer needs for mean/variance/stddev
+    without the engine ever doing a float division (divisions are the
+    consumer's choice of precision, not a hash hazard). One pass,
+    bounded-key partials; the int64 exactness bound is asserted, not
+    assumed (DuckDB's HUGEINT side never wraps, so a silent engine
+    wrap would flip the gate red — fail loud instead)."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["value"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        sq = pc.multiply(cents, cents)
+        t = pa.table({"event_type": batch["event_type"], "cents": cents,
+                      "sq": sq})
+        g = t.group_by("event_type").aggregate(
+            [("cents", "count"), ("cents", "sum"), ("sq", "sum"),
+             ("cents", "min"), ("cents", "max")])
+        mx = pc.max(pc.abs(g["sq_sum"])).as_py() or 0
+        assert mx < VALUE_MOMENTS_INT64_GUARD // 4, \
+            "value_moments: sum of squares nearing int64 range; shard the fold"
+        return g.rename_columns(["event_type", "n_events", "sum_cents",
+                                 "sum_sq_cents2", "min_cents", "max_cents"])
+
+    from .util import finish_grouped
+    return finish_grouped(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type"],
+        aggs={"n_events": "sum", "sum_cents": "sum", "sum_sq_cents2": "sum",
+              "min_cents": "min", "max_cents": "max"})

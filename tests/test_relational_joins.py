@@ -120,3 +120,43 @@ def test_order_priority_matrix_margins(ray_session):
     for _, r in out.iterrows():
         assert r["n_total"] == counts[r["o_orderpriority"]]
         assert r["n_f"] + r["n_o"] + r["n_p"] == r["n_total"]
+
+
+def test_sales_cube_grains_consistent(ray_session):
+    """Subtotal grains re-derive from the leaf grain: each region's
+    ALL row equals the sum of its nation rows, and the grand-total row
+    equals the customer table row count."""
+    from pdf_context_extractor_agent_ray.functions.relational import sales_cube
+
+    out = sales_cube(SF).to_pandas()
+    leaf = out[(out["r_name"] != "ALL") & (out["n_name"] != "ALL")]
+    reg = out[(out["r_name"] != "ALL") & (out["n_name"] == "ALL")]
+    grand = out[(out["r_name"] == "ALL")]
+    assert len(grand) == 1
+    n_cust = pq.ParquetFile(f"{SF}/customer.parquet").metadata.num_rows
+    assert grand["n_customers"].iloc[0] == n_cust == leaf["n_customers"].sum()
+    for _, r in reg.iterrows():
+        sub = leaf[leaf["r_name"] == r["r_name"]]
+        assert r["n_customers"] == sub["n_customers"].sum()
+        assert r["sum_acctbal_cents"] == sub["sum_acctbal_cents"].sum()
+
+
+def test_value_moments_variance_derivable(ray_session):
+    """The sufficient statistics reproduce an independent recount and
+    yield a nonnegative variance for every event type."""
+    from pdf_context_extractor_agent_ray.functions.relational import value_moments
+
+    out = value_moments(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["c"] = np.floor(np.abs(ev["value"].to_numpy()) * 100 + 0.5).astype("int64") \
+        * np.sign(ev["value"]).astype("int64")
+    g = ev.groupby("event_type")["c"]
+    for _, r in out.iterrows():
+        s = g.get_group(r["event_type"])
+        assert r["n_events"] == len(s)
+        assert r["sum_cents"] == s.sum()
+        assert r["sum_sq_cents2"] == (s.astype(object) ** 2).sum()
+        assert r["min_cents"] == s.min() and r["max_cents"] == s.max()
+        var_num = r["n_events"] * r["sum_sq_cents2"] - r["sum_cents"] ** 2
+        assert var_num >= 0
