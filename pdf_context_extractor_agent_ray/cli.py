@@ -195,6 +195,56 @@ def cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered analytics query (the ``__ray_entry__``
+    ``queries()`` registry) over a table directory and write the
+    result as parquet (or print to stdout with --show) — so every
+    pipeline the engine ships is runnable from the command line, not
+    only through the driver contract."""
+    import importlib
+
+    try:
+        entry = importlib.import_module("__ray_entry__")
+    except ModuleNotFoundError:
+        # running from outside the repo root: the registry module sits
+        # next to the package (driver-side import only; Ray workers
+        # still need the repo root on THEIR path — run from the repo
+        # root or set PYTHONPATH, see CLAUDE.md)
+        import os
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        entry = importlib.import_module("__ray_entry__")
+    registry = entry.queries()
+    if args.name == "list":
+        for name in registry:
+            print(name)
+        return 0
+    if args.name not in registry:
+        raise SystemExit(
+            f"error: unknown query {args.name!r} — "
+            f"`query list` prints the {len(registry)} available names")
+    if not args.show and not args.dest:
+        raise SystemExit("error: pass --dest DIR or --show")
+
+    _init_ray(args.num_cpus)
+    result = registry[args.name](args.sf_dir)
+    import pandas as pd
+    if isinstance(result, pd.DataFrame):
+        import ray.data as rd
+        from .functions.util import table_from_pandas
+        result = rd.from_arrow(table_from_pandas(result))
+    if args.show:
+        df = result.to_pandas()
+        print(df.head(args.limit).to_string(index=False))
+        print(f"[{len(df)} rows]")
+    else:
+        result.write_parquet(args.dest)
+        print(json.dumps({"query": args.name, "dest": args.dest}))
+    import ray
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pdf_context_extractor_agent_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -241,6 +291,20 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--output", required=True)
     pm.add_argument("--num-cpus", type=int)
     pm.set_defaults(fn=cmd_metrics)
+
+    pq_ = sub.add_parser(
+        "query", help="run a registered analytics query ('query list' "
+                      "prints the registry) over a table dir")
+    pq_.add_argument("name", help="query name, or 'list'")
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                     help="directory holding the input parquet tables")
+    pq_.add_argument("--dest", help="output parquet directory")
+    pq_.add_argument("--show", action="store_true",
+                     help="print the result instead of writing parquet")
+    pq_.add_argument("--limit", type=int, default=20,
+                     help="rows to print with --show")
+    pq_.add_argument("--num-cpus", type=int)
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

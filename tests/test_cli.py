@@ -88,3 +88,29 @@ def test_cli_verify(tmp_path):
     _run("synth", "--n-docs", "30", "--output", corpus, "--num-cpus", "4")
     r = _run("verify", "--input", corpus, "--sample", "30", "--num-cpus", "4")
     assert r[-1] == {"checked": 30, "mismatches": [], "ok": True}
+
+
+def test_cli_query_registry(tmp_path):
+    """`query list` prints the full registry; a relational query runs
+    and writes parquet; an unknown name fails with a clean error."""
+    import pyarrow.parquet as pq
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_context_extractor_agent_ray.cli",
+         "query", "list"], capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0
+    names = out.stdout.split()
+    assert "sales_cube" in names and len(names) >= 70
+
+    dest = str(tmp_path / "q")
+    r = _run("query", "value_moments", "--sf-dir", "/root/testdata/sf0.001",
+             "--dest", dest, "--num-cpus", "4")
+    assert r[-1] == {"query": "value_moments", "dest": dest}
+    t = pq.read_table(dest)
+    assert t.num_rows > 0 and "sum_sq_cents2" in t.schema.names
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "pdf_context_extractor_agent_ray.cli",
+         "query", "no_such_query", "--show"],
+        capture_output=True, text=True, timeout=60)
+    assert bad.returncode != 0 and "unknown query" in bad.stderr
