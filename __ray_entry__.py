@@ -207,7 +207,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
-        "top_terms_per_doc": lambda sf: F_text.top_terms_per_doc(_docs(sf)),
         "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
@@ -234,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
+        # new in r4: cross-table docs x embeddings enrichment audit
+        "doc_label_mix": F_sim.doc_label_mix,
         "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         # stream-shaped operators (ordered-log windows / as-of join)
         # ---- long-stable tail (hash-green through r3; re-verified
@@ -252,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_stats": lambda sf: F_text.length_stats(_docs(sf)),
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
         "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
+        "top_terms_per_doc": lambda sf: F_text.top_terms_per_doc(_docs(sf)),
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
         "events_json_stats": F_json.events_json_stats,
@@ -784,6 +786,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "doc_label_mix": """
+            SELECT d.lang, CAST(e.label AS BIGINT) AS label,
+                   count(*) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+            GROUP BY 1, 2
         """,
         "sales_cube": f"""
             -- ROLLUP grains with 'ALL' labels (engine derives the

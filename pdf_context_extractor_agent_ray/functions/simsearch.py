@@ -692,3 +692,75 @@ def _rank_within(vec_ids: np.ndarray) -> np.ndarray:
         return vec_ids
     starts = np.r_[0, np.flatnonzero(np.diff(vec_ids)) + 1]
     return np.arange(len(vec_ids)) - np.repeat(starts, np.diff(np.r_[starts, len(vec_ids)])) + 1
+
+
+LABEL_MIX_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def doc_label_mix(sf_dir: str,
+                  broadcast_max_bytes: int = LABEL_MIX_BROADCAST_MAX_BYTES,
+                  num_partitions: int | None = None):
+    """Cross-table enrichment audit: documents joined to their
+    embedding rows (doc_id = vec_id) and rolled up per (lang, label) —
+    the training-mix question "which languages feed which embedding
+    clusters, and with how much text". Output: lang, label, n_docs,
+    sum_chars.
+
+    The (vec_id -> label) side is two ints per vector: broadcast as a
+    dict below ``broadcast_max_bytes`` of embeddings parquet, joined
+    hash-partitioned on the id above it (both paths tested equal).
+    Either way the docs side pre-projects to (doc_id, lang, n_chars)
+    and the exchange output is the bounded (lang x label) partial,
+    never the joined row stream."""
+    import os
+
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from .util import finish_grouped, strip_schema_metadata, table_from_pandas
+
+    docs = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"]))
+
+    try:
+        emb_bytes = os.path.getsize(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        emb_bytes = 0
+
+    def rollup(stream):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            agg = df.groupby(["lang", "label"], as_index=False).agg(
+                n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            agg["label"] = agg["label"].astype("int64")
+            agg["n_docs"] = agg["n_docs"].astype("int64")
+            agg["sum_chars"] = agg["sum_chars"].astype("int64")
+            return agg
+
+        return finish_grouped(
+            stream.map_batches(partial, batch_format="pandas"),
+            ["lang", "label"])
+
+    if emb_bytes <= broadcast_max_bytes:
+        emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "label"])
+        lk = dict(zip(emb["vec_id"].to_pylist(), emb["label"].to_pylist()))
+        ref = ray.put(lk)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            df = df.copy()
+            df["label"] = df["doc_id"].map(m)
+            return df.dropna(subset=["label"])  # inner-join semantics
+
+        return rollup(docs.map_batches(attach, batch_format="pandas"))
+
+    emb_ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]))
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-emb_bytes // (128 << 20))))
+    j = docs.join(emb_ds, "inner", num_partitions=num_partitions,
+                  on=("doc_id",), right_on=("vec_id",))
+    return rollup(j)

@@ -160,3 +160,18 @@ def test_value_moments_variance_derivable(ray_session):
         assert r["min_cents"] == s.min() and r["max_cents"] == s.max()
         var_num = r["n_events"] * r["sum_sq_cents2"] - r["sum_cents"] ** 2
         assert var_num >= 0
+
+
+def test_doc_label_mix_paths_agree(ray_session):
+    """Broadcast (vec_id->label) map vs forced hash-partitioned join
+    roll up to the identical (lang, label) audit, and the audit's doc
+    mass equals the joined-row count."""
+    from pdf_context_extractor_agent_ray.functions.simsearch import doc_label_mix
+
+    fast = doc_label_mix(SF).to_pandas() \
+        .sort_values(["lang", "label"]).reset_index(drop=True)
+    slow = doc_label_mix(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values(["lang", "label"]).reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    n_emb = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert fast["n_docs"].sum() == n_emb  # 1:1 id correspondence here
