@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: window fn / anti-join / pivot / multi-way join /
         # range join over the relational tables
         "running_totals": F_rel.running_totals,
+        # new in r4: global order statistics w/o a global sort
+        "revenue_cume_dist": F_rel.revenue_cume_dist,
         "idle_customers": F_rel.idle_customers,
         "order_priority_matrix": F_rel.order_priority_matrix,
         "local_supplier_volume": F_rel.local_supplier_volume,
@@ -207,7 +209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
         "repetition_stats": text_q(F_text.repetition_stats_batch),
-        "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
         "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
@@ -254,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": lambda sf: F_text.top_ngrams(_docs(sf)),
         "length_quantiles": lambda sf: F_text.length_quantiles(_docs(sf)),
         "top_terms_per_doc": lambda sf: F_text.top_terms_per_doc(_docs(sf)),
+        "interleave_plan": lambda sf: F_text.interleave_plan(_docs(sf)),
         "asof_click_view": F_stream.asof_click_view,
         "session_windows": F_stream.session_windows,
         "events_json_stats": F_json.events_json_stats,
@@ -786,6 +788,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         WHEN bucket < {F_text.SPLIT_BOUNDARIES[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "revenue_cume_dist": f"""
+            -- integer cume_dist: RANGE frame counts ties together,
+            -- exactly the engine's searchsorted(side='right')
+            WITH a AS (SELECT o_custkey,
+                              CAST(sum({_CENTS.format('o_totalprice')}) AS BIGINT) AS revenue_cents
+                       FROM orders GROUP BY 1)
+            SELECT o_custkey, revenue_cents,
+                   CAST(count(*) OVER (ORDER BY revenue_cents
+                                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) * 1000000
+                        // (SELECT count(*) FROM a) AS BIGINT) AS cume_e6
+            FROM a
         """,
         "doc_label_mix": """
             SELECT d.lang, CAST(e.label AS BIGINT) AS label,

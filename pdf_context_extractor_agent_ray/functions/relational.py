@@ -1096,3 +1096,81 @@ def value_moments(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow"), ["event_type"],
         aggs={"n_events": "sum", "sum_cents": "sum", "sum_sq_cents2": "sum",
               "min_cents": "min", "max_cents": "max"})
+
+
+CUME_VALUE_BUCKET_CENTS = 1 << 20  # ~$10.5k revenue per rank bucket
+
+
+def revenue_cume_dist(sf_dir: str,
+                      bucket_cents: int = CUME_VALUE_BUCKET_CENTS):
+    """Global ORDER STATISTICS without a global sort: every customer's
+    cumulative-distribution position by total revenue,
+    ``cume_e6 = rows_with_revenue<=mine * 1e6 // n`` (the integer image
+    of SQL ``cume_dist()`` — the float version is not hash-safe).
+
+    Two-pass VALUE-range rank (the interleave_plan pattern turned from
+    id-space onto value-space):
+
+    - per-customer revenue partials → one groupby (row per customer);
+    - pass A (tiny): counts per revenue-range bucket → driver
+      exclusive prefix sums → broadcast. Bucket count is bounded by
+      the VALUE DISTRIBUTION (max revenue / bucket width), not corpus
+      size;
+    - pass B: each value bucket folds vectorized (one argsort +
+      searchsorted per bucket) and adds its broadcast below-count.
+      Ties share a value, so they share a cume — deterministic.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "price_c": pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100),
+                                        round_mode="half_towards_infinity"),
+                               pa.int64()),
+        }).group_by("o_custkey").aggregate([("price_c", "sum")]) \
+            .rename_columns(["o_custkey", "revenue_cents"])
+
+    # row-per-customer table, consumed by both passes — materialize
+    # once (bounded by customer count, object-store-resident/spillable)
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("revenue_cents",
+                                            alias_name="revenue_cents")) \
+        .materialize()
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch["revenue_cents"], bucket_cents)
+        return pa.table({"bucket": b}).group_by("bucket").aggregate(
+            [("bucket", "count")]).rename_columns(["bucket", "n"])
+
+    parts = _finish_grouped_sums(
+        agg.map_batches(bucket_counts, batch_format="pyarrow"),
+        ["bucket"]).take_all()
+    parts = sorted((int(r["bucket"]), int(r["n"])) for r in parts)
+    n_total = sum(n for _, n in parts)
+    below, acc = {}, 0
+    for b, n in parts:
+        below[b] = acc
+        acc += n
+    ref = ray.put(below)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.divide(batch["revenue_cents"], bucket_cents))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(ref)[int(df["bucket"].iat[0])]
+        v = df["revenue_cents"].to_numpy()
+        sv = np.sort(v, kind="stable")
+        le = np.searchsorted(sv, v, side="right") + off
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "revenue_cents": df["revenue_cents"].astype("int64"),
+            "cume_e6": (le * 1_000_000 // n_total).astype("int64"),
+        })
+
+    return agg.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")

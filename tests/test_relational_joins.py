@@ -175,3 +175,29 @@ def test_doc_label_mix_paths_agree(ray_session):
     assert len(fast) and fast.equals(slow)
     n_emb = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
     assert fast["n_docs"].sum() == n_emb  # 1:1 id correspondence here
+
+
+def test_revenue_cume_dist_order_statistics(ray_session):
+    """cume positions are a valid distribution function: monotone in
+    revenue, max == 1e6 exactly, ties share a cume, bucket width must
+    not change a single value, and every value re-derives from a
+    direct driver-side recount."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        revenue_cume_dist)
+
+    out = revenue_cume_dist(SF).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    tiny = revenue_cume_dist(SF, bucket_cents=1 << 14).to_pandas() \
+        .sort_values("o_custkey").reset_index(drop=True)
+    assert len(out) and out.equals(tiny)
+
+    v = out["revenue_cents"].to_numpy()
+    n = len(out)
+    le = np.searchsorted(np.sort(v), v, side="right")
+    assert (out["cume_e6"].to_numpy() == le * 1_000_000 // n).all()
+    assert out["cume_e6"].max() == 1_000_000
+    s = out.sort_values("revenue_cents")
+    assert (np.diff(s["cume_e6"].to_numpy()) >= 0).all()
+    dup = out[out.duplicated("revenue_cents", keep=False)]
+    if len(dup):
+        assert (dup.groupby("revenue_cents")["cume_e6"].nunique() == 1).all()
