@@ -65,6 +65,19 @@ def _n_docs(sf_dir: str) -> int:
     return parquet_num_rows(f"{sf_dir}/documents.parquet")
 
 
+def _max_doc_id(sf_dir: str) -> int:
+    from pdf_context_extractor_agent_ray.functions.util import parquet_column_max
+    return int(parquet_column_max(f"{sf_dir}/documents.parquet", "doc_id"))
+
+
+def _vocab_width(sf_dir: str) -> int:
+    """doc_id bucket width shared by text.vocab_growth and its SQL
+    twin — derived from footer metadata, no data read."""
+    from pdf_context_extractor_agent_ray.functions import text as F_text
+    n_ids = _max_doc_id(sf_dir) + 1
+    return -(-n_ids // F_text.VOCAB_GROWTH_BUCKETS)
+
+
 def _emb(sf_dir: str):
     import ray.data as rd
     from pdf_context_extractor_agent_ray.functions.util import strip_schema_metadata
@@ -205,13 +218,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": F_rel.value_moments,
         "pmi_bigrams": lambda sf: F_text.pmi_bigrams(
             _docs(sf), n_docs=_n_docs(sf)),
-        # greedy packing is a running fold, SQL twin is a recursive walk
-        "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
-        "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
+        # new in late r4: per-user Markov transitions, retention
+        # cohorts, Heaps-law vocab growth, exact per-group percentiles
+        "event_transitions": F_stream.event_transitions,
+        "retention_cohorts": F_stream.retention_cohorts,
+        "vocab_growth": lambda sf: F_text.vocab_growth(
+            _docs(sf), _max_doc_id(sf) + 1),
+        "segment_acctbal_quantiles": F_rel.segment_acctbal_quantiles,
         "repetition_stats": text_q(F_text.repetition_stats_batch),
-        "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
-        "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
@@ -243,6 +258,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # on may fall past the driver's 50-entry correctness window;
         # every NEW or recently-changed operator must sit ABOVE this
         # line ----
+        # greedy packing is a running fold, SQL twin is a recursive
+        # walk; packing/sharding/decontaminate rotated here (unchanged
+        # since their r3 driver-green rows) to keep the late-r4
+        # additions inside the 50-entry window
+        "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
+        "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
+        "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
+        "decontaminate_ngram": lambda sf: F_text.decontaminate_ngram(_docs(sf)),
         "fingerprint": text_q(F_text.fingerprint_batch),
         "rolling_fingerprint": text_q(F_text.rolling_fingerprint_batch),
         "bpe_token_count": text_q(F_text.bpe_token_count_batch),
@@ -997,6 +1020,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                        AS token_share_e6
             FROM t
         """,
+        "vocab_growth": f"""
+            -- Heaps-law vocabulary growth: distinct tokens by first
+            -- doc of appearance, bucketed into fixed doc_id ranges
+            -- (text.vocab_growth; width from parquet footer max)
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split({_NORM}, ' ')) AS tok
+                         FROM documents),
+            f AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+            b AS (SELECT first_doc // {_vocab_width(sf_dir)} AS bucket,
+                         count(*) AS new_tokens
+                  FROM f GROUP BY 1)
+            SELECT bucket, bucket * {_vocab_width(sf_dir)} AS bucket_start_id,
+                   new_tokens,
+                   CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT)
+                     AS cum_vocab
+            FROM b
+        """,
+        "segment_acctbal_quantiles": f"""
+            -- exact discrete percentiles per market segment over the
+            -- bounded integer-cents domain
+            -- (relational.segment_acctbal_quantiles)
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   percentile_disc(0.25) WITHIN GROUP
+                     (ORDER BY {_CENTS.format('c_acctbal')}) AS p25_cents,
+                   percentile_disc(0.5) WITHIN GROUP
+                     (ORDER BY {_CENTS.format('c_acctbal')}) AS p50_cents,
+                   percentile_disc(0.75) WITHIN GROUP
+                     (ORDER BY {_CENTS.format('c_acctbal')}) AS p75_cents,
+                   percentile_disc(0.9) WITHIN GROUP
+                     (ORDER BY {_CENTS.format('c_acctbal')}) AS p90_cents
+            FROM customer GROUP BY 1
+        """,
         "doc_freq": f"""
             WITH t AS (SELECT DISTINCT doc_id, tok
                        FROM (SELECT doc_id,
@@ -1347,6 +1403,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                    count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_idx
+        """,
+        "event_transitions": f"""
+            -- per-user Markov transition counts; a user's last event
+            -- transitions to the literal 'END'
+            -- (streamops.event_transitions)
+            WITH e AS (SELECT event_type,
+                              COALESCE(lead(event_type) OVER (
+                                  PARTITION BY user_id ORDER BY ts, event_id),
+                                '{F_stream.TRANSITION_END}') AS next_event_type
+                       FROM events)
+            SELECT event_type, next_event_type, count(*) AS n_pairs
+            FROM e GROUP BY 1, 2
+        """,
+        "retention_cohorts": f"""
+            -- cohort = epoch-day of first event; n_users = distinct
+            -- cohort users active offset_days later
+            -- (streamops.retention_cohorts)
+            WITH d AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) // {F_stream.US_PER_DAY} AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+            u AS (SELECT DISTINCT d.user_id, f.cohort_day,
+                                  d.day - f.cohort_day AS offset_days
+                  FROM d JOIN f USING (user_id))
+            SELECT cohort_day, offset_days, count(*) AS n_users
+            FROM u GROUP BY 1, 2
         """,
         "events_funnel": """
             -- ordered funnel: stage i reached at min ts STRICTLY after

@@ -143,6 +143,89 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US,
     return ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
+TRANSITION_END = "END"
+
+
+def event_transitions(sf_dir: str, num_buckets: int | None = None):
+    """Per-user next-event transition matrix (Markov counts): for each
+    event ordered by (ts, event_id) within a user, count the pair
+    (event_type, next_event_type); a user's last event transitions to
+    the literal ``'END'``.
+
+    Output: event_type, next_event_type, n_pairs — a bounded
+    (n_types+1)² table.
+
+    At-scale shape: the lead() is bucket-local (a user's events hash to
+    ONE bucket), so each bucket does a single vectorized shift +
+    groupby-count; the exchange moves ≤(n_types+1)² partial rows per
+    bucket, never events. SQL twin: lead() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) with COALESCE to 'END'.
+    """
+    from .util import finish_grouped
+
+    ds = _events_bucketed(sf_dir, num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        et = df["event_type"].to_numpy()
+        nxt = np.full(len(df), TRANSITION_END, dtype=object)
+        if len(df) > 1:
+            same = uid[1:] == uid[:-1]
+            nxt[:-1] = np.where(same, et[1:], TRANSITION_END)
+        g = pd.DataFrame({"event_type": et, "next_event_type": nxt})
+        out = g.groupby(["event_type", "next_event_type"],
+                        as_index=False).size()
+        out = out.rename(columns={"size": "n_pairs"})
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    return finish_grouped(
+        ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["event_type", "next_event_type"])
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(sf_dir: str, num_buckets: int | None = None):
+    """Cohort retention matrix: users cohorted by the epoch-day of
+    their FIRST event; for every (cohort_day, offset_days) cell, the
+    count of distinct cohort users active offset_days after their
+    first event (offset 0 == the cohort's size).
+
+    Output: cohort_day (epoch days), offset_days, n_users — all int64.
+
+    At-scale shape: first-event day and the distinct (user, offset)
+    set are bucket-local (user hashed to ONE bucket), so each bucket
+    folds its users vectorized (one groupby-min + merge + distinct)
+    and emits (cohort_day, offset_days, partial_count) rows; distinct
+    users never cross buckets, so summing partials is exact. The
+    exchange is bounded by days², never by events or users.
+    """
+    from .util import finish_grouped
+
+    ds = _events_bucketed(sf_dir, num_buckets)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy(dtype=np.int64) // US_PER_DAY
+        t = pd.DataFrame({"user_id": df["user_id"].to_numpy(dtype=np.int64),
+                          "day": day})
+        first = t.groupby("user_id", as_index=False)["day"].min() \
+            .rename(columns={"day": "cohort_day"})
+        m = t.drop_duplicates().merge(first, on="user_id")
+        m["offset_days"] = m["day"] - m["cohort_day"]
+        d = m.drop_duplicates(subset=["user_id", "offset_days"])
+        out = d.groupby(["cohort_day", "offset_days"], as_index=False).size()
+        out = out.rename(columns={"size": "n_users"})
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return finish_grouped(
+        ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["cohort_day", "offset_days"])
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 

@@ -1396,3 +1396,65 @@ def pmi_bigrams(ds, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K,
     return j.map_batches(score_rank, batch_format="pandas") \
         .repartition(1).map_batches(score_rank, batch_format="pandas",
                                     batch_size=None)
+
+
+VOCAB_GROWTH_BUCKETS = 20  # curve resolution — semantic, never auto-sized
+
+
+def vocab_growth(ds, n_ids: int, num_buckets: int = VOCAB_GROWTH_BUCKETS):
+    """Heaps-law vocabulary-growth curve: distinct tokens by FIRST
+    doc_id of appearance, bucketed into ``num_buckets`` equal doc_id
+    ranges, with the running cumulative vocabulary size.
+
+    Output: bucket, bucket_start_id, new_tokens, cum_vocab (all int64;
+    buckets where no token first appears emit no row, matching the SQL
+    groupby).
+
+    At-scale shape: per-batch partial (token → min doc_id within the
+    batch; docs are whole within a batch so the partial is exact) →
+    ``groupby(token).aggregate(Min)`` — the same vocabulary-key
+    exchange as ``doc_freq`` — → per-block bucket counts → bounded
+    ``num_buckets``-row finish + one cumsum. ``n_ids`` (= max doc_id
+    + 1) comes from parquet footer statistics on the caller side
+    (``util.parquet_column_max``), so the bucket width is
+    metadata-priced on both the engine and SQL-oracle sides.
+    """
+    from ray.data.aggregate import Min
+
+    from .util import finish_grouped
+
+    width = -(-n_ids // num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        first: dict = {}
+        ids = batch["doc_id"].to_pylist()
+        for did, s in zip(ids, norm_expr(batch["text"]).to_pylist()):
+            for t in set(s.split(" ")):
+                prev = first.get(t)
+                if prev is None or did < prev:
+                    first[t] = did
+        return pa.table({
+            "token": pa.array(list(first.keys()), pa.string()),
+            "first_doc": pa.array(list(first.values()), pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Min("first_doc", alias_name="first_doc"))
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(batch["first_doc"], width), pa.int64())
+        return pa.table({"bucket": b}).group_by("bucket") \
+            .aggregate([("bucket", "count")]) \
+            .rename_columns(["bucket", "new_tokens"])
+
+    folded = finish_grouped(
+        agg.map_batches(bucket_partial, batch_format="pyarrow"), ["bucket"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket").reset_index(drop=True)
+        df["bucket"] = df["bucket"].astype("int64")
+        df["bucket_start_id"] = (df["bucket"] * width).astype("int64")
+        df["new_tokens"] = df["new_tokens"].astype("int64")
+        df["cum_vocab"] = df["new_tokens"].cumsum().astype("int64")
+        return df[["bucket", "bucket_start_id", "new_tokens", "cum_vocab"]]
+
+    return folded.map_batches(final, batch_format="pandas", batch_size=None)

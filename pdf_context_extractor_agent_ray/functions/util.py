@@ -59,6 +59,25 @@ def parquet_num_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def parquet_column_max(path: str, column: str):
+    """Column max from parquet footer statistics (driver-side, no data
+    read); falls back to a single-column scan only when a row group
+    lacks min/max stats (pyarrow/pandas writers always emit them for
+    integer columns, so the fallback is a defensive path)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    idx = f.schema_arrow.get_field_index(column)
+    maxes = []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            import pyarrow.compute as pc
+            return pc.max(pq.read_table(path, columns=[column])[column]).as_py()
+        maxes.append(st.max)
+    return max(maxes)
+
+
 def finish_grouped(partials, keys: list[str],
                    aggs: dict[str, str] | None = None):
     """Finish a pre-aggregated partial stream (one row per key per

@@ -69,3 +69,69 @@ def test_events_funnel_strictly_after_and_bucket_invariance(ray_session, tmp_pat
         assert out[2]["sum_lag_us"] == 60_000_000 + 120_000_000
         assert out[3]["sum_lag_us"] == 120_000_000
         assert [out[s]["stage_name"] for s in (1, 2, 3)] == ["view", "click", "purchase"]
+
+
+def test_event_transitions_end_marker_and_bucket_invariance(ray_session, tmp_path):
+    """Each user's last event transitions to 'END'; equal-ts events
+    order by event_id; counts are invariant to the bucket count."""
+    from pdf_context_extractor_agent_ray.functions.streamops import event_transitions
+
+    t0 = np.datetime64("2024-01-01T10:00:00", "us")
+    m = np.timedelta64(60, "s")
+    rows = [
+        # user 1: view -> click -> END (click ties view's ts; event_id orders)
+        (1, t0, 1, "view"), (2, t0, 1, "click"),
+        # user 2: single event -> END
+        (3, t0 + m, 2, "purchase"),
+        # user 3: view -> view -> END
+        (4, t0, 3, "view"), (5, t0 + m, 3, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    for nb in (1, 4):
+        got = {(r["event_type"], r["next_event_type"]): r["n_pairs"]
+               for r in event_transitions(str(tmp_path), num_buckets=nb).take_all()}
+        assert got == {("view", "click"): 1, ("click", "END"): 1,
+                       ("purchase", "END"): 1, ("view", "view"): 1,
+                       ("view", "END"): 1}
+
+
+def test_retention_cohorts_offsets(ray_session, tmp_path):
+    """Offset 0 equals cohort size; repeat activity within a day
+    counts once; users cohort independently."""
+    from pdf_context_extractor_agent_ray.functions.streamops import retention_cohorts
+
+    day0 = np.datetime64("2024-01-01T05:00:00", "us")
+    d = np.timedelta64(1, "D")
+    h = np.timedelta64(1, "h")
+    rows = [
+        # user 1: cohort day0; active day0 (twice), day2
+        (1, day0, 1), (2, day0 + h, 1), (3, day0 + 2 * d, 1),
+        # user 2: cohort day0; active day0 only
+        (4, day0 + 3 * h, 2),
+        # user 3: cohort day1; active day1 and day2
+        (5, day0 + d, 3), (6, day0 + 2 * d, 3),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    base = int(np.datetime64("2024-01-01", "us").astype("int64")
+               // 86_400_000_000)
+    for nb in (1, 4):
+        got = {(r["cohort_day"], r["offset_days"]): r["n_users"]
+               for r in retention_cohorts(str(tmp_path), num_buckets=nb).take_all()}
+        assert got == {(base, 0): 2, (base, 2): 1,
+                       (base + 1, 0): 1, (base + 1, 1): 1}

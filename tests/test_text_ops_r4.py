@@ -135,3 +135,70 @@ def test_pmi_bigrams_paths_agree_and_rank_sane(ray_session):
         expect = (int(r["c_xy"]) * n_uni * n_uni * 1_000_000) \
             // (n_pairs * int(r["c_x"]) * int(r["c_y"]))
         assert int(r["pmi_e6"]) == expect
+
+
+def test_vocab_growth_curve_invariants(ray_session):
+    """cum_vocab is strictly increasing, its last value equals the
+    corpus distinct-token count, new_tokens sums to it, and bucket ids
+    map back to the documented width."""
+    import __ray_entry__ as e
+    from pdf_context_extractor_agent_ray.functions.text import (
+        VOCAB_GROWTH_BUCKETS, vocab_growth)
+
+    n_ids = e._max_doc_id(SF) + 1
+    width = -(-n_ids // VOCAB_GROWTH_BUCKETS)
+    df = vocab_growth(_docs(), n_ids).to_pandas()
+
+    assert (df["bucket"].to_numpy() ==
+            df["bucket_start_id"].to_numpy() // width).all()
+    assert df["bucket"].is_monotonic_increasing
+    assert (df["new_tokens"] > 0).all()
+    assert (df["new_tokens"].cumsum() == df["cum_vocab"]).all()
+
+    n_vocab = duckdb.sql(
+        f"SELECT count(DISTINCT tok) FROM (SELECT unnest(string_split("
+        f"{NORM}, ' ')) AS tok FROM read_parquet('{SF}/documents.parquet'))"
+    ).fetchone()[0]
+    assert int(df["cum_vocab"].iloc[-1]) == n_vocab
+
+
+def test_segment_acctbal_quantiles_rank_rule(ray_session, tmp_path):
+    """The engine's integer ceil(q*n) rank matches DuckDB
+    percentile_disc on a crafted corpus that distinguishes ceil(q*n)
+    from floor(q*(n-1))+1 (n=12 at q=0.9) and exercises .5-cent
+    rounding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        segment_acctbal_quantiles)
+
+    # segment A: 12 customers (0.9*12 = 10.8 -> rank 11, not 10);
+    # values include a .005 half-cent boundary
+    bal_a = [1.005, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0]
+    bal_b = [-1.0, 0.0, 2.5]
+    t = pa.table({
+        "c_custkey": pa.array(range(len(bal_a) + len(bal_b)), pa.int64()),
+        "c_name": pa.array(["x"] * (len(bal_a) + len(bal_b))),
+        "c_nationkey": pa.array([0] * (len(bal_a) + len(bal_b)), pa.int32()),
+        "c_acctbal": pa.array(bal_a + bal_b, pa.float64()),
+        "c_mktsegment": pa.array(["A"] * len(bal_a) + ["B"] * len(bal_b)),
+    })
+    pq.write_table(t, str(tmp_path / "customer.parquet"))
+
+    got = {r["c_mktsegment"]: r
+           for r in segment_acctbal_quantiles(str(tmp_path)).take_all()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/customer.parquet')")
+    import __ray_entry__ as e
+    exp = con.execute(e.oracle_sql()["segment_acctbal_quantiles"]).fetchdf()
+    for _, row in exp.iterrows():
+        g = got[row["c_mktsegment"]]
+        for c in ("n_customers", "p25_cents", "p50_cents",
+                  "p75_cents", "p90_cents"):
+            assert g[c] == row[c], (row["c_mktsegment"], c, g[c], row[c])
+    # the distinguishing cell: rank 11 of segment A -> 1100 cents
+    assert got["A"]["p90_cents"] == 1100
+    # half-away rounding of 1.005 -> 101 cents at p25 of the 12-row set?
+    # rank ceil(0.25*12)=3 -> 300; check the boundary value survives as min
+    assert got["A"]["p25_cents"] == 300
