@@ -225,7 +225,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": lambda sf: F_text.vocab_growth(
             _docs(sf), _max_doc_id(sf) + 1),
         "segment_acctbal_quantiles": F_rel.segment_acctbal_quantiles,
-        "repetition_stats": text_q(F_text.repetition_stats_batch),
+        # new in late r4: five more TPC-H shapes — correlated avg
+        # threshold (Q17), HAVING join-back top-k (Q18), argmax with
+        # ties (Q15), two-level distinct count (Q16), sole-laggard
+        # uniqueness fold (Q21)
+        "small_qty_revenue": F_rel.small_qty_revenue,
+        "large_orders": F_rel.large_orders,
+        "top_supplier": F_rel.top_supplier,
+        "part_supplier_counts": F_rel.part_supplier_counts,
+        "order_laggards": F_rel.order_laggards,
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
         # dedup
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
@@ -240,18 +248,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), n_docs=_n_docs(sf)),
         "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
             _docs(sf), n_docs=_n_docs(sf)),
-        "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
-        "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
         # similarity search
         "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_ivf": F_sim.ivf_knn,
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
-        "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         # new in r4: cross-table docs x embeddings enrichment audit
         "doc_label_mix": F_sim.doc_label_mix,
-        "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         # stream-shaped operators (ordered-log windows / as-of join)
         # ---- long-stable tail (hash-green through r3; re-verified
         # every pytest run by test_driver_contract) — entries from here
@@ -261,7 +265,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # greedy packing is a running fold, SQL twin is a recursive
         # walk; packing/sharding/decontaminate rotated here (unchanged
         # since their r3 driver-green rows) to keep the late-r4
-        # additions inside the 50-entry window
+        # additions inside the 50-entry window; repetition_stats,
+        # simhash, simhash_dup_pairs, label-side centroids rotated
+        # late-r4 (r3-green, untouched since) for the five Q15-Q21
+        # shapes
+        "repetition_stats": text_q(F_text.repetition_stats_batch),
+        "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
+        "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
+        "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
+        "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
         "shard_manifest": lambda sf: F_text.shard_manifest(_docs(sf)),
         "decontaminate": lambda sf: F_text.decontaminate(_docs(sf)),
@@ -1052,6 +1064,93 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    percentile_disc(0.9) WITHIN GROUP
                      (ORDER BY {_CENTS.format('c_acctbal')}) AS p90_cents
             FROM customer GROUP BY 1
+        """,
+        "small_qty_revenue": f"""
+            -- Q17 shape; the 0.2*avg threshold is the engine's exact
+            -- integer cross-multiply 5*q*cnt < sum_q (quantities are
+            -- integral) — no float division
+            -- (relational.small_qty_revenue)
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = '{F_rel.SMALL_QTY_BRAND}'),
+            l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                         {_CENTS.format('l_extendedprice')} AS price_c
+                  FROM lineitem
+                  WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+            a AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s,
+                         count(*) AS c
+                  FROM l GROUP BY 1)
+            SELECT l.l_partkey, count(*) AS n_small,
+                   CAST(sum(l.price_c) AS BIGINT) AS small_revenue_cents
+            FROM l JOIN a USING (l_partkey)
+            WHERE 5 * l.q * a.c < a.s
+            GROUP BY 1
+        """,
+        "large_orders": f"""
+            -- Q18 shape: HAVING-filtered quantity sums joined back to
+            -- the orders row, global top-k with a unique tie-break
+            -- (relational.large_orders)
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                                  AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING sum(CAST(l_quantity AS BIGINT))
+                              > {F_rel.LARGE_ORDER_MIN_QTY})
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+                   {_CENTS.format('o.o_totalprice')} AS totalprice_cents,
+                   q.sum_qty
+            FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey
+            ORDER BY totalprice_cents DESC, o.o_orderkey ASC
+            LIMIT {F_rel.LARGE_ORDER_TOPK}
+        """,
+        "top_supplier": f"""
+            -- Q15 shape: argmax over a grouped aggregate, ties kept
+            -- (relational.top_supplier)
+            WITH rev AS (SELECT l_suppkey,
+                                CAST(sum({_CENTS.format(
+                                    'l_extendedprice * (1 - l_discount)')})
+                                     AS BIGINT) AS total_revenue_cents
+                         FROM lineitem
+                         WHERE l_shipdate >= TIMESTAMP '{F_rel.TOP_SUPPLIER_START} 00:00:00'
+                           AND l_shipdate <  TIMESTAMP '{F_rel.TOP_SUPPLIER_END} 00:00:00'
+                         GROUP BY 1)
+            SELECT l_suppkey, total_revenue_cents FROM rev
+            WHERE total_revenue_cents =
+                  (SELECT max(total_revenue_cents) FROM rev)
+        """,
+        "part_supplier_counts": f"""
+            -- Q16 shape: two-level distinct aggregation across the
+            -- part dimension join (relational.part_supplier_counts)
+            WITH pr AS (SELECT p_partkey, p_brand,
+                               CAST(p_size AS BIGINT) AS p_size
+                        FROM part
+                        WHERE p_type IN {tuple(F_rel.PSC_TYPES)!r}),
+            pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            j AS (SELECT DISTINCT p_brand, p_size, l_suppkey
+                  FROM pairs JOIN pr ON l_partkey = p_partkey)
+            SELECT p_brand, p_size, count(*) AS supplier_cnt
+            FROM j GROUP BY 1, 2
+        """,
+        "order_laggards": f"""
+            -- Q21 shape: sole laggard on multi-supplier orders; late =
+            -- first shipment > grace days after the order's first
+            -- (relational.order_laggards)
+            WITH pairs AS (SELECT l_orderkey, l_suppkey,
+                                  min(l_shipdate) AS smn
+                           FROM lineitem GROUP BY 1, 2),
+            m AS (SELECT l_orderkey, min(smn) AS mn, count(*) AS ns
+                  FROM pairs GROUP BY 1),
+            lag AS (SELECT p.l_orderkey, p.l_suppkey
+                    FROM pairs p JOIN m USING (l_orderkey)
+                    WHERE m.ns >= 2
+                      AND p.smn > m.mn
+                          + INTERVAL {F_rel.LAGGARD_GRACE_DAYS} DAY),
+            one AS (SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+                    FROM lag GROUP BY 1 HAVING count(*) = 1)
+            SELECT l_suppkey, count(*) AS numwait
+            FROM one GROUP BY 1
+            ORDER BY numwait DESC, l_suppkey ASC
+            LIMIT {F_rel.LAGGARD_TOPK}
         """,
         "doc_freq": f"""
             WITH t AS (SELECT DISTINCT doc_id, tok

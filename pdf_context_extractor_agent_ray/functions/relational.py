@@ -1235,3 +1235,460 @@ def segment_acctbal_quantiles(sf_dir: str):
         return out
 
     return folded.map_batches(final, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: correlated scalar subquery (per-part avg threshold)
+# ---------------------------------------------------------------------------
+
+SMALL_QTY_BRAND = "Brand#23"
+# filtered partkey sets up to this many bytes of part parquet broadcast
+# as an Arrow value_set; above it (billions of parts) the semi-join
+# runs co-bucketed: part keys and lineitem rows hash into the SAME
+# partkey buckets and the membership test happens inside the fold
+SMALL_QTY_PART_BROADCAST_MAX_BYTES = 256 << 20
+SMALL_QTY_ROWS_PER_BUCKET = 1_000_000
+
+
+def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND,
+                      broadcast_max_bytes: int = SMALL_QTY_PART_BROADCAST_MAX_BYTES,
+                      num_buckets: int | None = None):
+    """TPC-H Q17 shape: revenue from SMALL-quantity lineitems — rows
+    whose quantity is under 0.2x their part's own average quantity,
+    for parts of one brand. Output one row per part that has any:
+    (l_partkey, n_small, small_revenue_cents).
+
+    The correlated scalar subquery (``l_quantity < 0.2 * avg(...)``)
+    is an exact INTEGER cross-multiply — ``5*q*cnt < sum_q``
+    (quantities are integral) — so the engine and the DuckDB oracle
+    agree bit-for-bit with no float-division epsilon.
+
+    Shape at scale: the brand filter selects ~1/25 of parts. Below
+    ``broadcast_max_bytes`` of part parquet the filtered partkeys ship
+    once as a broadcast value_set and lineitem pre-filters per batch,
+    so only matching rows (~4%) cross the exchange. Above it the
+    semi-join is CO-BUCKETED: filtered part keys and (unfiltered)
+    lineitem rows hash into the same partkey buckets and the
+    membership test runs inside the bucket fold — no driver set, one
+    exchange. Either way a part's lineitems all land in one bucket, so
+    the per-part average and the small-row filter are bucket-local and
+    exact; the per-part output never coalesces.
+    """
+    import os
+    import ray
+    from .util import bucket_count, parquet_num_rows
+
+    n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_line, SMALL_QTY_ROWS_PER_BUCKET)
+    try:
+        part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    except OSError:
+        part_bytes = 0
+
+    def line_cols(batch: pa.Table) -> pa.Table:
+        key = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "q": pc.cast(batch["l_quantity"], pa.int64()),
+            "price_c": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100),
+                                        round_mode="half_towards_infinity"),
+                               pa.int64()),
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out_schema = {"l_partkey": "int64", "n_small": "int64",
+                      "small_revenue_cents": "int64"}
+        if "kind" in df.columns:
+            keys = df.loc[df["kind"] == 0, "l_partkey"].unique()
+            df = df[(df["kind"] == 1) & df["l_partkey"].isin(keys)]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in out_schema.items()})
+        g = df.groupby("l_partkey", sort=False)["q"]
+        small = df[5 * df["q"] * g.transform("size") < g.transform("sum")]
+        out = small.groupby("l_partkey", as_index=False).agg(
+            n_small=("q", "size"), small_revenue_cents=("price_c", "sum"))
+        return out.astype(out_schema)
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    if part_bytes <= broadcast_max_bytes:
+        import pyarrow.parquet as pq
+        keys = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"])
+        keys = keys.filter(pc.equal(keys["p_brand"], brand))["p_partkey"]
+        ref = ray.put(pc.cast(keys.combine_chunks(), pa.int64()))
+
+        def semi(batch: pa.Table) -> pa.Table:
+            return line_cols(batch.filter(
+                pc.is_in(batch["l_partkey"], value_set=ray.get(ref))))
+
+        return lineitem.map_batches(semi, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+    # at-scale path: co-bucketed semi-join (kind 0 = part key row,
+    # kind 1 = lineitem row; a part's rows all share one bucket)
+    def tag(t: pa.Table, kind: int) -> pa.Table:
+        return t.append_column("kind", pa.array([kind] * len(t), pa.int64()))
+
+    def part_keys(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["p_brand"], brand))
+        key = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        n = len(batch)
+        return tag(pa.table({
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "l_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+            "q": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
+        }), 0)
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
+        .map_batches(part_keys, batch_format="pyarrow")
+    lines = lineitem.map_batches(
+        lambda t: tag(line_cols(t), 1), batch_format="pyarrow")
+    return parts.union(lines).groupby("bucket") \
+        .map_groups(fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-filtered aggregate joined back + top-k
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_MIN_QTY = 200
+LARGE_ORDER_TOPK = 100
+LARGE_ORDER_ROWS_PER_BUCKET = 1_000_000
+
+
+def large_orders(sf_dir: str, min_qty: int = LARGE_ORDER_MIN_QTY,
+                 k: int = LARGE_ORDER_TOPK,
+                 num_buckets: int | None = None):
+    """TPC-H Q18 shape: the k highest-value orders whose total lineitem
+    quantity exceeds ``min_qty`` (HAVING on an aggregate, joined back
+    to the orders row). Output: (o_orderkey, o_custkey, o_orderdate_us,
+    totalprice_cents, sum_qty), the global top-k by
+    (totalprice_cents desc, o_orderkey asc).
+
+    Shape at scale: a CO-BUCKETED aggregate+join — per-batch
+    (o_orderkey, qty) partial sums from lineitem and the orders rows
+    hash into the same orderkey buckets (one exchange moves partials,
+    not lineitems); each bucket finishes the sum, applies the HAVING
+    filter, joins its own orders rows vectorized and emits only its
+    LOCAL top-k, so the final global sort sees ≤ buckets x k rows.
+    """
+    from .util import bucket_count, parquet_num_rows
+
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_orders, LARGE_ORDER_ROWS_PER_BUCKET)
+
+    def _bucket(key: np.ndarray) -> pa.Array:
+        b = ((key.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)) % num_buckets
+        return pa.array(b.astype(np.int64), pa.int64())
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": batch["l_orderkey"],
+                      "q": pc.cast(batch["l_quantity"], pa.int64())})
+        t = t.group_by("o_orderkey").aggregate([("q", "sum")]) \
+            .rename_columns(["o_orderkey", "q_partial"])
+        n = len(t)
+        zeros = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({
+            "bucket": _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "q_partial": t["q_partial"],
+            "o_custkey": zeros, "o_orderdate_us": zeros,
+            "totalprice_cents": zeros,
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "bucket": _bucket(batch["o_orderkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "q_partial": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_orderdate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "totalprice_cents": pc.cast(
+                pc.round(pc.multiply(batch["o_totalprice"], 100),
+                         round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    OUT_COLS = ["o_orderkey", "o_custkey", "o_orderdate_us",
+                "totalprice_cents", "sum_qty"]
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df[df["kind"] == 0].groupby("o_orderkey")["q_partial"].sum()
+        qty = qty[qty > min_qty].rename("sum_qty")
+        o = df[df["kind"] == 1].merge(qty, left_on="o_orderkey",
+                                      right_index=True)
+        o = o.sort_values(["totalprice_cents", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        return o[OUT_COLS].astype({c: "int64" for c in OUT_COLS})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["totalprice_cents", "o_orderkey"],
+                              ascending=[False, True], kind="mergesort") \
+            .head(k).reset_index(drop=True)
+
+    qp = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow")
+    orows = _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(order_rows, batch_format="pyarrow")
+    return qp.union(orows).groupby("bucket") \
+        .map_groups(fold, batch_format="pandas") \
+        .repartition(1).map_batches(finish, batch_format="pandas",
+                                    batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: aggregate-of-aggregate argmax with exact tie handling
+# ---------------------------------------------------------------------------
+
+TOP_SUPPLIER_START = "1996-01-01"
+TOP_SUPPLIER_END = "1996-04-01"
+TOP_SUPPLIER_ROWS_PER_BUCKET = 1_000_000
+
+
+def top_supplier(sf_dir: str, start: str = TOP_SUPPLIER_START,
+                 end: str = TOP_SUPPLIER_END,
+                 num_buckets: int | None = None):
+    """TPC-H Q15 shape: the supplier(s) with the MAXIMUM lineitem
+    revenue in one ship-date quarter — an argmax over a grouped
+    aggregate, ties kept (top-k can't express ties). Output:
+    (l_suppkey, total_revenue_cents), one row per tied winner.
+
+    Shape at scale: per-batch (suppkey, revenue) partial sums hash
+    into suppkey buckets; each bucket finishes its suppliers' totals
+    and emits only its LOCAL max row(s) — the global max is some
+    bucket's max, so the driver-side finish sees ≤ buckets x ties
+    rows, never the per-supplier table. All integer cents.
+    """
+    from .util import bucket_count, parquet_num_rows
+
+    n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_line, TOP_SUPPLIER_ROWS_PER_BUCKET)
+    lo = pa.scalar(np.datetime64(start, "us"))
+    hi = pa.scalar(np.datetime64(end, "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi)))
+        rc = pc.cast(pc.round(
+            pc.multiply(pc.multiply(batch["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                batch["l_discount"])), 100),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                      "rc": rc}) \
+            .group_by("l_suppkey").aggregate([("rc", "sum")]) \
+            .rename_columns(["l_suppkey", "rc"])
+        key = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("l_suppkey", as_index=False)["rc"].sum()
+        return tot[tot["rc"] == tot["rc"].max()]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                                 "total_revenue_cents": pd.Series([], dtype="int64")})
+        out = df[df["rc"] == df["rc"].max()] \
+            .rename(columns={"rc": "total_revenue_cents"}) \
+            .sort_values("l_suppkey").reset_index(drop=True)
+        return out.astype({"l_suppkey": "int64",
+                           "total_revenue_cents": "int64"})
+
+    return _read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_max, batch_format="pandas") \
+        .repartition(1).map_batches(finish, batch_format="pandas",
+                                    batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: two-level distinct aggregation across a dimension join
+# ---------------------------------------------------------------------------
+
+PSC_TYPES = ("ECONOMY", "STANDARD", "SMALL")
+PSC_ROWS_PER_BUCKET = 1_000_000
+
+
+def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
+                         num_buckets: int | None = None):
+    """TPC-H Q16 shape: DISTINCT supplier count per (p_brand, p_size)
+    over the distinct (part, supplier) pairs observed in lineitem, for
+    parts of the selected types. Output: (p_brand, p_size,
+    supplier_cnt) — a two-level distinct aggregation (pair-distinct,
+    then count-distinct) threaded through a dimension join.
+
+    Shape at scale, two bounded exchanges:
+    1. per-batch DISTINCT (partkey, suppkey) pairs and the filtered
+       part attribute rows CO-BUCKET by partkey hash; each bucket
+       joins locally and emits its distinct (brand, size, suppkey)
+       tuples — fixed-width, already heavily collapsed;
+    2. tuples re-bucket by SUPPKEY hash (every copy of a tuple shares
+       its suppkey, so bucket-local dedup is globally exact); each
+       bucket counts distinct suppliers per (brand, size) and the
+       bounded-key (25 brands x 50 sizes) partial counts sum in one
+       tiny finish.
+    """
+    from .util import bucket_count, parquet_num_rows
+
+    n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_line, PSC_ROWS_PER_BUCKET)
+    type_set = pa.array(list(types), pa.string())
+
+    def _bucket(key: np.ndarray) -> pa.Array:
+        b = ((key.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)) % num_buckets
+        return pa.array(b.astype(np.int64), pa.int64())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+                      "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64())}) \
+            .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        n = len(t)
+        return pa.table({
+            "bucket": _bucket(t["l_partkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "p_brand": pa.array([""] * n, pa.string()),
+            "p_size": pa.array(np.zeros(n, np.int64), pa.int64()),
+        })
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_in(batch["p_type"], value_set=type_set))
+        n = len(batch)
+        return pa.table({
+            "bucket": _bucket(batch["p_partkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "l_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+            "l_suppkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "p_brand": batch["p_brand"],
+            "p_size": pc.cast(batch["p_size"], pa.int64()),
+        })
+
+    def join_fold(df: pd.DataFrame) -> pd.DataFrame:
+        attrs = df[df["kind"] == 0][["l_partkey", "p_brand", "p_size"]]
+        pairs = df[df["kind"] == 1][["l_partkey", "l_suppkey"]] \
+            .drop_duplicates()
+        j = pairs.merge(attrs, on="l_partkey")
+        tup = j[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+        key = tup["l_suppkey"].to_numpy(dtype=np.uint64)
+        tup = tup.copy()
+        tup["bucket2"] = (((key * np.uint64(2654435761))
+                           & np.uint64(0xFFFFFFFF)) % num_buckets).astype(np.int64)
+        return tup
+
+    def count_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+        out = d.groupby(["p_brand", "p_size"], as_index=False).size() \
+            .rename(columns={"size": "supplier_cnt"})
+        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(pair_partial, batch_format="pyarrow")
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(part_rows, batch_format="pyarrow")
+    tuples = parts.union(pairs).groupby("bucket") \
+        .map_groups(join_fold, batch_format="pandas")
+    return _finish_grouped_sums(
+        tuples.groupby("bucket2").map_groups(count_fold, batch_format="pandas"),
+        ["p_brand", "p_size"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: per-order multi-entity uniqueness fold
+# ---------------------------------------------------------------------------
+
+LAGGARD_GRACE_DAYS = 30
+LAGGARD_TOPK = 100
+LAGGARD_ROWS_PER_BUCKET = 1_000_000
+_US_PER_DAY = 86_400_000_000
+
+
+def order_laggards(sf_dir: str, grace_days: int = LAGGARD_GRACE_DAYS,
+                   k: int = LAGGARD_TOPK, num_buckets: int | None = None):
+    """TPC-H Q21 shape: suppliers who were the SOLE laggard on
+    multi-supplier orders — their first shipment left more than
+    ``grace_days`` after the order's first shipment, and no other
+    supplier on the order was late. Output: (l_suppkey, numwait), the
+    top-k by (numwait desc, l_suppkey asc).
+
+    Shape at scale, two bounded exchanges:
+    1. per-batch (orderkey, suppkey, min_shipdate) partials — min is
+       mergeable — hash into orderkey buckets; an order's rows all
+       land in one bucket, so the per-order fold (distinct-supplier
+       count, order min, laggard test, exactly-one filter) is
+       bucket-local and exact, and each bucket emits tiny
+       (suppkey, numwait) partial counts;
+    2. partials re-bucket by suppkey hash, sum, and each bucket emits
+       its LOCAL top-k — the final sort sees ≤ buckets x k rows.
+    """
+    from .util import bucket_count, parquet_num_rows
+
+    n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_line, LAGGARD_ROWS_PER_BUCKET)
+    grace_us = grace_days * _US_PER_DAY
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                      "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+                      "smn": pc.cast(batch["l_shipdate"], pa.int64())}) \
+            .group_by(["o_orderkey", "l_suppkey"]).aggregate([("smn", "min")]) \
+            .rename_columns(["o_orderkey", "l_suppkey", "smn"])
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+
+    def order_fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "l_suppkey"], as_index=False)["smn"].min()
+        per_order = g.groupby("o_orderkey")["smn"]
+        mn = per_order.transform("min")
+        ns = per_order.transform("size")
+        lag = g[(ns >= 2) & (g["smn"] > mn + grace_us)]
+        only = lag.groupby("o_orderkey")["l_suppkey"].transform("size") == 1
+        lag = lag[only]
+        out = lag.groupby("l_suppkey", as_index=False).size() \
+            .rename(columns={"size": "numwait"})
+        key = out["l_suppkey"].to_numpy(dtype=np.uint64)
+        out = out.copy()
+        out["bucket2"] = (((key * np.uint64(2654435761))
+                           & np.uint64(0xFFFFFFFF)) % num_buckets).astype(np.int64)
+        return out
+
+    def supp_fold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("l_suppkey", as_index=False)["numwait"].sum()
+        tot = tot.sort_values(["numwait", "l_suppkey"],
+                              ascending=[False, True], kind="mergesort").head(k)
+        return tot.astype({"l_suppkey": "int64", "numwait": "int64"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["numwait", "l_suppkey"],
+                              ascending=[False, True], kind="mergesort") \
+            .head(k).reset_index(drop=True)
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(order_fold, batch_format="pandas") \
+        .groupby("bucket2").map_groups(supp_fold, batch_format="pandas") \
+        .repartition(1).map_batches(finish, batch_format="pandas",
+                                    batch_size=None)

@@ -201,3 +201,50 @@ def test_revenue_cume_dist_order_statistics(ray_session):
     dup = out[out.duplicated("revenue_cents", keep=False)]
     if len(dup):
         assert (dup.groupby("revenue_cents")["cume_e6"].nunique() == 1).all()
+
+
+def test_small_qty_revenue_paths_agree(ray_session):
+    """Broadcast partkey value_set semi-join and the forced
+    co-bucketed union semi-join emit the identical per-part
+    small-quantity revenue."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        small_qty_revenue)
+
+    fast = small_qty_revenue(SF).to_pandas() \
+        .sort_values("l_partkey").reset_index(drop=True)
+    slow = small_qty_revenue(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("l_partkey").reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert (fast["n_small"] >= 1).all()
+    assert (fast["small_revenue_cents"] > 0).all()
+
+
+def test_q15_q18_q21_bucket_invariance(ray_session):
+    """The co-bucketed folds are bucket-count independent: 1 bucket
+    (everything in one group) and the default bucketing produce the
+    identical result for the HAVING join-back (Q18), the argmax with
+    ties (Q15) and the sole-laggard fold (Q21)."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        large_orders, order_laggards, top_supplier)
+
+    for fn, sort_cols in ((large_orders, ["o_orderkey"]),
+                          (top_supplier, ["l_suppkey"]),
+                          (order_laggards, ["l_suppkey"])):
+        a = fn(SF).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+        b = fn(SF, num_buckets=1).to_pandas() \
+            .sort_values(sort_cols).reset_index(drop=True)
+        assert len(a) and a.equals(b), fn.__name__
+
+
+def test_part_supplier_counts_bucket_invariance(ray_session):
+    """Two-level distinct count is exact under re-bucketing: the
+    (brand, size, suppkey) tuple dedup keyed on suppkey hash yields
+    the same counts at 1 bucket and the default."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        part_supplier_counts)
+
+    a = part_supplier_counts(SF).to_pandas() \
+        .sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+    b = part_supplier_counts(SF, num_buckets=1).to_pandas() \
+        .sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+    assert len(a) and a.equals(b)
