@@ -1525,39 +1525,132 @@ def top_supplier(sf_dir: str, start: str = TOP_SUPPLIER_START,
 
 PSC_TYPES = ("ECONOMY", "STANDARD", "SMALL")
 PSC_ROWS_PER_BUCKET = 1_000_000
+# filtered part attribute maps up to this many bytes of part parquet
+# broadcast as numpy arrays (searchsorted lookup per batch); above it
+# the dimension join runs co-bucketed by partkey hash
+PSC_PART_BROADCAST_MAX_BYTES = 256 << 20
+# (brand x size groups) x suppliers bounds the distinct-tuple count;
+# below this many the global dedup+count folds in ONE partition (a few
+# MB of fixed-width tuples), above it tuples re-bucket by suppkey hash
+PSC_DRIVER_FOLD_MAX_TUPLES = 5_000_000
 
 
 def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
-                         num_buckets: int | None = None):
+                         num_buckets: int | None = None,
+                         broadcast_max_bytes: int = PSC_PART_BROADCAST_MAX_BYTES,
+                         driver_fold_max_tuples: int = PSC_DRIVER_FOLD_MAX_TUPLES):
     """TPC-H Q16 shape: DISTINCT supplier count per (p_brand, p_size)
     over the distinct (part, supplier) pairs observed in lineitem, for
     parts of the selected types. Output: (p_brand, p_size,
     supplier_cnt) — a two-level distinct aggregation (pair-distinct,
     then count-distinct) threaded through a dimension join.
 
-    Shape at scale, two bounded exchanges:
-    1. per-batch DISTINCT (partkey, suppkey) pairs and the filtered
-       part attribute rows CO-BUCKET by partkey hash; each bucket
-       joins locally and emits its distinct (brand, size, suppkey)
-       tuples — fixed-width, already heavily collapsed;
-    2. tuples re-bucket by SUPPKEY hash (every copy of a tuple shares
-       its suppkey, so bucket-local dedup is globally exact); each
-       bucket counts distinct suppliers per (brand, size) and the
-       bounded-key (25 brands x 50 sizes) partial counts sum in one
-       tiny finish.
+    Three size-gated shapes (all tested for agreement):
+
+    - part below ``broadcast_max_bytes``: the filtered
+      partkey → (brand, size) map broadcasts once as SORTED numpy
+      arrays and each lineitem batch resolves attributes with one
+      ``searchsorted`` + emits its LOCAL distinct (brand, size,
+      suppkey) tuples — the dimension join costs no exchange at all;
+      brand travels as a small-int code, decoded only in the finish.
+    - tuple bound (observed brand x size groups x supplier count,
+      both known cheaply) below ``driver_fold_max_tuples``: the
+      already-collapsed tuples coalesce to ONE partition for the
+      global dedup + count (a few MB fixed-width).
+    - above either gate: tuples re-bucket by SUPPKEY hash (every copy
+      of a tuple shares its suppkey, so bucket-local dedup is globally
+      exact) and the bounded-key partial counts sum in a tiny finish;
+      a too-large part table falls back to the CO-BUCKETED union join
+      (part attribute rows and per-batch distinct pairs hash into the
+      same partkey buckets).
     """
+    import os
+    import ray
     from .util import bucket_count, parquet_num_rows
 
     n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
     if num_buckets is None:
         num_buckets = bucket_count(n_line, PSC_ROWS_PER_BUCKET)
     type_set = pa.array(list(types), pa.string())
+    try:
+        part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    except OSError:
+        part_bytes = 0
 
     def _bucket(key: np.ndarray) -> pa.Array:
         b = ((key.astype(np.uint64) * np.uint64(2654435761))
              & np.uint64(0xFFFFFFFF)) % num_buckets
         return pa.array(b.astype(np.int64), pa.int64())
 
+    def count_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
+        out = d.groupby(["p_brand", "p_size"], as_index=False).size() \
+            .rename(columns={"size": "supplier_cnt"})
+        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+
+    def _count_tuples(tuples, single_partition: bool):
+        # tuples: (p_brand, p_size, l_suppkey [, bucket2]) streams
+        if single_partition:
+            return tuples.repartition(1).map_batches(
+                count_fold, batch_format="pandas", batch_size=None)
+        return _finish_grouped_sums(
+            tuples.groupby("bucket2").map_groups(count_fold,
+                                                 batch_format="pandas"),
+            ["p_brand", "p_size"])
+
+    if part_bytes <= broadcast_max_bytes:
+        import pyarrow.parquet as pq
+        pt = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_type", "p_size"])
+        pt = pt.filter(pc.is_in(pt["p_type"], value_set=type_set))
+        order = pc.sort_indices(pt["p_partkey"])
+        pk = pt["p_partkey"].take(order).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        brand_dict = pc.dictionary_encode(
+            pt["p_brand"].take(order).combine_chunks())
+        brands = brand_dict.chunk(0).dictionary.to_pylist() \
+            if isinstance(brand_dict, pa.ChunkedArray) \
+            else brand_dict.dictionary.to_pylist()
+        bidx = (brand_dict.chunk(0).indices if isinstance(brand_dict, pa.ChunkedArray)
+                else brand_dict.indices).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        size = pt["p_size"].take(order).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_groups = len({(b, s) for b, s in zip(bidx.tolist(), size.tolist())})
+        n_supp = parquet_num_rows(f"{sf_dir}/supplier.parquet")
+        single = n_groups * n_supp <= driver_fold_max_tuples
+        ref = ray.put((pk, bidx, size))
+
+        def tuples_batch(batch: pa.Table) -> pa.Table:
+            pk_, bidx_, size_ = ray.get(ref)
+            lp = batch["l_partkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ls = batch["l_suppkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(pk_, lp)
+            pos_c = np.minimum(pos, max(len(pk_) - 1, 0))
+            ok = (pk_[pos_c] == lp) if len(pk_) else np.zeros(len(lp), bool)
+            df = pd.DataFrame({"b": bidx_[pos_c[ok]], "p_size": size_[pos_c[ok]],
+                               "l_suppkey": ls[ok]}).drop_duplicates()
+            t = pa.table({"p_brand": pa.array(
+                              np.asarray(brands, dtype=object)[df["b"].to_numpy()],
+                              pa.string()),
+                          "p_size": pa.array(df["p_size"].to_numpy(), pa.int64()),
+                          "l_suppkey": pa.array(df["l_suppkey"].to_numpy(),
+                                                pa.int64())})
+            if single:
+                return t
+            key = df["l_suppkey"].to_numpy(dtype=np.uint64)
+            b2 = ((key * np.uint64(2654435761))
+                  & np.uint64(0xFFFFFFFF)) % num_buckets
+            return t.append_column("bucket2",
+                                   pa.array(b2.astype(np.int64), pa.int64()))
+
+        tuples = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+            .map_batches(tuples_batch, batch_format="pyarrow")
+        return _count_tuples(tuples, single)
+
+    # huge-part path: co-bucketed union join by partkey hash
     def pair_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
                       "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64())}) \
@@ -1596,21 +1689,13 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
                            & np.uint64(0xFFFFFFFF)) % num_buckets).astype(np.int64)
         return tup
 
-    def count_fold(df: pd.DataFrame) -> pd.DataFrame:
-        d = df[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
-        out = d.groupby(["p_brand", "p_size"], as_index=False).size() \
-            .rename(columns={"size": "supplier_cnt"})
-        return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
-
     pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
         .map_batches(pair_partial, batch_format="pyarrow")
     parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]) \
         .map_batches(part_rows, batch_format="pyarrow")
     tuples = parts.union(pairs).groupby("bucket") \
         .map_groups(join_fold, batch_format="pandas")
-    return _finish_grouped_sums(
-        tuples.groupby("bucket2").map_groups(count_fold, batch_format="pandas"),
-        ["p_brand", "p_size"])
+    return _count_tuples(tuples, single_partition=False)
 
 
 # ---------------------------------------------------------------------------

@@ -236,15 +236,23 @@ def test_q15_q18_q21_bucket_invariance(ray_session):
         assert len(a) and a.equals(b), fn.__name__
 
 
-def test_part_supplier_counts_bucket_invariance(ray_session):
-    """Two-level distinct count is exact under re-bucketing: the
-    (brand, size, suppkey) tuple dedup keyed on suppkey hash yields
-    the same counts at 1 bucket and the default."""
+def test_part_supplier_counts_paths_agree(ray_session):
+    """All three size-gated shapes — broadcast part map + one-partition
+    fold (default at test scale), broadcast map + suppkey-hash tuple
+    dedup (tuple gate forced to 0), and the co-bucketed union join
+    (broadcast gate forced to 0) — emit identical distinct counts,
+    including at 1 bucket."""
     from pdf_context_extractor_agent_ray.functions.relational import (
         part_supplier_counts)
 
-    a = part_supplier_counts(SF).to_pandas() \
-        .sort_values(["p_brand", "p_size"]).reset_index(drop=True)
-    b = part_supplier_counts(SF, num_buckets=1).to_pandas() \
-        .sort_values(["p_brand", "p_size"]).reset_index(drop=True)
-    assert len(a) and a.equals(b)
+    def run(**kw):
+        return part_supplier_counts(SF, **kw).to_pandas() \
+            .sort_values(["p_brand", "p_size"]).reset_index(drop=True)
+
+    a = run()
+    assert len(a) and (a["supplier_cnt"] > 0).all()
+    for kw in ({"driver_fold_max_tuples": 0},
+               {"broadcast_max_bytes": 0},
+               {"broadcast_max_bytes": 0, "num_buckets": 1}):
+        b = run(**kw)
+        assert a.equals(b), kw
