@@ -566,7 +566,7 @@ def running_totals(sf_dir: str, num_buckets: int | None = None):
         df["running_cents"] = df.groupby("o_custkey", sort=False)["price_c"].cumsum()
         return df[["o_custkey", "o_orderkey", "o_orderdate_us", "running_cents"]]
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
+    return ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby("bucket").map_groups(fold, batch_format="pandas")
 
 
@@ -1327,7 +1327,7 @@ def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND,
             return line_cols(batch.filter(
                 pc.is_in(batch["l_partkey"], value_set=ray.get(ref))))
 
-        return lineitem.map_batches(semi, batch_format="pyarrow") \
+        return lineitem.map_batches(semi, batch_format="pyarrow", batch_size=None) \
             .groupby("bucket").map_groups(fold, batch_format="pandas")
 
     # at-scale path: co-bucketed semi-join (kind 0 = part key row,
@@ -1348,9 +1348,10 @@ def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND,
         }), 0)
 
     parts = _read(sf_dir, "part", ["p_partkey", "p_brand"]) \
-        .map_batches(part_keys, batch_format="pyarrow")
+        .map_batches(part_keys, batch_format="pyarrow", batch_size=None)
     lines = lineitem.map_batches(
-        lambda t: tag(line_cols(t), 1), batch_format="pyarrow")
+        lambda t: tag(line_cols(t), 1), batch_format="pyarrow",
+        batch_size=None)
     return parts.union(lines).groupby("bucket") \
         .map_groups(fold, batch_format="pandas")
 
@@ -1362,24 +1363,35 @@ def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND,
 LARGE_ORDER_MIN_QTY = 200
 LARGE_ORDER_TOPK = 100
 LARGE_ORDER_ROWS_PER_BUCKET = 1_000_000
+# HAVING survivors up to this many broadcast as a sorted numpy map
+# (orderkey -> sum_qty) so the orders table never shuffles; above it
+# the join falls back to the co-bucketed union exchange
+LARGE_ORDER_SURVIVOR_BROADCAST_MAX = 5_000_000
 
 
 def large_orders(sf_dir: str, min_qty: int = LARGE_ORDER_MIN_QTY,
                  k: int = LARGE_ORDER_TOPK,
-                 num_buckets: int | None = None):
+                 num_buckets: int | None = None,
+                 survivor_broadcast_max: int = LARGE_ORDER_SURVIVOR_BROADCAST_MAX):
     """TPC-H Q18 shape: the k highest-value orders whose total lineitem
     quantity exceeds ``min_qty`` (HAVING on an aggregate, joined back
     to the orders row). Output: (o_orderkey, o_custkey, o_orderdate_us,
     totalprice_cents, sum_qty), the global top-k by
     (totalprice_cents desc, o_orderkey asc).
 
-    Shape at scale: a CO-BUCKETED aggregate+join — per-batch
-    (o_orderkey, qty) partial sums from lineitem and the orders rows
-    hash into the same orderkey buckets (one exchange moves partials,
-    not lineitems); each bucket finishes the sum, applies the HAVING
-    filter, joins its own orders rows vectorized and emits only its
-    LOCAL top-k, so the final global sort sees ≤ buckets x k rows.
+    Shape at scale: per-BLOCK (o_orderkey, qty) partial sums (whole
+    blocks, not 1024-row slivers — lineitem clusters by orderkey so a
+    block collapses ~4x) hash into orderkey buckets and each bucket
+    finishes the sum + HAVING filter. The surviving orderkeys are
+    semantically rare, so below ``survivor_broadcast_max`` they
+    broadcast once as a SORTED numpy map and the orders table is
+    filtered per batch with one searchsorted — the fact-table join
+    costs no exchange and each batch emits its local top-k. Above the
+    gate the join falls back to the CO-BUCKETED union (orders rows and
+    survivor partials share orderkey buckets); both paths end in a
+    ≤ blocks x k global sort.
     """
+    import ray
     from .util import bucket_count, parquet_num_rows
 
     n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
@@ -1396,24 +1408,26 @@ def large_orders(sf_dir: str, min_qty: int = LARGE_ORDER_MIN_QTY,
                       "q": pc.cast(batch["l_quantity"], pa.int64())})
         t = t.group_by("o_orderkey").aggregate([("q", "sum")]) \
             .rename_columns(["o_orderkey", "q_partial"])
-        n = len(t)
-        zeros = pa.array(np.zeros(n, np.int64), pa.int64())
-        return pa.table({
-            "bucket": _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)),
-            "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
-            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-            "q_partial": t["q_partial"],
-            "o_custkey": zeros, "o_orderdate_us": zeros,
-            "totalprice_cents": zeros,
-        })
+        return t.append_column(
+            "bucket", _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)))
 
-    def order_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
+    def survivor_fold(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df.groupby("o_orderkey", as_index=False)["q_partial"].sum() \
+            .rename(columns={"q_partial": "sum_qty"})
+        return qty[qty["sum_qty"] > min_qty].astype(
+            {"o_orderkey": "int64", "sum_qty": "int64"})
+
+    survivors = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("bucket").map_groups(survivor_fold, batch_format="pandas") \
+        .materialize()
+
+    OUT_COLS = ["o_orderkey", "o_custkey", "o_orderdate_us",
+                "totalprice_cents", "sum_qty"]
+
+    def order_cols(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "bucket": _bucket(batch["o_orderkey"].to_numpy(zero_copy_only=False)),
-            "kind": pa.array(np.ones(n, np.int64), pa.int64()),
             "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
-            "q_partial": pa.array(np.zeros(n, np.int64), pa.int64()),
             "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
             "o_orderdate_us": pc.cast(batch["o_orderdate"], pa.int64()),
             "totalprice_cents": pc.cast(
@@ -1421,30 +1435,81 @@ def large_orders(sf_dir: str, min_qty: int = LARGE_ORDER_MIN_QTY,
                          round_mode="half_towards_infinity"), pa.int64()),
         })
 
-    OUT_COLS = ["o_orderkey", "o_custkey", "o_orderdate_us",
-                "totalprice_cents", "sum_qty"]
-
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        qty = df[df["kind"] == 0].groupby("o_orderkey")["q_partial"].sum()
-        qty = qty[qty > min_qty].rename("sum_qty")
-        o = df[df["kind"] == 1].merge(qty, left_on="o_orderkey",
-                                      right_index=True)
-        o = o.sort_values(["totalprice_cents", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        return o[OUT_COLS].astype({c: "int64" for c in OUT_COLS})
-
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(["totalprice_cents", "o_orderkey"],
                               ascending=[False, True], kind="mergesort") \
             .head(k).reset_index(drop=True)
 
-    qp = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
-        .map_batches(qty_partial, batch_format="pyarrow")
-    orows = _read(sf_dir, "orders",
-                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
-        .map_batches(order_rows, batch_format="pyarrow")
-    return qp.union(orows).groupby("bucket") \
-        .map_groups(fold, batch_format="pandas") \
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    if survivors.count() <= survivor_broadcast_max:
+        surv = survivors.to_pandas()
+        order = np.argsort(surv["o_orderkey"].to_numpy())
+        sk = surv["o_orderkey"].to_numpy()[order]
+        sq = surv["sum_qty"].to_numpy()[order]
+        ref = ray.put((sk, sq))
+
+        def join_batch(batch: pa.Table) -> pd.DataFrame:
+            sk_, sq_ = ray.get(ref)
+            t = order_cols(batch)
+            ok_arr = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sk_, ok_arr)
+            pos_c = np.minimum(pos, max(len(sk_) - 1, 0))
+            hit = (sk_[pos_c] == ok_arr) if len(sk_) \
+                else np.zeros(len(ok_arr), bool)
+            df = t.to_pandas()[hit]
+            df["sum_qty"] = sq_[pos_c[hit]]
+            return finish(df)[OUT_COLS].astype({c: "int64" for c in OUT_COLS})
+
+        return orders.map_batches(join_batch, batch_format="pyarrow",
+                                  batch_size=None) \
+            .repartition(1).map_batches(finish, batch_format="pandas",
+                                        batch_size=None)
+
+    # at-scale fallback: co-bucketed union join (kind 0 = survivor
+    # partial, kind 1 = orders row)
+    def surv_rows(df: pd.DataFrame) -> pa.Table:
+        key = df["o_orderkey"].to_numpy(dtype=np.uint64)
+        b = (((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF))
+             % num_buckets).astype(np.int64)
+        n = len(df)
+        # Arrow out: the union peer (order_rows) emits Arrow blocks and
+        # the sort exchange's boundary sampler can't mix block types
+        return pa.table({
+            "bucket": pa.array(b, pa.int64()),
+            "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "sum_qty": pa.array(df["sum_qty"].to_numpy(), pa.int64()),
+            "o_custkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderdate_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "totalprice_cents": pa.array(np.zeros(n, np.int64), pa.int64())})
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        t = order_cols(batch)
+        n = len(t)
+        return pa.table({
+            "bucket": _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+            "o_orderkey": t["o_orderkey"],
+            "sum_qty": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_custkey": t["o_custkey"],
+            "o_orderdate_us": t["o_orderdate_us"],
+            "totalprice_cents": t["totalprice_cents"],
+        })
+
+    def join_fold(df: pd.DataFrame) -> pd.DataFrame:
+        qty = df[df["kind"] == 0].set_index("o_orderkey")["sum_qty"]
+        o = df[df["kind"] == 1].drop(columns=["sum_qty"]) \
+            .merge(qty, left_on="o_orderkey", right_index=True)
+        return finish(o)[OUT_COLS].astype({c: "int64" for c in OUT_COLS})
+
+    sp = survivors.map_batches(surv_rows, batch_format="pandas",
+                               batch_size=None)
+    orows = orders.map_batches(order_rows, batch_format="pyarrow",
+                               batch_size=None)
+    return sp.union(orows).groupby("bucket") \
+        .map_groups(join_fold, batch_format="pandas") \
         .repartition(1).map_batches(finish, batch_format="pandas",
                                     batch_size=None)
 
@@ -1513,7 +1578,7 @@ def top_supplier(sf_dir: str, start: str = TOP_SUPPLIER_START,
 
     return _read(sf_dir, "lineitem",
                  ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
-        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby("bucket").map_groups(bucket_max, batch_format="pandas") \
         .repartition(1).map_batches(finish, batch_format="pandas",
                                     batch_size=None)
@@ -1647,7 +1712,7 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
                                    pa.array(b2.astype(np.int64), pa.int64()))
 
         tuples = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
-            .map_batches(tuples_batch, batch_format="pyarrow")
+            .map_batches(tuples_batch, batch_format="pyarrow", batch_size=None)
         return _count_tuples(tuples, single)
 
     # huge-part path: co-bucketed union join by partkey hash
@@ -1690,9 +1755,9 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
         return tup
 
     pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
-        .map_batches(pair_partial, batch_format="pyarrow")
+        .map_batches(pair_partial, batch_format="pyarrow", batch_size=None)
     parts = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]) \
-        .map_batches(part_rows, batch_format="pyarrow")
+        .map_batches(part_rows, batch_format="pyarrow", batch_size=None)
     tuples = parts.union(pairs).groupby("bucket") \
         .map_groups(join_fold, batch_format="pandas")
     return _count_tuples(tuples, single_partition=False)
@@ -1772,7 +1837,7 @@ def order_laggards(sf_dir: str, grace_days: int = LAGGARD_GRACE_DAYS,
 
     return _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_shipdate"]) \
-        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby("bucket").map_groups(order_fold, batch_format="pandas") \
         .groupby("bucket2").map_groups(supp_fold, batch_format="pandas") \
         .repartition(1).map_batches(finish, batch_format="pandas",

@@ -235,6 +235,14 @@ def test_q15_q18_q21_bucket_invariance(ray_session):
             .sort_values(sort_cols).reset_index(drop=True)
         assert len(a) and a.equals(b), fn.__name__
 
+    # Q18's survivor-broadcast join vs the forced co-bucketed union
+    # fallback (zero survivor gate) emit the identical top-k
+    a = large_orders(SF).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    c = large_orders(SF, survivor_broadcast_max=0).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert len(a) and a.equals(c)
+
 
 def test_part_supplier_counts_paths_agree(ray_session):
     """All three size-gated shapes — broadcast part map + one-partition
