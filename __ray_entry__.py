@@ -203,7 +203,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_matrix": F_rel.order_priority_matrix,
         "local_supplier_volume": F_rel.local_supplier_volume,
         "orders_in_windows": F_rel.orders_in_windows,
-        "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         # new in r4: Gopher-rules gate + training-mix report
         "quality_gate": text_q(F_text.quality_gate_batch),
         "source_mix": lambda sf: F_text.source_mix(_docs(sf)),
@@ -211,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in r4: length-weighted hash sampling + inverted index
         "weighted_sample": text_q(F_text.weighted_sample_batch),
         "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
+        # new in late r4: per-doc shingle novelty (first-occurrence
+        # attribution — the incremental-diversity curation signal)
+        "doc_novelty": lambda sf: F_text.doc_novelty(
+            _docs(sf), n_docs=_n_docs(sf)),
         # new in r4: trailing RANGE-frame window + PMI collocations
         "rolling_revenue": F_rel.rolling_revenue,
         # new in r4: ROLLUP grains + exact distribution moments
@@ -270,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-r4 (r3-green, untouched since) for the five Q15-Q21
         # shapes
         "repetition_stats": text_q(F_text.repetition_stats_batch),
+        "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
@@ -1217,6 +1221,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh
                                  WHERE s IN (SELECT s FROM bench))
+        """,
+        "doc_novelty": f"""
+            -- per-doc distinct {F_dedup.SHINGLE_TOKENS}-token shingles
+            -- and how many have their GLOBAL first occurrence (min
+            -- doc_id) in this doc; shingle window == dedup._shingles
+            -- incl. the short-doc whole-stream shingle
+            -- (text.doc_novelty; md5-half hashes vs strings — the same
+            -- 128-bit no-collision identity the MinHash oracle uses)
+            WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS tk
+                          FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            firsts AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1),
+            novel AS (SELECT doc_id, count(*) AS n_novel FROM firsts GROUP BY 1),
+            per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1)
+            SELECT p.doc_id, CAST(p.n_shingles AS BIGINT) AS n_shingles,
+                   CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+            FROM per_doc p LEFT JOIN novel n USING (doc_id)
         """,
         "top_ngrams": f"""
             WITH toks AS (SELECT string_split({_NORM}, ' ') AS tk FROM documents),

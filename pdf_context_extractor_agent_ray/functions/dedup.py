@@ -575,19 +575,34 @@ def _shingle_hash_rows(batch: pa.Table) -> pa.Table:
     int64 halves of md5(shingle). 16 bytes/row through the exchange
     instead of the shingle string (~3x the corpus text); 128-bit keys
     make collisions out of reach at any corpus size (same md5 identity
-    the MinHash oracle already relies on)."""
+    the MinHash oracle already relies on). Zipf shingles repeat across
+    docs, so each DISTINCT shingle in the batch is hashed once
+    (factorize + gather — the same batch-level memoization that cut
+    the MinHash hot loop)."""
+    import numpy as np
+    import pandas as pd
+
     norms = _norm(batch["text"])
     doc_ids = batch["doc_id"].to_pylist()
-    out_d, out_h0, out_h1 = [], [], []
+    all_d, all_s = [], []
     for d, n in zip(doc_ids, norms):
-        for s in set(_shingles(n)):
-            dig = hashlib.md5(s.encode()).digest()
-            out_d.append(d)
-            out_h0.append(int.from_bytes(dig[:8], "big", signed=True))
-            out_h1.append(int.from_bytes(dig[8:], "big", signed=True))
-    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                     "h0": pa.array(out_h0, pa.int64()),
-                     "h1": pa.array(out_h1, pa.int64())})
+        ss = set(_shingles(n))
+        all_d.extend([d] * len(ss))
+        all_s.extend(ss)
+    if not all_s:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "h0": pa.array([], pa.int64()),
+                         "h1": pa.array([], pa.int64())})
+    codes, uniques = pd.factorize(np.asarray(all_s, dtype=object))
+    md5 = hashlib.md5
+    digs = [md5(u.encode()).digest() for u in uniques]
+    h0u = np.fromiter((int.from_bytes(g[:8], "big", signed=True)
+                       for g in digs), dtype=np.int64, count=len(digs))
+    h1u = np.fromiter((int.from_bytes(g[8:], "big", signed=True)
+                       for g in digs), dtype=np.int64, count=len(digs))
+    return pa.table({"doc_id": pa.array(np.asarray(all_d, np.int64()), pa.int64()),
+                     "h0": pa.array(h0u[codes], pa.int64()),
+                     "h1": pa.array(h1u[codes], pa.int64())})
 
 
 def _ngram_jaccard_distributed(ds, threshold_e6: int):

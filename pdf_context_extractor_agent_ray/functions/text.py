@@ -1458,3 +1458,121 @@ def vocab_growth(ds, n_ids: int, num_buckets: int = VOCAB_GROWTH_BUCKETS):
         return df[["bucket", "bucket_start_id", "new_tokens", "cum_vocab"]]
 
     return folded.map_batches(final, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# per-doc shingle novelty (incremental-diversity curation signal)
+# ---------------------------------------------------------------------------
+
+NOVELTY_ROWS_PER_BUCKET = 4_000_000   # (h0, h1, doc) rows per hash bucket
+NOVELTY_DRIVER_MERGE_MAX_DOCS = 1_000_000
+
+
+def doc_novelty(ds, n_docs: int | None = None,
+                num_buckets: int | None = None,
+                driver_merge_max_docs: int = NOVELTY_DRIVER_MERGE_MAX_DOCS):
+    """Per-document shingle NOVELTY: of a doc's distinct
+    ``dedup.SHINGLE_TOKENS``-token shingles, how many occur in NO
+    earlier document (global first occurrence attributed to the
+    minimum doc_id — the deterministic stand-in for ingestion order).
+    Output: (doc_id, n_shingles, n_novel) — the incremental-diversity
+    signal data-curation pipelines rank sources by.
+
+    Shape at scale: the shingle stream is ``dedup._shingle_hash_rows``
+    (16-byte md5-half rows, per-doc distinct, never shingle strings),
+    materialized ONCE and consumed twice:
+
+    - per-doc totals are BATCH-LOCAL (docs are whole within a batch),
+      so (doc_id, n_shingles) needs no exchange at all;
+    - first-occurrence attribution buckets by h0 hash with per-batch
+      (h0, h1) -> min-doc partials (min is mergeable); each bucket
+      counts its winners into (doc_id, n_novel) partial rows.
+
+    The final merge is size-gated: below ``driver_merge_max_docs``
+    both per-doc streams (n_docs-bounded) coalesce into one vectorized
+    driver merge; above it they CO-BUCKET by doc-id hash and each
+    bucket merges locally (tested for agreement).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _shingle_hash_rows
+    from .util import bucket_count
+
+    sh = ds.map_batches(_shingle_hash_rows, batch_format="pyarrow",
+                        batch_size=None).materialize()
+    n_rows = sh.count()
+    if num_buckets is None:
+        num_buckets = bucket_count(n_rows, NOVELTY_ROWS_PER_BUCKET)
+
+    def totals_batch(batch: pa.Table) -> pa.Table:
+        # docs are whole within a batch and rows are per-doc distinct,
+        # so a value-count IS the doc's exact distinct-shingle count
+        ids, counts = np.unique(
+            batch["doc_id"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                         "n_shingles": pa.array(counts.astype(np.int64),
+                                                pa.int64())})
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"h0": batch["h0"], "h1": batch["h1"],
+                      "doc_id": batch["doc_id"]}) \
+            .group_by(["h0", "h1"]).aggregate([("doc_id", "min")]) \
+            .rename_columns(["h0", "h1", "doc_id"])
+        b = (t["h0"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             % num_buckets)
+        return t.append_column("bucket",
+                               pa.array(b.astype(np.int64), pa.int64()))
+
+    def novel_fold(df: pd.DataFrame) -> pd.DataFrame:
+        winner = df.groupby(["h0", "h1"], as_index=False)["doc_id"].min()
+        out = winner.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n_novel"})
+        return out.astype({"doc_id": "int64", "n_novel": "int64"})
+
+    totals = sh.map_batches(totals_batch, batch_format="pyarrow",
+                            batch_size=None)
+    novel = sh.map_batches(min_partial, batch_format="pyarrow",
+                           batch_size=None) \
+        .groupby("bucket").map_groups(novel_fold, batch_format="pandas")
+
+    def merge(tot_df: pd.DataFrame, nov_df: pd.DataFrame) -> pd.DataFrame:
+        nov = nov_df.groupby("doc_id", as_index=False)["n_novel"].sum()
+        out = tot_df.merge(nov, on="doc_id", how="left")
+        out["n_novel"] = out["n_novel"].fillna(0)
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return out.astype({"doc_id": "int64", "n_shingles": "int64",
+                           "n_novel": "int64"})
+
+    if n_docs is not None and n_docs <= driver_merge_max_docs:
+        return merge(totals.to_pandas(), novel.to_pandas())
+
+    # at-scale path: co-bucket both per-doc streams by doc-id hash
+    # (tables built from numpy — pa.Table.from_pandas would reattach
+    # the pandas schema-metadata blob and break Ray's schema dedup)
+    def tag(ids: np.ndarray, vals: np.ndarray, kind: int) -> pa.Table:
+        ids = ids.astype(np.int64)
+        b = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             & np.uint64(0xFFFFFFFF)) % num_buckets
+        return pa.table({
+            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "kind": pa.array(np.full(len(ids), kind, np.int64), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "val": pa.array(vals.astype(np.int64), pa.int64())})
+
+    def merge_fold(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df[df["kind"] == 0][["doc_id", "val"]] \
+            .rename(columns={"val": "n_shingles"})
+        nov = df[df["kind"] == 1][["doc_id", "val"]] \
+            .rename(columns={"val": "n_novel"})
+        return merge(tot, nov)
+
+    ta = totals.map_batches(
+        lambda t: tag(t["doc_id"].to_numpy(zero_copy_only=False),
+                      t["n_shingles"].to_numpy(zero_copy_only=False), 0),
+        batch_format="pyarrow", batch_size=None)
+    na = novel.map_batches(
+        lambda d: tag(d["doc_id"].to_numpy(), d["n_novel"].to_numpy(), 1),
+        batch_format="pandas", batch_size=None)
+    return ta.union(na).groupby("bucket") \
+        .map_groups(merge_fold, batch_format="pandas")

@@ -202,3 +202,31 @@ def test_segment_acctbal_quantiles_rank_rule(ray_session, tmp_path):
     # half-away rounding of 1.005 -> 101 cents at p25 of the 12-row set?
     # rank ceil(0.25*12)=3 -> 300; check the boundary value survives as min
     assert got["A"]["p25_cents"] == 300
+
+
+def test_doc_novelty_paths_and_invariants(ray_session):
+    """Driver merge and the forced co-bucketed union merge agree
+    row-for-row; novelty partitions exactly (every distinct shingle
+    has exactly one first owner, so sum(n_novel) == global distinct
+    shingle count); the minimum doc_id is 100% novel."""
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        _shingle_hash_rows)
+    from pdf_context_extractor_agent_ray.functions.text import doc_novelty
+    from pdf_context_extractor_agent_ray.functions.util import parquet_num_rows
+
+    n_docs = parquet_num_rows(f"{SF}/documents.parquet")
+    fast = doc_novelty(_docs(), n_docs=n_docs)
+    fast = fast if isinstance(fast, pd.DataFrame) else fast.to_pandas()
+    fast = fast.sort_values("doc_id").reset_index(drop=True)
+    slow = doc_novelty(_docs(), n_docs=n_docs, driver_merge_max_docs=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(fast) == n_docs and fast.equals(slow)
+    assert (fast["n_novel"] <= fast["n_shingles"]).all()
+    first = fast.iloc[0]
+    assert first["doc_id"] == fast["doc_id"].min()
+    assert first["n_novel"] == first["n_shingles"]
+    # exact partition: one first-owner per distinct shingle hash
+    sh = _docs().map_batches(_shingle_hash_rows,
+                             batch_format="pyarrow").to_pandas()
+    n_distinct = len(sh[["h0", "h1"]].drop_duplicates())
+    assert int(fast["n_novel"].sum()) == n_distinct
