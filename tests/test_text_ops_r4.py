@@ -230,3 +230,35 @@ def test_doc_novelty_paths_and_invariants(ray_session):
                              batch_format="pyarrow").to_pandas()
     n_distinct = len(sh[["h0", "h1"]].drop_duplicates())
     assert int(fast["n_novel"].sum()) == n_distinct
+
+
+def test_doc_novelty_replication_attributes_to_first_copy(ray_session):
+    """On a corpus unioned with a doc_id-shifted copy of itself, every
+    shingle's first owner stays in the original range: the copies get
+    n_novel == 0 and the originals keep exactly their standalone
+    novelty (min-doc attribution is deterministic, not order-lucky)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_context_extractor_agent_ray.functions.text import doc_novelty
+    from pdf_context_extractor_agent_ray.functions.util import parquet_num_rows
+
+    n_docs = parquet_num_rows(f"{SF}/documents.parquet")
+    OFF = 10_000_000
+
+    def shift(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(batch["doc_id"], OFF))
+
+    base = doc_novelty(_docs(), n_docs=n_docs)
+    base = (base if isinstance(base, pd.DataFrame) else base.to_pandas()) \
+        .sort_values("doc_id").reset_index(drop=True)
+    both = _docs().union(_docs().map_batches(shift, batch_format="pyarrow"))
+    rep = doc_novelty(both, n_docs=2 * n_docs)
+    rep = (rep if isinstance(rep, pd.DataFrame) else rep.to_pandas())
+    lo = rep[rep["doc_id"] < OFF].sort_values("doc_id").reset_index(drop=True)
+    hi = rep[rep["doc_id"] >= OFF]
+    assert len(lo) == len(hi) == n_docs
+    assert (hi["n_novel"] == 0).all()
+    assert lo.equals(base)
