@@ -1287,10 +1287,11 @@ def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND,
         part_bytes = 0
 
     def line_cols(batch: pa.Table) -> pa.Table:
-        key = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        from .util import bucket_hash
+        b = bucket_hash(
+            batch["l_partkey"].to_numpy(zero_copy_only=False), num_buckets)
         return pa.table({
-            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "bucket": pa.array(b, pa.int64()),
             "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
             "q": pc.cast(batch["l_quantity"], pa.int64()),
             "price_c": pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100),
@@ -1337,11 +1338,12 @@ def small_qty_revenue(sf_dir: str, brand: str = SMALL_QTY_BRAND,
 
     def part_keys(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["p_brand"], brand))
-        key = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+        from .util import bucket_hash
+        b = bucket_hash(
+            batch["p_partkey"].to_numpy(zero_copy_only=False), num_buckets)
         n = len(batch)
         return tag(pa.table({
-            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "bucket": pa.array(b, pa.int64()),
             "l_partkey": pc.cast(batch["p_partkey"], pa.int64()),
             "q": pa.array(np.zeros(n, np.int64), pa.int64()),
             "price_c": pa.array(np.zeros(n, np.int64), pa.int64()),
@@ -1399,9 +1401,8 @@ def large_orders(sf_dir: str, min_qty: int = LARGE_ORDER_MIN_QTY,
         num_buckets = bucket_count(n_orders, LARGE_ORDER_ROWS_PER_BUCKET)
 
     def _bucket(key: np.ndarray) -> pa.Array:
-        b = ((key.astype(np.uint64) * np.uint64(2654435761))
-             & np.uint64(0xFFFFFFFF)) % num_buckets
-        return pa.array(b.astype(np.int64), pa.int64())
+        from .util import bucket_hash
+        return pa.array(bucket_hash(key, num_buckets), pa.int64())
 
     def qty_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_orderkey": batch["l_orderkey"],
@@ -1470,9 +1471,8 @@ def large_orders(sf_dir: str, min_qty: int = LARGE_ORDER_MIN_QTY,
     # at-scale fallback: co-bucketed union join (kind 0 = survivor
     # partial, kind 1 = orders row)
     def surv_rows(df: pd.DataFrame) -> pa.Table:
-        key = df["o_orderkey"].to_numpy(dtype=np.uint64)
-        b = (((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF))
-             % num_buckets).astype(np.int64)
+        from .util import bucket_hash
+        b = bucket_hash(df["o_orderkey"].to_numpy(), num_buckets)
         n = len(df)
         # Arrow out: the union peer (order_rows) emits Arrow blocks and
         # the sort exchange's boundary sampler can't mix block types
@@ -1558,9 +1558,10 @@ def top_supplier(sf_dir: str, start: str = TOP_SUPPLIER_START,
                       "rc": rc}) \
             .group_by("l_suppkey").aggregate([("rc", "sum")]) \
             .rename_columns(["l_suppkey", "rc"])
-        key = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
-        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+        from .util import bucket_hash
+        b = bucket_hash(t["l_suppkey"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
 
     def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
         tot = df.groupby("l_suppkey", as_index=False)["rc"].sum()
@@ -1618,10 +1619,12 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
       ``searchsorted`` + emits its LOCAL distinct (brand, size,
       suppkey) tuples — the dimension join costs no exchange at all;
       brand travels as a small-int code, decoded only in the finish.
-    - tuple bound (observed brand x size groups x supplier count,
-      both known cheaply) below ``driver_fold_max_tuples``: the
+    - coalesced-tuple bound below ``driver_fold_max_tuples``: the
       already-collapsed tuples coalesce to ONE partition for the
-      global dedup + count (a few MB fixed-width).
+      global dedup + count (a few MB fixed-width). The bound is
+      min(lineitem rows, read blocks x groups x suppliers) — each
+      BLOCK can emit up to the distinct-tuple bound, so the gate
+      prices the block count too, not just distinct tuples.
     - above either gate: tuples re-bucket by SUPPKEY hash (every copy
       of a tuple shares its suppkey, so bucket-local dedup is globally
       exact) and the bounded-key partial counts sum in a tiny finish;
@@ -1643,9 +1646,8 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
         part_bytes = 0
 
     def _bucket(key: np.ndarray) -> pa.Array:
-        b = ((key.astype(np.uint64) * np.uint64(2654435761))
-             & np.uint64(0xFFFFFFFF)) % num_buckets
-        return pa.array(b.astype(np.int64), pa.int64())
+        from .util import bucket_hash
+        return pa.array(bucket_hash(key, num_buckets), pa.int64())
 
     def count_fold(df: pd.DataFrame) -> pd.DataFrame:
         d = df[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
@@ -1653,13 +1655,13 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
             .rename(columns={"size": "supplier_cnt"})
         return out.astype({"p_size": "int64", "supplier_cnt": "int64"})
 
-    def _count_tuples(tuples, single_partition: bool):
-        # tuples: (p_brand, p_size, l_suppkey [, bucket2]) streams
+    def _count_tuples(tuples, single_partition: bool, fold=count_fold):
+        # tuples: (<brand col>, p_size, l_suppkey [, bucket2]) streams
         if single_partition:
             return tuples.repartition(1).map_batches(
-                count_fold, batch_format="pandas", batch_size=None)
+                fold, batch_format="pandas", batch_size=None)
         return _finish_grouped_sums(
-            tuples.groupby("bucket2").map_groups(count_fold,
+            tuples.groupby("bucket2").map_groups(fold,
                                                  batch_format="pandas"),
             ["p_brand", "p_size"])
 
@@ -1683,7 +1685,15 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
             .astype(np.int64)
         n_groups = len({(b, s) for b, s in zip(bidx.tolist(), size.tolist())})
         n_supp = parquet_num_rows(f"{sf_dir}/supplier.parquet")
-        single = n_groups * n_supp <= driver_fold_max_tuples
+        # the one-partition coalesce holds per-BLOCK distinct tuples,
+        # so bound blocks x (groups x suppliers), capped by total rows
+        try:
+            line_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        except OSError:
+            line_bytes = 0
+        est_blocks = max(1, -(-line_bytes // (128 << 20)))
+        single = min(n_line, est_blocks * n_groups * n_supp) \
+            <= driver_fold_max_tuples
         ref = ray.put((pk, bidx, size))
 
         def tuples_batch(batch: pa.Table) -> pa.Table:
@@ -1697,23 +1707,30 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
             ok = (pk_[pos_c] == lp) if len(pk_) else np.zeros(len(lp), bool)
             df = pd.DataFrame({"b": bidx_[pos_c[ok]], "p_size": size_[pos_c[ok]],
                                "l_suppkey": ls[ok]}).drop_duplicates()
-            t = pa.table({"p_brand": pa.array(
-                              np.asarray(brands, dtype=object)[df["b"].to_numpy()],
-                              pa.string()),
+            # brand stays an int CODE through the exchange (a third of
+            # the bytes of the string); decoded only in the count fold
+            t = pa.table({"b": pa.array(df["b"].to_numpy(), pa.int64()),
                           "p_size": pa.array(df["p_size"].to_numpy(), pa.int64()),
                           "l_suppkey": pa.array(df["l_suppkey"].to_numpy(),
                                                 pa.int64())})
             if single:
                 return t
-            key = df["l_suppkey"].to_numpy(dtype=np.uint64)
-            b2 = ((key * np.uint64(2654435761))
-                  & np.uint64(0xFFFFFFFF)) % num_buckets
-            return t.append_column("bucket2",
-                                   pa.array(b2.astype(np.int64), pa.int64()))
+            from .util import bucket_hash
+            b2 = bucket_hash(df["l_suppkey"].to_numpy(), num_buckets)
+            return t.append_column("bucket2", pa.array(b2, pa.int64()))
+
+        def count_fold_codes(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[["b", "p_size", "l_suppkey"]].drop_duplicates()
+            out = d.groupby(["b", "p_size"], as_index=False).size() \
+                .rename(columns={"size": "supplier_cnt"})
+            out["p_brand"] = np.asarray(brands, dtype=object)[
+                out["b"].to_numpy()]
+            return out[["p_brand", "p_size", "supplier_cnt"]] \
+                .astype({"p_size": "int64", "supplier_cnt": "int64"})
 
         tuples = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
             .map_batches(tuples_batch, batch_format="pyarrow", batch_size=None)
-        return _count_tuples(tuples, single)
+        return _count_tuples(tuples, single, fold=count_fold_codes)
 
     # huge-part path: co-bucketed union join by partkey hash
     def pair_partial(batch: pa.Table) -> pa.Table:
@@ -1748,10 +1765,9 @@ def part_supplier_counts(sf_dir: str, types: tuple[str, ...] = PSC_TYPES,
             .drop_duplicates()
         j = pairs.merge(attrs, on="l_partkey")
         tup = j[["p_brand", "p_size", "l_suppkey"]].drop_duplicates()
-        key = tup["l_suppkey"].to_numpy(dtype=np.uint64)
+        from .util import bucket_hash
         tup = tup.copy()
-        tup["bucket2"] = (((key * np.uint64(2654435761))
-                           & np.uint64(0xFFFFFFFF)) % num_buckets).astype(np.int64)
+        tup["bucket2"] = bucket_hash(tup["l_suppkey"].to_numpy(), num_buckets)
         return tup
 
     pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
@@ -1804,9 +1820,10 @@ def order_laggards(sf_dir: str, grace_days: int = LAGGARD_GRACE_DAYS,
                       "smn": pc.cast(batch["l_shipdate"], pa.int64())}) \
             .group_by(["o_orderkey", "l_suppkey"]).aggregate([("smn", "min")]) \
             .rename_columns(["o_orderkey", "l_suppkey", "smn"])
-        key = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = ((key * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
-        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
+        from .util import bucket_hash
+        b = bucket_hash(t["o_orderkey"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
 
     def order_fold(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["o_orderkey", "l_suppkey"], as_index=False)["smn"].min()
@@ -1818,10 +1835,9 @@ def order_laggards(sf_dir: str, grace_days: int = LAGGARD_GRACE_DAYS,
         lag = lag[only]
         out = lag.groupby("l_suppkey", as_index=False).size() \
             .rename(columns={"size": "numwait"})
-        key = out["l_suppkey"].to_numpy(dtype=np.uint64)
+        from .util import bucket_hash
         out = out.copy()
-        out["bucket2"] = (((key * np.uint64(2654435761))
-                           & np.uint64(0xFFFFFFFF)) % num_buckets).astype(np.int64)
+        out["bucket2"] = bucket_hash(out["l_suppkey"].to_numpy(), num_buckets)
         return out
 
     def supp_fold(df: pd.DataFrame) -> pd.DataFrame:

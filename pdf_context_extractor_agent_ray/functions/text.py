@@ -1506,8 +1506,13 @@ def doc_novelty(ds, n_docs: int | None = None,
         num_buckets = bucket_count(n_rows, NOVELTY_ROWS_PER_BUCKET)
 
     def totals_batch(batch: pa.Table) -> pa.Table:
-        # docs are whole within a batch and rows are per-doc distinct,
-        # so a value-count IS the doc's exact distinct-shingle count
+        # rows are per-doc distinct, so a value-count is a MERGEABLE
+        # partial of the doc's distinct-shingle count. It is only a
+        # partial: Ray's dynamic block splitting can slice the
+        # materialized shingle stream MID-DOC (target_max_block_size),
+        # so merge() must re-sum per doc_id — never treat one row as
+        # the doc's total (measured: a 64 KB block cap split one
+        # 100k-shingle doc into 24 partial rows)
         ids, counts = np.unique(
             batch["doc_id"].to_numpy(zero_copy_only=False), return_counts=True)
         return pa.table({"doc_id": pa.array(ids.astype(np.int64), pa.int64()),
@@ -1537,6 +1542,10 @@ def doc_novelty(ds, n_docs: int | None = None,
         .groupby("bucket").map_groups(novel_fold, batch_format="pandas")
 
     def merge(tot_df: pd.DataFrame, nov_df: pd.DataFrame) -> pd.DataFrame:
+        # BOTH inputs are partial streams (totals can split mid-doc
+        # across blocks, novel counts split across h0 buckets) —
+        # re-aggregate each before joining
+        tot_df = tot_df.groupby("doc_id", as_index=False)["n_shingles"].sum()
         nov = nov_df.groupby("doc_id", as_index=False)["n_novel"].sum()
         out = tot_df.merge(nov, on="doc_id", how="left")
         out["n_novel"] = out["n_novel"].fillna(0)
@@ -1551,11 +1560,10 @@ def doc_novelty(ds, n_docs: int | None = None,
     # (tables built from numpy — pa.Table.from_pandas would reattach
     # the pandas schema-metadata blob and break Ray's schema dedup)
     def tag(ids: np.ndarray, vals: np.ndarray, kind: int) -> pa.Table:
+        from .util import bucket_hash
         ids = ids.astype(np.int64)
-        b = ((ids.astype(np.uint64) * np.uint64(2654435761))
-             & np.uint64(0xFFFFFFFF)) % num_buckets
         return pa.table({
-            "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            "bucket": pa.array(bucket_hash(ids, num_buckets), pa.int64()),
             "kind": pa.array(np.full(len(ids), kind, np.int64), pa.int64()),
             "doc_id": pa.array(ids, pa.int64()),
             "val": pa.array(vals.astype(np.int64), pa.int64())})

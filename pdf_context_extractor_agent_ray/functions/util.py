@@ -109,6 +109,18 @@ def finish_grouped(partials, keys: list[str],
         finish, batch_format="pandas", batch_size=None)
 
 
+def bucket_hash(key, num_buckets: int):
+    """THE bucket hash: ``((key * 2654435761) & 0xFFFFFFFF) % buckets``
+    as int64. Every co-bucketed union join depends on BOTH sides using
+    byte-identical hashing — use this helper, never an inline copy (a
+    one-character divergence silently mis-buckets a join with no test
+    to catch it at scale)."""
+    import numpy as np
+    k = np.asarray(key).astype(np.uint64)
+    b = ((k * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) % num_buckets
+    return b.astype(np.int64)
+
+
 def bucket_count(n_rows: int, rows_per_bucket: int,
                  parallelism: int | None = None) -> int:
     """Bucket count for hash-bucketed ``groupby(bucket).map_groups``

@@ -262,3 +262,36 @@ def test_doc_novelty_replication_attributes_to_first_copy(ray_session):
     assert len(lo) == len(hi) == n_docs
     assert (hi["n_novel"] == 0).all()
     assert lo.equals(base)
+
+
+def test_doc_novelty_survives_mid_doc_block_splits(ray_session):
+    """Ray's dynamic block splitting can slice the materialized
+    shingle stream MID-DOC, turning per-doc totals into several
+    partial rows; the merge must re-sum them (regression: a 64 KB
+    block cap once produced 24 partial rows for one doc and
+    n_novel > n_shingles)."""
+    from ray.data import DataContext
+
+    from pdf_context_extractor_agent_ray.functions.text import doc_novelty
+    from pdf_context_extractor_agent_ray.functions.util import parquet_num_rows
+
+    n_docs = parquet_num_rows(f"{SF}/documents.parquet")
+    base = doc_novelty(_docs(), n_docs=n_docs)
+    base = (base if isinstance(base, pd.DataFrame) else base.to_pandas()) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    ctx = DataContext.get_current()
+    saved = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024
+        split = doc_novelty(_docs(), n_docs=n_docs)
+        split = (split if isinstance(split, pd.DataFrame)
+                 else split.to_pandas()) \
+            .sort_values("doc_id").reset_index(drop=True)
+        split_union = doc_novelty(_docs(), n_docs=n_docs,
+                                  driver_merge_max_docs=0).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = saved
+    assert len(split) == n_docs and split.equals(base)
+    assert split_union.equals(base)
