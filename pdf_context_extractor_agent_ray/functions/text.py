@@ -1482,16 +1482,19 @@ def doc_novelty(ds, n_docs: int | None = None,
     (16-byte md5-half rows, per-doc distinct, never shingle strings),
     materialized ONCE and consumed twice:
 
-    - per-doc totals are BATCH-LOCAL (docs are whole within a batch),
-      so (doc_id, n_shingles) needs no exchange at all;
+    - per-doc totals are per-batch value-count PARTIALS, summed per
+      doc_id in the merge (dynamic block splitting can slice the
+      materialized stream mid-doc, so a batch's count is never
+      trusted as a doc's total) — still no extra exchange;
     - first-occurrence attribution buckets by h0 hash with per-batch
       (h0, h1) -> min-doc partials (min is mergeable); each bucket
       counts its winners into (doc_id, n_novel) partial rows.
 
     The final merge is size-gated: below ``driver_merge_max_docs``
-    both per-doc streams (n_docs-bounded) coalesce into one vectorized
-    driver merge; above it they CO-BUCKET by doc-id hash and each
-    bucket merges locally (tested for agreement).
+    both per-doc partial streams (n_docs-bounded) coalesce into one
+    vectorized driver merge; above it they CO-BUCKET by doc-id hash
+    (a doc's partials all land in one bucket) and each bucket merges
+    locally (tested for agreement, including under a 64 KB block cap).
     """
     import numpy as np
     import pandas as pd
