@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohorts, Heaps-law vocab growth, exact per-group percentiles
         "event_transitions": F_stream.event_transitions,
         "retention_cohorts": F_stream.retention_cohorts,
+        # new in late r4: integer-exact volume-anomaly flags
+        "event_spike_days": F_rel.event_spike_days,
         "vocab_growth": lambda sf: F_text.vocab_growth(
             _docs(sf), _max_doc_id(sf) + 1),
         "segment_acctbal_quantiles": F_rel.segment_acctbal_quantiles,
@@ -239,7 +241,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_laggards": F_rel.order_laggards,
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
         # dedup
-        "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
         "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(
             _docs(sf), n_docs=_n_docs(sf)),
@@ -273,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-r4 (r3-green, untouched since) for the five Q15-Q21
         # shapes
         "repetition_stats": text_q(F_text.repetition_stats_batch),
+        "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
@@ -1221,6 +1223,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh
                                  WHERE s IN (SELECT s FROM bench))
+        """,
+        "event_spike_days": f"""
+            -- integer-exact volume anomalies: (n-mu)^2 > k2*sigma^2
+            -- cross-multiplied (population variance), upper side only;
+            -- HUGEINT mirrors the engine's Python-int fold
+            -- (relational.event_spike_days)
+            WITH d AS (SELECT event_type,
+                              CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, count(*) AS cnt,
+                         CAST(sum(n) AS HUGEINT) AS sm,
+                         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+                  FROM d GROUP BY 1)
+            SELECT d.event_type, d.day_us, d.n
+            FROM d JOIN s USING (event_type)
+            WHERE CAST(s.cnt AS HUGEINT) * d.n > s.sm
+              AND (CAST(s.cnt AS HUGEINT) * d.n - s.sm)
+                  * (CAST(s.cnt AS HUGEINT) * d.n - s.sm)
+                  > {F_rel.EVENT_SPIKE_K2}
+                    * (CAST(s.cnt AS HUGEINT) * s.sq - s.sm * s.sm)
         """,
         "doc_novelty": f"""
             -- per-doc distinct {F_dedup.SHINGLE_TOKENS}-token shingles

@@ -1858,3 +1858,65 @@ def order_laggards(sf_dir: str, grace_days: int = LAGGARD_GRACE_DAYS,
         .groupby("bucket2").map_groups(supp_fold, batch_format="pandas") \
         .repartition(1).map_batches(finish, batch_format="pandas",
                                     batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# integer-exact anomaly flags over the event stream
+# ---------------------------------------------------------------------------
+
+# flag days with (n - mean)^2 > K2 * variance (population), upper side
+EVENT_SPIKE_K2 = 2
+
+
+def event_spike_days(sf_dir: str, k2: int = EVENT_SPIKE_K2):
+    """Volume-anomaly detection over the event log: per event type,
+    the days whose event count exceeds the type's mean by more than
+    sqrt(k2) population standard deviations — WITHOUT any float or
+    sqrt: ``(n - mu)^2 > k2 * sigma^2`` cross-multiplies to the exact
+    integer test ``cnt*n > sum AND (cnt*n - sum)^2 >
+    k2*(cnt*sumsq - sum^2)``. Output: (event_type, day_us, n) for
+    flagged days only.
+
+    Shape at scale: per-batch (event_type, day) partial counts fold
+    through the bounded-key finish (types x days grows with TIME, not
+    corpus size); the flag pass runs on that bounded table with
+    Python ints — the squares exceed int64 at web-scale daily volumes,
+    so the fold is arbitrary-precision exact (the pmi_bigrams
+    precedent), and the DuckDB twin runs the same algebra in HUGEINT.
+    """
+    from .util import finish_grouped
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (ts // day_us) * day_us
+        return pa.table({"event_type": batch["event_type"],
+                         "day_us": pa.array(day, pa.int64())}) \
+            .group_by(["event_type", "day_us"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "day_us", "n"])
+
+    folded = finish_grouped(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["event_type", "day_us"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_d, out_n = [], [], []
+        for et, g in df.groupby("event_type", sort=True):
+            ns = [int(x) for x in g["n"]]
+            cnt, sm = len(ns), sum(ns)
+            den = k2 * (cnt * sum(x * x for x in ns) - sm * sm)
+            for day, nv in zip(g["day_us"].tolist(), ns):
+                dev = cnt * nv - sm
+                if dev > 0 and dev * dev > den:
+                    out_t.append(et)
+                    out_d.append(int(day))
+                    out_n.append(nv)
+        return pd.DataFrame({
+            "event_type": pd.Series(out_t, dtype="object"),
+            "day_us": pd.Series(out_d, dtype="int64"),
+            "n": pd.Series(out_n, dtype="int64")})
+
+    return folded.map_batches(flag, batch_format="pandas", batch_size=None)
