@@ -225,8 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cohorts, Heaps-law vocab growth, exact per-group percentiles
         "event_transitions": F_stream.event_transitions,
         "retention_cohorts": F_stream.retention_cohorts,
-        # new in late r4: integer-exact volume-anomaly flags
+        # new in late r4: integer-exact volume-anomaly flags +
+        # inter-arrival gap histogram
         "event_spike_days": F_rel.event_spike_days,
+        "interorder_gaps": F_rel.interorder_gaps,
         "vocab_growth": lambda sf: F_text.vocab_growth(
             _docs(sf), _max_doc_id(sf) + 1),
         "segment_acctbal_quantiles": F_rel.segment_acctbal_quantiles,
@@ -253,7 +255,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
             _docs(sf), n_docs=_n_docs(sf)),
         # similarity search
-        "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_ivf": F_sim.ivf_knn,
         "knn_self_join": F_sim.knn_self_join,
@@ -278,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
+        "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
@@ -1223,6 +1225,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh
                                  WHERE s IN (SELECT s FROM bench))
+        """,
+        "interorder_gaps": f"""
+            -- inter-arrival histogram: per-customer lag() over
+            -- (date, orderkey) order, day gaps counted globally
+            -- (relational.interorder_gaps)
+            WITH o AS (SELECT o_custkey,
+                              CAST(epoch_us(o_orderdate) AS BIGINT) AS ts,
+                              o_orderkey
+                       FROM orders),
+            g AS (SELECT (ts - lag(ts) OVER (PARTITION BY o_custkey
+                                             ORDER BY ts, o_orderkey))
+                         // 86400000000 AS gap_days
+                  FROM o)
+            SELECT CAST(gap_days AS BIGINT) AS gap_days, count(*) AS n
+            FROM g WHERE gap_days IS NOT NULL GROUP BY 1
         """,
         "event_spike_days": f"""
             -- integer-exact volume anomalies: (n-mu)^2 > k2*sigma^2

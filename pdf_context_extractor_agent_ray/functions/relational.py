@@ -1920,3 +1920,57 @@ def event_spike_days(sf_dir: str, k2: int = EVENT_SPIKE_K2):
             "n": pd.Series(out_n, dtype="int64")})
 
     return folded.map_batches(flag, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival gap distribution (per-entity lag -> bounded histogram)
+# ---------------------------------------------------------------------------
+
+GAP_ROWS_PER_BUCKET = 1_000_000
+
+
+def interorder_gaps(sf_dir: str, num_buckets: int | None = None):
+    """Inter-arrival distribution: the histogram of DAY gaps between a
+    customer's consecutive orders (ordered by date, orderkey) — the
+    per-entity lag() folded to a global bounded histogram. Output:
+    (gap_days, n), one row per observed gap length.
+
+    Shape at scale: orders hash into ~1M-row custkey buckets (a
+    customer's orders land in one bucket), each bucket sorts once and
+    diffs vectorized over every customer at once (shift + same-key
+    mask, never per customer); each bucket emits its own partial
+    histogram, so the exchange out is bounded by the date range in
+    days — time-bounded, not corpus-bounded.
+    """
+    from .util import bucket_count, bucket_hash, finish_grouped, parquet_num_rows
+
+    day_us = 86_400_000_000
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_orders, GAP_ROWS_PER_BUCKET)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(bucket_hash(key, num_buckets), pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "ts": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderkey": batch["o_orderkey"],
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "ts", "o_orderkey"],
+                            kind="mergesort")
+        cust = df["o_custkey"].to_numpy()
+        ts = df["ts"].to_numpy()
+        same = cust[1:] == cust[:-1]
+        gaps = (ts[1:] - ts[:-1])[same] // day_us
+        vals, counts = np.unique(gaps, return_counts=True)
+        return pd.DataFrame({"gap_days": vals.astype("int64"),
+                             "n": counts.astype("int64")})
+
+    return finish_grouped(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+          .groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["gap_days"])
