@@ -242,14 +242,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_counts": F_rel.part_supplier_counts,
         "order_laggards": F_rel.order_laggards,
         "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
-        # dedup
-        "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
-        "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(
-            _docs(sf), n_docs=_n_docs(sf)),
-        "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(
-            _docs(sf), n_docs=_n_docs(sf)),
-        "dup_clusters": lambda sf: F_dedup.dup_clusters(
-            _docs(sf), n_docs=_n_docs(sf)),
+        # new in late r4: four more join/overlap shapes — promo share
+        # as an integer num/den pair (Q14), EXISTS semi-join via
+        # max-partial co-bucketing (Q4), cross-nation trade volume
+        # (Q7), pairwise event-audience overlap (bitmask fold)
+        "promo_revenue": F_rel.promo_revenue,
+        "late_shipment_priority": F_rel.late_shipment_priority,
+        "nation_trade_volume": F_rel.nation_trade_volume,
+        "event_user_overlap": F_stream.event_user_overlap,
+        # dedup (minhash/near-dup/jaccard/clusters rotated to the
+        # long-stable tail late-r4 — r3 driver-green and the r4
+        # memoization change was value-preserving)
         "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(
             _docs(sf), n_docs=_n_docs(sf)),
         "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
@@ -275,6 +278,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # late-r4 (r3-green, untouched since) for the five Q15-Q21
         # shapes
         "repetition_stats": text_q(F_text.repetition_stats_batch),
+        "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
+        "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "dup_clusters": lambda sf: F_dedup.dup_clusters(
+            _docs(sf), n_docs=_n_docs(sf)),
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
@@ -1747,6 +1757,67 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY 1
+        """,
+        "promo_revenue": f"""
+            -- Q14 shape as an integer (numerator, denominator) pair:
+            -- promo-part cents vs total cents per ship month
+            SELECT (year(l.l_shipdate) * 100 + month(l.l_shipdate)) AS ship_month,
+                   CAST(sum(CASE WHEN p.p_type = '{F_rel.PROMO_TYPE}'
+                                 THEN {_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS total_cents
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        """,
+        "late_shipment_priority": f"""
+            -- Q4 EXISTS shape: exists(shipdate > odate + g) ==
+            -- max(shipdate) > odate + g (relational.late_shipment_priority)
+            WITH o AS (SELECT o_orderkey, o_orderpriority, o_orderdate
+                       FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '{F_rel.LATE_FROM} 00:00:00'
+                         AND o_orderdate <  TIMESTAMP '{F_rel.LATE_TO} 00:00:00'),
+            m AS (SELECT l_orderkey, max(l_shipdate) AS ms
+                  FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(sum(CASE WHEN m.ms > o.o_orderdate
+                                          + INTERVAL {F_rel.LATE_GRACE_DAYS} DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM o LEFT JOIN m ON m.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "nation_trade_volume": f"""
+            -- Q7 shape: revenue between the two nations by ship year
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate) AS l_year,
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            WHERE ((n1.n_name = '{F_rel.TRADE_NATION_A}' AND n2.n_name = '{F_rel.TRADE_NATION_B}')
+                OR (n1.n_name = '{F_rel.TRADE_NATION_B}' AND n2.n_name = '{F_rel.TRADE_NATION_A}'))
+              AND l.l_shipdate >= TIMESTAMP '{F_rel.TRADE_FROM} 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '{F_rel.TRADE_TO} 00:00:00'
+            GROUP BY 1, 2, 3
+        """,
+        "event_user_overlap": """
+            -- pairwise distinct-user audience overlap
+            -- (streamops.event_user_overlap)
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            cnt AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+            pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                             count(*) AS n_both
+                      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                         AND a.event_type < b.event_type
+                      GROUP BY 1, 2)
+            SELECT p.type_a, p.type_b, p.n_both,
+                   ca.nu AS n_users_a, cb.nu AS n_users_b
+            FROM pairs p
+            JOIN cnt ca ON ca.event_type = p.type_a
+            JOIN cnt cb ON cb.event_type = p.type_b
         """,
         "orders_in_windows": f"""
             -- range join against the deterministic overlapping promo

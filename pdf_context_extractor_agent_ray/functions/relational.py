@@ -1974,3 +1974,379 @@ def interorder_gaps(sf_dir: str, num_buckets: int | None = None):
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
           .groupby("bucket").map_groups(fold, batch_format="pandas"),
         ["gap_days"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share per ship month (integer num/den)
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "PROMO"
+PART_DIM_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def promo_revenue(sf_dir: str, promo_type: str = PROMO_TYPE,
+                  broadcast_max_bytes: int = PART_DIM_BROADCAST_MAX_BYTES,
+                  num_partitions: int | None = None):
+    """TPC-H Q14 shape, per ship month: promo-part revenue share kept
+    integer-exact as a (numerator, denominator) cent-sum pair —
+    (ship_month, promo_cents, total_cents) — instead of the float
+    percentage (transcendental-free oracle parity; divide at the edge).
+    ship_month = year*100 + month of l_shipdate.
+
+    Shape at scale: part is the small dim — below the byte gate the
+    promo partkeys broadcast once as a SORTED numpy array and every
+    lineitem batch flags membership with one searchsorted, so the fact
+    table never shuffles; above the gate the flag attaches via a
+    hash-partitioned ``Dataset.join`` on partkey. Either way each
+    batch folds to <= |months| partial rows before the bounded-key
+    finish, so the exchange out is time-bounded, not corpus-bounded.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    def month_col(ship: pa.ChunkedArray) -> pa.Array:
+        return pc.cast(pc.add(pc.multiply(pc.year(ship), 100),
+                              pc.month(ship)), pa.int64())
+
+    def rev_col(batch: pa.Table) -> pa.Array:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pc.cast(pc.round(pc.multiply(rev, 100),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def fold_partial(month, rev_c, is_promo) -> pa.Table:
+        t = pa.table({
+            "ship_month": month,
+            "total_c": rev_c,
+            "promo_c": pc.if_else(is_promo, rev_c, pa.scalar(0, pa.int64())),
+        })
+        g = t.group_by("ship_month").aggregate(
+            [("promo_c", "sum"), ("total_c", "sum")])
+        return g.rename_columns(["ship_month", "promo_cents", "total_cents"])
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_extendedprice", "l_discount",
+                      "l_shipdate"])
+    try:
+        part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    except OSError:
+        part_bytes = 0
+
+    if part_bytes <= broadcast_max_bytes:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+        promo = np.sort(part.filter(pc.equal(part["p_type"], promo_type))
+                        ["p_partkey"].to_numpy(zero_copy_only=False))
+        pref = ray.put(promo)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            pk_sorted = ray.get(pref)
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(pk_sorted, pk)
+            pos_c = np.minimum(pos, max(len(pk_sorted) - 1, 0))
+            hit = (pk_sorted[pos_c] == pk) if len(pk_sorted) \
+                else np.zeros(len(pk), bool)
+            return fold_partial(month_col(batch["l_shipdate"]),
+                                rev_col(batch), pa.array(hit))
+
+        return _finish_grouped_sums(
+            lineitem.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None), ["ship_month"])
+
+    # at-scale fallback: hash-partitioned flag join on partkey
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-part_bytes // (128 << 20))))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "ship_month": month_col(batch["l_shipdate"]),
+                         "rev_c": rev_col(batch)})
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "is_promo": pc.equal(t["p_type"], promo_type)}),
+        batch_format="pyarrow")
+    j = lineitem.map_batches(li_project, batch_format="pyarrow") \
+        .join(part_ds, "inner", num_partitions=num_partitions,
+              on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial_joined(batch: pa.Table) -> pa.Table:
+        return fold_partial(batch["ship_month"], batch["rev_c"],
+                            batch["is_promo"])
+
+    return _finish_grouped_sums(
+        j.map_batches(partial_joined, batch_format="pyarrow",
+                      batch_size=None), ["ship_month"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: EXISTS semi-join — orders with a late lineitem
+# ---------------------------------------------------------------------------
+
+LATE_GRACE_DAYS = 90
+LATE_FROM = "1996-01-01"
+LATE_TO = "1996-07-01"
+LATE_ROWS_PER_BUCKET = 1_000_000
+
+
+def late_shipment_priority(sf_dir: str, date_from: str = LATE_FROM,
+                           date_to: str = LATE_TO,
+                           grace_days: int = LATE_GRACE_DAYS,
+                           num_buckets: int | None = None):
+    """TPC-H Q4 shape: per order priority, how many orders placed in
+    [date_from, date_to) had at least ONE lineitem shipped more than
+    ``grace_days`` after the order date (EXISTS semi-join). Output:
+    (o_orderpriority, n_orders, n_late) — window order count and late
+    order count, so the late rate is an integer pair.
+
+    Shape at scale: EXISTS(l_shipdate > o_orderdate + g) is equivalent
+    to max(l_shipdate) > o_orderdate + g, so the lineitem side folds
+    to one (orderkey, max_ship) partial per batch — and lineitems with
+    l_shipdate <= date_from + g are pruned at the read since no window
+    order can be flagged by them. Partials and window orders co-bucket
+    on the orderkey hash (``util.bucket_hash``), each bucket finishes
+    the max + left merge + per-priority count vectorized, and the
+    finish sums <= |priorities| keys.
+    """
+    from .util import bucket_count, bucket_hash, parquet_num_rows
+
+    day_us = 86_400_000_000
+    lo_us = int(np.datetime64(date_from, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_to, "us").astype(np.int64))
+    grace_us = grace_days * day_us
+
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_orders, LATE_ROWS_PER_BUCKET)
+
+    def _bucket(key: np.ndarray) -> pa.Array:
+        return pa.array(bucket_hash(key, num_buckets), pa.int64())
+
+    # union schema: bucket, kind (0 = lineitem max partial, 1 = order
+    # row), o_orderkey, ms_us, odate_us, o_orderpriority
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": batch["l_orderkey"],
+                      "ms_us": pc.cast(batch["l_shipdate"], pa.int64())})
+        # prune: a shipment at or before date_from + grace can never
+        # flag a window order (o_orderdate >= date_from)
+        t = t.filter(pc.greater(t["ms_us"], pa.scalar(lo_us + grace_us)))
+        t = t.group_by("o_orderkey").aggregate([("ms_us", "max")]) \
+            .rename_columns(["o_orderkey", "ms_us"])
+        n = len(t)
+        return pa.table({
+            "bucket": _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "ms_us": t["ms_us"],
+            "odate_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderpriority": pa.array([""] * n, pa.string()),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = pc.cast(batch["o_orderdate"], pa.int64())
+        t = pa.table({"o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+                      "odate_us": od,
+                      "o_orderpriority": batch["o_orderpriority"]})
+        t = t.filter(pc.and_(pc.greater_equal(t["odate_us"], pa.scalar(lo_us)),
+                             pc.less(t["odate_us"], pa.scalar(hi_us))))
+        n = len(t)
+        return pa.table({
+            "bucket": _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.ones(n, np.int64), pa.int64()),
+            "o_orderkey": t["o_orderkey"],
+            "ms_us": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "odate_us": t["odate_us"],
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # re-max the block-level partials (a batch never sees a whole
+        # orderkey run), left-merge onto the window orders, flag late
+        ms = df[df["kind"] == 0].groupby("o_orderkey")["ms_us"].max()
+        o = df[df["kind"] == 1]
+        if not len(o):
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                                 "n_orders": pd.Series([], dtype="int64"),
+                                 "n_late": pd.Series([], dtype="int64")})
+        got = o["o_orderkey"].map(ms)
+        late = (got.fillna(np.iinfo(np.int64).min).to_numpy()
+                > o["odate_us"].to_numpy() + grace_us)
+        out = pd.DataFrame({"o_orderpriority": o["o_orderpriority"].to_numpy(),
+                            "n_orders": np.ones(len(o), np.int64),
+                            "n_late": late.astype(np.int64)})
+        return out.groupby("o_orderpriority", as_index=False).sum()
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(order_rows, batch_format="pyarrow", batch_size=None)
+    return _finish_grouped_sums(
+        li.union(o).groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: cross-nation trade volume by year
+# ---------------------------------------------------------------------------
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+TRADE_FROM = "1995-01-01"
+TRADE_TO = "1997-01-01"
+
+
+def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
+                        nation_b: str = TRADE_NATION_B,
+                        date_from: str = TRADE_FROM, date_to: str = TRADE_TO,
+                        broadcast_max_bytes: int = CUSTOMER_DIM_BROADCAST_MAX_BYTES,
+                        num_partitions: int | None = None):
+    """TPC-H Q7 shape: revenue shipped between two nations by year —
+    lineitems whose SUPPLIER sits in one nation and whose ordering
+    CUSTOMER sits in the other, l_shipdate in [date_from, date_to),
+    grouped by (supp_nation, cust_nation, l_year). Revenue is per-row
+    cents (round half-away) so the DuckDB oracle sums identically.
+
+    Shape at scale: both dimension attaches (supplier nation onto
+    lineitem, customer nation onto orders) broadcast a sorted-numpy
+    key->nation map RESTRICTED to the two nations below the byte gate
+    (the fact scan filters to ~2/|nations| of rows with one
+    searchsorted, no exchange) and fall back to a hash-partitioned
+    ``Dataset.join`` above it. The one unavoidable large-large
+    exchange is lineitem⋈orders on the orderkey — both sides already
+    filtered to the nation pair and the date window before it moves.
+    Partials fold to <= 2*2*|years| rows before the bounded-key finish.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = {nm: k for k, nm in zip(nation["n_nationkey"].to_pylist(),
+                                 nation["n_name"].to_pylist())
+          if nm in (nation_a, nation_b)}
+    if len(nk) != 2:
+        raise ValueError(f"nations not found: {nation_a}, {nation_b}")
+    names = {v: k for k, v in nk.items()}
+    allowed = np.sort(np.array(list(names), np.int64))
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            nbytes = os.path.getsize(f"{sf_dir}/lineitem.parquet") \
+                + os.path.getsize(f"{sf_dir}/orders.parquet")
+        except OSError:
+            nbytes = 0
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-nbytes // (128 << 20))))
+
+    def _attach_nation(ds, dim_table: str, dim_key: str, fact_key: str,
+                       out_col: str, project):
+        """Attach the dim's nationkey onto the fact stream on fact_key,
+        keeping only rows whose nation is one of the pair (inner
+        semi-join + filter). ``project(batch) -> pa.Table`` prepares
+        the fact columns (must include fact_key)."""
+        try:
+            dim_bytes = os.path.getsize(f"{sf_dir}/{dim_table}.parquet")
+        except OSError:
+            dim_bytes = 0
+        nat_col = {"supplier": "s_nationkey", "customer": "c_nationkey"}[dim_table]
+
+        if dim_bytes <= broadcast_max_bytes:
+            dim = pq.read_table(f"{sf_dir}/{dim_table}.parquet",
+                                columns=[dim_key, nat_col])
+            dim = dim.filter(pc.is_in(pc.cast(dim[nat_col], pa.int64()),
+                                      value_set=pa.array(allowed, pa.int64())))
+            keys = dim[dim_key].to_numpy(zero_copy_only=False)
+            vals = dim[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(keys)
+            ref = ray.put((keys[order], vals[order]))
+
+            def attach(batch: pa.Table) -> pa.Table:
+                ks, vs = ray.get(ref)
+                t = project(batch)
+                fk = t[fact_key].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(ks, fk)
+                pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+                hit = (ks[pos_c] == fk) if len(ks) \
+                    else np.zeros(len(fk), bool)
+                t = t.filter(pa.array(hit))
+                return t.append_column(
+                    out_col, pa.array(vs[pos_c[hit]], pa.int64()))
+
+            return ds.map_batches(attach, batch_format="pyarrow")
+
+        def dim_project(t: pa.Table) -> pa.Table:
+            nat = pc.cast(t[nat_col], pa.int64())
+            keep = pc.is_in(nat, value_set=pa.array(allowed, pa.int64()))
+            return pa.table({dim_key: pc.cast(t[dim_key], pa.int64()),
+                             out_col: nat}).filter(keep)
+
+        dim_ds = _read(sf_dir, dim_table, [dim_key, nat_col]) \
+            .map_batches(dim_project, batch_format="pyarrow")
+        # all projected fact columns + out_col survive the join
+        return ds.map_batches(project, batch_format="pyarrow") \
+            .join(dim_ds, "inner", num_partitions=num_partitions,
+                  on=(fact_key,), right_on=(dim_key,))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch["l_shipdate"], lo),
+            pc.less(batch["l_shipdate"], hi)))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "l_year": pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    li = _attach_nation(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        "supplier", "s_suppkey", "l_suppkey", "s_nat", li_project)
+
+    def o_project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+        })
+
+    o = _attach_nation(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+                       "customer", "c_custkey", "o_custkey", "c_nat",
+                       o_project)
+
+    j = li.join(o, "inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    name_ref = ray.put(dict(names))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nm = ray.get(name_ref)
+        batch = batch.filter(pc.not_equal(batch["s_nat"], batch["c_nat"]))
+        g = pa.table({"s_nat": batch["s_nat"], "c_nat": batch["c_nat"],
+                      "l_year": batch["l_year"], "rev_c": batch["rev_c"]}) \
+            .group_by(["s_nat", "c_nat", "l_year"]) \
+            .aggregate([("rev_c", "sum")])
+        return pa.table({
+            "supp_nation": pa.array([nm[s] for s in g["s_nat"].to_pylist()],
+                                    pa.string()),
+            "cust_nation": pa.array([nm[c] for c in g["c_nat"].to_pylist()],
+                                    pa.string()),
+            "l_year": g["l_year"],
+            "revenue_cents": g["rev_c_sum"],
+        })
+
+    return _finish_grouped_sums(
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["supp_nation", "cust_nation", "l_year"])

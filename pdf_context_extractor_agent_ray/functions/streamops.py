@@ -298,3 +298,80 @@ def events_funnel(sf_dir: str, stages: tuple[str, ...] = FUNNEL_STAGES,
 
     return folded.map_batches(name_stages, batch_format="pandas",
                               batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# event-type audience overlap (pairwise distinct-user co-occurrence)
+# ---------------------------------------------------------------------------
+
+OVERLAP_MAX_TYPES = 62  # per-user int64 bitmask; event_type is a bounded enum
+
+
+def event_user_overlap(sf_dir: str, num_buckets: int | None = None):
+    """Audience overlap: for every unordered pair of event types, how
+    many distinct users emitted BOTH (the numerator of the pairwise
+    Jaccard), plus each type's own distinct-user count. Output:
+    (type_a, type_b, n_both, n_users_a, n_users_b) with type_a <
+    type_b, pairs with n_both = 0 omitted.
+
+    Shape at scale: a user's events land in ONE hash bucket, so
+    per-bucket distinct (user, type) sets are globally distinct and
+    the pair counts are mergeable partial sums. Inside a bucket the
+    fold is one drop_duplicates + one groupby-sum that builds a
+    per-user TYPE BITMASK (distinct rows make bitwise-or == sum), then
+    counts each of the <= T(T-1)/2 pairs with vectorized bit tests —
+    never a per-user or per-pair Python pass over rows. The exchange
+    out is <= T^2 rows per bucket; the finish sums bounded keys and
+    joins the diagonal (per-type totals) back in one driver-side map.
+    """
+    from .util import finish_grouped
+
+    ds = _events_bucketed(sf_dir, num_buckets)
+
+    def select(batch: pa.Table) -> pa.Table:
+        return batch.select(["bucket", "user_id", "event_type"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        ut = df[["user_id", "event_type"]].drop_duplicates()
+        types = np.sort(ut["event_type"].unique())
+        T = len(types)
+        if T > OVERLAP_MAX_TYPES:
+            raise ValueError(
+                f"event_user_overlap: {T} event types exceed the int64 "
+                f"bitmask bound {OVERLAP_MAX_TYPES}; widen to multi-word "
+                "bitmasks before running this corpus")
+        tmap = pd.Series(np.arange(T, dtype=np.int64), index=types)
+        uid = pd.factorize(ut["user_id"].to_numpy())[0]
+        bits = np.int64(1) << tmap[ut["event_type"]].to_numpy()
+        # distinct (user, type) rows -> per-user sum of unique bits == OR
+        mask = pd.DataFrame({"u": uid, "b": bits}).groupby("u")["b"].sum() \
+            .to_numpy()
+        rows_a, rows_b, rows_n = [], [], []
+        has = [(mask >> np.int64(i)) & np.int64(1) for i in range(T)]
+        for i in range(T):
+            rows_a.append(types[i]); rows_b.append(types[i])
+            rows_n.append(int(has[i].sum()))
+            for j in range(i + 1, T):
+                both = int(np.count_nonzero(has[i] & has[j]))
+                if both:
+                    rows_a.append(types[i]); rows_b.append(types[j])
+                    rows_n.append(both)
+        return pd.DataFrame({"type_a": rows_a, "type_b": rows_b,
+                             "n": pd.Series(rows_n, dtype="int64")})
+
+    summed = finish_grouped(
+        ds.map_batches(select, batch_format="pyarrow")
+          .groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["type_a", "type_b"])
+
+    def attach_totals(df: pd.DataFrame) -> pd.DataFrame:
+        solo = df[df["type_a"] == df["type_b"]].set_index("type_a")["n"]
+        p = df[df["type_a"] != df["type_b"]].copy()
+        p["n_users_a"] = p["type_a"].map(solo).astype("int64")
+        p["n_users_b"] = p["type_b"].map(solo).astype("int64")
+        p = p.rename(columns={"n": "n_both"})
+        return p[["type_a", "type_b", "n_both", "n_users_a", "n_users_b"]] \
+            .reset_index(drop=True)
+
+    return summed.map_batches(attach_totals, batch_format="pandas",
+                              batch_size=None)

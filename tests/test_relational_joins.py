@@ -264,3 +264,90 @@ def test_part_supplier_counts_paths_agree(ray_session):
                {"broadcast_max_bytes": 0, "num_buckets": 1}):
         b = run(**kw)
         assert a.equals(b), kw
+
+
+def test_promo_revenue_paths_agree(ray_session):
+    """Broadcast sorted-partkey membership vs the forced
+    hash-partitioned flag join emit identical month pairs, and the
+    promo numerator never exceeds the total denominator."""
+    from pdf_context_extractor_agent_ray.functions.relational import promo_revenue
+
+    fast = promo_revenue(SF).to_pandas() \
+        .sort_values("ship_month").reset_index(drop=True)
+    slow = promo_revenue(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("ship_month").reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert (fast["promo_cents"] <= fast["total_cents"]).all()
+    assert (fast["promo_cents"] >= 0).all()
+
+
+def test_nation_trade_volume_paths_agree(ray_session):
+    """Broadcast nation-restricted dim maps vs the forced
+    Dataset.joins (zero gate forces BOTH supplier and customer
+    attaches) keep the identical (supp, cust, year) revenue, and only
+    the two cross-nation directions appear."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        TRADE_NATION_A, TRADE_NATION_B, nation_trade_volume)
+
+    keys = ["supp_nation", "cust_nation", "l_year"]
+    fast = nation_trade_volume(SF).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    slow = nation_trade_volume(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    dirs = set(zip(fast["supp_nation"], fast["cust_nation"]))
+    assert dirs <= {(TRADE_NATION_A, TRADE_NATION_B),
+                    (TRADE_NATION_B, TRADE_NATION_A)}
+
+
+def test_late_shipment_priority_bucket_invariance(ray_session):
+    """The co-bucketed EXISTS fold is bucket-count invariant (block
+    partials re-max correctly across any bucketing) and n_late is
+    bounded by the window order count per priority."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        LATE_FROM, LATE_TO, late_shipment_priority)
+
+    one = late_shipment_priority(SF, num_buckets=1).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    many = late_shipment_priority(SF, num_buckets=7).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    assert len(one) and one.equals(many)
+    assert (one["n_late"] <= one["n_orders"]).all()
+
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderdate"]).to_pandas()
+    lo, hi = np.datetime64(LATE_FROM), np.datetime64(LATE_TO)
+    in_win = ((orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)).sum()
+    assert one["n_orders"].sum() == in_win
+
+
+def test_interorder_gaps_bucket_invariance(ray_session):
+    """Per-bucket partial histograms merge to the same global
+    histogram at any bucket count, and the total gap count is exactly
+    (orders - customers-with-orders)."""
+    from pdf_context_extractor_agent_ray.functions.relational import interorder_gaps
+
+    one = interorder_gaps(SF, num_buckets=1).to_pandas() \
+        .sort_values("gap_days").reset_index(drop=True)
+    many = interorder_gaps(SF, num_buckets=11).to_pandas() \
+        .sort_values("gap_days").reset_index(drop=True)
+    assert len(one) and one.equals(many)
+
+    o = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"]).to_pandas()
+    assert one["n"].sum() == len(o) - o["o_custkey"].nunique()
+
+
+def test_event_user_overlap_bucket_invariance(ray_session):
+    """User-disjoint buckets make the bitmask pair counts mergeable:
+    any bucket count yields the same overlap table, and every overlap
+    is bounded by the smaller audience."""
+    from pdf_context_extractor_agent_ray.functions.streamops import event_user_overlap
+
+    keys = ["type_a", "type_b"]
+    one = event_user_overlap(SF, num_buckets=1).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    many = event_user_overlap(SF, num_buckets=5).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    assert len(one) and one.equals(many)
+    assert (one["type_a"] < one["type_b"]).all()
+    assert (one["n_both"] <= one[["n_users_a", "n_users_b"]].min(axis=1)).all()
