@@ -249,12 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": F_rel.promo_revenue,
         "late_shipment_priority": F_rel.late_shipment_priority,
         "nation_trade_volume": F_rel.nation_trade_volume,
+        "market_share": F_rel.market_share,
         "event_user_overlap": F_stream.event_user_overlap,
-        # dedup (minhash/near-dup/jaccard/clusters rotated to the
-        # long-stable tail late-r4 — r3 driver-green and the r4
+        # dedup (minhash/near-dup/jaccard/clusters/survivors rotated to
+        # the long-stable tail late-r4 — r3 driver-green and the r4
         # memoization change was value-preserving)
-        "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(
-            _docs(sf), n_docs=_n_docs(sf)),
         "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
             _docs(sf), n_docs=_n_docs(sf)),
         # similarity search
@@ -284,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup": lambda sf: F_dedup.ngram_jaccard_pairs(
             _docs(sf), n_docs=_n_docs(sf)),
         "dup_clusters": lambda sf: F_dedup.dup_clusters(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(
             _docs(sf), n_docs=_n_docs(sf)),
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
@@ -1802,6 +1803,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '{F_rel.TRADE_FROM} 00:00:00'
               AND l.l_shipdate <  TIMESTAMP '{F_rel.TRADE_TO} 00:00:00'
             GROUP BY 1, 2, 3
+        """,
+        "market_share": f"""
+            -- Q8 shape as an integer (numerator, denominator) pair:
+            -- target-nation supplier cents vs total cents per order
+            -- year, one part type, customers in one region
+            SELECT year(o.o_orderdate) AS o_year,
+                   CAST(sum(CASE WHEN ns.n_name = '{F_rel.MKT_NATION}'
+                                 THEN {_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}
+                                 ELSE 0 END) AS BIGINT) AS nation_cents,
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS total_cents
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+                           AND p.p_type = '{F_rel.MKT_PART_TYPE}'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = nc.n_regionkey
+            WHERE r.r_name = '{F_rel.MKT_REGION}'
+              AND o.o_orderdate >= TIMESTAMP '{F_rel.MKT_FROM} 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '{F_rel.MKT_TO} 00:00:00'
+            GROUP BY 1
         """,
         "event_user_overlap": """
             -- pairwise distinct-user audience overlap

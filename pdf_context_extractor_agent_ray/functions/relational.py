@@ -39,6 +39,88 @@ def _finish_grouped_sums(partials, keys: list[str]):
     return finish_grouped(partials, keys)
 
 
+def _attach_dim_value(ds, sf_dir: str, dim_table: str, dim_key: str,
+                      val_col: str, fact_key: str, out_col: str | None,
+                      broadcast_max_bytes: int, num_partitions: int,
+                      allowed: np.ndarray | None = None, project=None):
+    """Attach a dimension's int64 ``val_col`` onto a fact stream as
+    ``out_col`` via an inner join on ``fact_key == dim_key`` (fact rows
+    with no dim match DROP — semi-join semantics). ``allowed`` (sorted
+    int64 values) filters dim rows before the attach, turning it into
+    a membership semi-join; ``out_col=None`` keeps only the filtering
+    effect. ``project(batch) -> pa.Table`` prepares the fact columns
+    (must include ``fact_key``).
+
+    Below the byte gate the dim ships ONCE as a sorted-numpy
+    (keys, vals) pair via ``ray.put`` and every fact batch resolves
+    membership with one searchsorted — the fact table never shuffles.
+    Above it, a hash-partitioned ``Dataset.join`` on the key.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    try:
+        dim_bytes = os.path.getsize(f"{sf_dir}/{dim_table}.parquet")
+    except OSError:
+        dim_bytes = 0
+    if project is None:
+        def project(batch):
+            return batch
+
+    if dim_bytes <= broadcast_max_bytes:
+        dim = pq.read_table(f"{sf_dir}/{dim_table}.parquet",
+                            columns=[dim_key, val_col])
+        vals64 = pc.cast(dim[val_col], pa.int64())
+        if allowed is not None:
+            keep = pc.is_in(vals64, value_set=pa.array(allowed, pa.int64()))
+            dim, vals64 = dim.filter(keep), vals64.filter(keep)
+        keys = dim[dim_key].to_numpy(zero_copy_only=False)
+        vals = vals64.to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ks, vs = ray.get(ref)
+            t = project(batch)
+            fk = t[fact_key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, fk)
+            pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (ks[pos_c] == fk) if len(ks) else np.zeros(len(fk), bool)
+            t = t.filter(pa.array(hit))
+            if out_col is None:
+                return t
+            return t.append_column(out_col, pa.array(vs[pos_c[hit]],
+                                                     pa.int64()))
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    vname = out_col or f"_{val_col}_drop"
+
+    def dim_project(t: pa.Table) -> pa.Table:
+        vals64 = pc.cast(t[val_col], pa.int64())
+        out = pa.table({dim_key: pc.cast(t[dim_key], pa.int64()),
+                        vname: vals64})
+        if allowed is not None:
+            out = out.filter(pc.is_in(
+                vals64, value_set=pa.array(allowed, pa.int64())))
+        return out
+
+    dim_ds = _read(sf_dir, dim_table, [dim_key, val_col]) \
+        .map_batches(dim_project, batch_format="pyarrow")
+    j = ds.map_batches(project, batch_format="pyarrow") \
+        .join(dim_ds, "inner", num_partitions=num_partitions,
+              on=(fact_key,), right_on=(dim_key,))
+
+    def cleanup(t: pa.Table) -> pa.Table:
+        # schema parity with the broadcast arm: fact columns (+ out_col)
+        drop = [c for c in (dim_key, None if out_col else vname)
+                if c and c != fact_key and c in t.column_names]
+        return t.drop_columns(drop) if drop else t
+
+    return j.map_batches(cleanup, batch_format="pyarrow")
+
+
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
     """TPC-H Q1-shaped grouped aggregate with per-batch partials."""
     ds = _read(sf_dir, "lineitem",
@@ -2247,55 +2329,6 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
         num_partitions = min(max(2, cpus // 2),
                              max(2, -(-nbytes // (128 << 20))))
 
-    def _attach_nation(ds, dim_table: str, dim_key: str, fact_key: str,
-                       out_col: str, project):
-        """Attach the dim's nationkey onto the fact stream on fact_key,
-        keeping only rows whose nation is one of the pair (inner
-        semi-join + filter). ``project(batch) -> pa.Table`` prepares
-        the fact columns (must include fact_key)."""
-        try:
-            dim_bytes = os.path.getsize(f"{sf_dir}/{dim_table}.parquet")
-        except OSError:
-            dim_bytes = 0
-        nat_col = {"supplier": "s_nationkey", "customer": "c_nationkey"}[dim_table]
-
-        if dim_bytes <= broadcast_max_bytes:
-            dim = pq.read_table(f"{sf_dir}/{dim_table}.parquet",
-                                columns=[dim_key, nat_col])
-            dim = dim.filter(pc.is_in(pc.cast(dim[nat_col], pa.int64()),
-                                      value_set=pa.array(allowed, pa.int64())))
-            keys = dim[dim_key].to_numpy(zero_copy_only=False)
-            vals = dim[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(keys)
-            ref = ray.put((keys[order], vals[order]))
-
-            def attach(batch: pa.Table) -> pa.Table:
-                ks, vs = ray.get(ref)
-                t = project(batch)
-                fk = t[fact_key].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(ks, fk)
-                pos_c = np.minimum(pos, max(len(ks) - 1, 0))
-                hit = (ks[pos_c] == fk) if len(ks) \
-                    else np.zeros(len(fk), bool)
-                t = t.filter(pa.array(hit))
-                return t.append_column(
-                    out_col, pa.array(vs[pos_c[hit]], pa.int64()))
-
-            return ds.map_batches(attach, batch_format="pyarrow")
-
-        def dim_project(t: pa.Table) -> pa.Table:
-            nat = pc.cast(t[nat_col], pa.int64())
-            keep = pc.is_in(nat, value_set=pa.array(allowed, pa.int64()))
-            return pa.table({dim_key: pc.cast(t[dim_key], pa.int64()),
-                             out_col: nat}).filter(keep)
-
-        dim_ds = _read(sf_dir, dim_table, [dim_key, nat_col]) \
-            .map_batches(dim_project, batch_format="pyarrow")
-        # all projected fact columns + out_col survive the join
-        return ds.map_batches(project, batch_format="pyarrow") \
-            .join(dim_ds, "inner", num_partitions=num_partitions,
-                  on=(fact_key,), right_on=(dim_key,))
-
     def li_project(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.and_(
             pc.greater_equal(batch["l_shipdate"], lo),
@@ -2311,11 +2344,13 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
                              pa.int64()),
         })
 
-    li = _attach_nation(
+    li = _attach_dim_value(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
                "l_shipdate"]),
-        "supplier", "s_suppkey", "l_suppkey", "s_nat", li_project)
+        sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey", "s_nat",
+        broadcast_max_bytes, num_partitions, allowed=allowed,
+        project=li_project)
 
     def o_project(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -2323,9 +2358,11 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
             "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
         })
 
-    o = _attach_nation(_read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-                       "customer", "c_custkey", "o_custkey", "c_nat",
-                       o_project)
+    o = _attach_dim_value(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey", "c_nat",
+        broadcast_max_bytes, num_partitions, allowed=allowed,
+        project=o_project)
 
     j = li.join(o, "inner", num_partitions=num_partitions,
                 on=("l_orderkey",), right_on=("o_orderkey",))
@@ -2350,3 +2387,159 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
     return _finish_grouped_sums(
         j.map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["supp_nation", "cust_nation", "l_year"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region, by order year
+# ---------------------------------------------------------------------------
+
+MKT_REGION = "EUROPE"
+MKT_PART_TYPE = "ECONOMY"
+MKT_NATION = "NATION_7"
+MKT_FROM = "1995-01-01"
+MKT_TO = "1997-01-01"
+
+
+def market_share(sf_dir: str, region: str = MKT_REGION,
+                 part_type: str = MKT_PART_TYPE, nation: str = MKT_NATION,
+                 date_from: str = MKT_FROM, date_to: str = MKT_TO,
+                 broadcast_max_bytes: int = CUSTOMER_DIM_BROADCAST_MAX_BYTES,
+                 num_partitions: int | None = None):
+    """TPC-H Q8 shape: of the revenue for one part type sold to
+    customers in one region (orders in [date_from, date_to)), what
+    share came from suppliers of one nation — kept integer-exact as
+    (o_year, nation_cents, total_cents) instead of the float share
+    (divide at the edge).
+
+    Shape at scale: three gated dimension attaches
+    (``_attach_dim_value``) — part membership (type filter, semi-join
+    on partkey), supplier nation (attach, compare to the target key),
+    customer region membership (semi-join on the region's nationkeys)
+    — each broadcast-searchsorted below the byte gate, hash join
+    above. The one large-large exchange is lineitem⋈orders on the
+    orderkey, both sides pre-filtered. Partials fold to <= |years|
+    rows before the bounded-key finish.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {rk for rk, rn in zip(region_t["r_regionkey"].to_pylist(),
+                                  region_t["r_name"].to_pylist())
+             if rn == region}
+    region_nations = np.sort(np.array(
+        [nk for nk, rg in zip(nation_t["n_nationkey"].to_pylist(),
+                              nation_t["n_regionkey"].to_pylist())
+         if rg in rkeys], np.int64))
+    target = [nk for nk, nm in zip(nation_t["n_nationkey"].to_pylist(),
+                                   nation_t["n_name"].to_pylist())
+              if nm == nation]
+    if not target or not len(region_nations):
+        raise ValueError(f"unknown nation {nation!r} / region {region!r}")
+    target_key = int(target[0])
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            nbytes = os.path.getsize(f"{sf_dir}/lineitem.parquet") \
+                + os.path.getsize(f"{sf_dir}/orders.parquet")
+        except OSError:
+            nbytes = 0
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-nbytes // (128 << 20))))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    # part side: membership of the one type. The string p_type can't
+    # ride the int64 helper, so gate by hand: below the byte gate the
+    # matching partkeys read once driver-side and broadcast as a
+    # sorted array (one searchsorted per batch); above it the dim
+    # stream filters by p_type and semi-joins on the partkey.
+    li_raw = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_partkey", "l_suppkey",
+                    "l_extendedprice", "l_discount"])
+    try:
+        part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    except OSError:
+        part_bytes = 0
+
+    if part_bytes <= broadcast_max_bytes:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_type"])
+        type_keys = np.sort(
+            part.filter(pc.equal(part["p_type"], part_type))
+            ["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        tref = ray.put(type_keys)
+
+        def part_semi(batch: pa.Table) -> pa.Table:
+            ks = ray.get(tref)
+            t = li_project(batch)
+            fk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ks, fk), max(len(ks) - 1, 0))
+            hit = (ks[pos] == fk) if len(ks) else np.zeros(len(fk), bool)
+            return t.filter(pa.array(hit))
+
+        li = li_raw.map_batches(part_semi, batch_format="pyarrow")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]) \
+            .map_batches(
+                lambda t: pa.table({
+                    "p_partkey": pc.cast(t["p_partkey"], pa.int64())})
+                .filter(pc.equal(t["p_type"], part_type)),
+                batch_format="pyarrow")
+        li = li_raw.map_batches(li_project, batch_format="pyarrow") \
+            .join(part_ds, "inner", num_partitions=num_partitions,
+                  on=("l_partkey",), right_on=("p_partkey",))
+
+    li = _attach_dim_value(
+        li, sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey",
+        "s_nat", broadcast_max_bytes, num_partitions)
+
+    def o_project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo),
+            pc.less(batch["o_orderdate"], hi)))
+        return pa.table({
+            "o_orderkey": pc.cast(batch["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+        })
+
+    o = _attach_dim_value(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey", None,
+        broadcast_max_bytes, num_partitions, allowed=region_nations,
+        project=o_project)
+
+    j = li.join(o, "inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        is_t = pc.equal(batch["s_nat"], pa.scalar(target_key, pa.int64()))
+        t = pa.table({
+            "o_year": batch["o_year"],
+            "nation_cents": pc.if_else(is_t, batch["rev_c"],
+                                       pa.scalar(0, pa.int64())),
+            "total_cents": batch["rev_c"],
+        })
+        return t.group_by("o_year").aggregate(
+            [("nation_cents", "sum"), ("total_cents", "sum")]) \
+            .rename_columns(["o_year", "nation_cents", "total_cents"])
+
+    return _finish_grouped_sums(
+        j.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["o_year"])

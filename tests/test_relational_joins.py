@@ -351,3 +351,19 @@ def test_event_user_overlap_bucket_invariance(ray_session):
     assert len(one) and one.equals(many)
     assert (one["type_a"] < one["type_b"]).all()
     assert (one["n_both"] <= one[["n_users_a", "n_users_b"]].min(axis=1)).all()
+
+
+def test_market_share_paths_agree(ray_session):
+    """All three gated dimension attaches (part semi, supplier attach,
+    customer region semi) agree between the broadcast arm and the
+    forced Dataset.join arm, and the numerator is bounded by the
+    denominator."""
+    from pdf_context_extractor_agent_ray.functions.relational import market_share
+
+    fast = market_share(SF).to_pandas() \
+        .sort_values("o_year").reset_index(drop=True)
+    slow = market_share(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("o_year").reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert (fast["nation_cents"] <= fast["total_cents"]).all()
+    assert (fast["nation_cents"] >= 0).all()
