@@ -1,0 +1,153 @@
+"""Soak the late-r4 join/overlap operators at ~100x sf0.1 scale.
+
+Builds KEY-SHIFTED replicas of the sf0.1 tables (every replica i
+shifts its entity keys by i * (max_key + 1) while keeping dates,
+prices, nationkeys and types — so each replica is an independent,
+internally-consistent copy of the base economy) and checks the exact
+UNIFORM-REPLICATION invariant: every grouped integer output must be
+exactly ``reps`` x the base-corpus output, value for value. That is an
+integer-exact end-to-end check at 60M lineitem / 15M orders / 10M
+events without needing a DuckDB recount of the 6-way joins.
+
+Run:  python tools/soak_new_ops.py [--reps 100] [--rebuild]
+Results are recorded in SCALE.md.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# `python tools/soak_new_ops.py` puts tools/ (not the repo root) on
+# sys.path; Ray workers additionally need PYTHONPATH (CLAUDE.md), so
+# export it for the session this script owns.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ.setdefault("PYTHONPATH", _REPO)
+
+SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = "/tmp/graft_soak_r2"
+
+# table -> columns that shift per replica -> the key DOMAIN they
+# belong to (one stride per domain keeps cross-table references
+# consistent inside a replica)
+SHIFT_COLS = {
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "eventid", "user_id": "userid"},
+}
+DOMAIN_SOURCE = {  # domain -> (table, column) that defines max key
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+}
+COPY_TABLES = ("nation", "region")
+
+
+def build(reps: int) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    import pyarrow.compute as pc
+
+    stride = {}
+    for dom, (tab, col) in DOMAIN_SOURCE.items():
+        stride[dom] = int(pc.max(
+            pq.read_table(f"{SF}/{tab}.parquet", columns=[col])[col]
+        ).as_py()) + 1
+
+    for tab, cols in SHIFT_COLS.items():
+        base = pq.read_table(f"{SF}/{tab}.parquet")
+        # replicas append as row groups — never reps x base in memory
+        with pq.ParquetWriter(f"{OUT}/{tab}.parquet", base.schema) as w:
+            for i in range(reps):
+                t = base
+                for col, dom in cols.items():
+                    shifted = pc.add(
+                        base[col], pa.scalar(i * stride[dom],
+                                             base.schema.field(col).type))
+                    t = t.set_column(t.schema.get_field_index(col), col,
+                                     shifted)
+                w.write_table(t)
+        print(f"built {tab}: {reps} x {len(base)} rows", flush=True)
+    for tab in COPY_TABLES:
+        pq.write_table(pq.read_table(f"{SF}/{tab}.parquet"),
+                       f"{OUT}/{tab}.parquet")
+        print(f"copied {tab}", flush=True)
+
+
+def check(reps: int) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from pdf_context_extractor_agent_ray.functions import relational as R
+    from pdf_context_extractor_agent_ray.functions import streamops as S
+
+    # op -> (callable, key columns; every NON-key int column must be
+    # exactly reps x the base value)
+    OPS = {
+        "interorder_gaps": (R.interorder_gaps, ["gap_days"]),
+        "promo_revenue": (R.promo_revenue, ["ship_month"]),
+        "late_shipment_priority": (R.late_shipment_priority,
+                                   ["o_orderpriority"]),
+        "nation_trade_volume": (R.nation_trade_volume,
+                                ["supp_nation", "cust_nation", "l_year"]),
+        "market_share": (R.market_share, ["o_year"]),
+        "event_user_overlap": (S.event_user_overlap, ["type_a", "type_b"]),
+    }
+
+    failures = 0
+    for name, (fn, keys) in OPS.items():
+        base = fn(SF).to_pandas().sort_values(keys).reset_index(drop=True)
+        t0 = time.time()
+        big = fn(OUT).to_pandas().sort_values(keys).reset_index(drop=True)
+        dt = time.time() - t0
+        expect = base.copy()
+        for c in expect.columns:
+            if c not in keys:
+                expect[c] = expect[c] * reps
+        ok = big.equals(expect)
+        print(f"{name}: {dt:6.1f} s  rows={len(big)}  "
+              f"{'EXACT x' + str(reps) if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            failures += 1
+            print("expected (base x reps):\n", expect.head(10))
+            print("got:\n", big.head(10))
+    ray.shutdown()
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=100)
+    ap.add_argument("--rebuild", action="store_true",
+                    help="rebuild replicas even if OUT already exists")
+    ap.add_argument("--build-only", action="store_true")
+    args = ap.parse_args()
+    if args.rebuild or not os.path.exists(f"{OUT}/lineitem.parquet"):
+        t0 = time.time()
+        build(args.reps)
+        print(f"build: {time.time() - t0:.0f} s", flush=True)
+    if args.build_only:
+        return 0
+    return check(args.reps)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
