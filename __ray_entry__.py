@@ -250,12 +250,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": F_rel.late_shipment_priority,
         "nation_trade_volume": F_rel.nation_trade_volume,
         "market_share": F_rel.market_share,
+        "brand_qty_revenue": F_rel.brand_qty_revenue,
         "event_user_overlap": F_stream.event_user_overlap,
         # dedup (minhash/near-dup/jaccard/clusters/survivors rotated to
         # the long-stable tail late-r4 — r3 driver-green and the r4
         # memoization change was value-preserving)
-        "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
-            _docs(sf), n_docs=_n_docs(sf)),
         # similarity search
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_ivf": F_sim.ivf_knn,
@@ -285,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": lambda sf: F_dedup.dup_clusters(
             _docs(sf), n_docs=_n_docs(sf)),
         "near_dup_survivors": lambda sf: F_dedup.near_dup_survivors(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "near_dup_keep_best": lambda sf: F_dedup.near_dup_keep_best(
             _docs(sf), n_docs=_n_docs(sf)),
         "exact_dedup": lambda sf: F_dedup.exact_dedup(_docs(sf)),
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
@@ -1825,6 +1826,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE r.r_name = '{F_rel.MKT_REGION}'
               AND o.o_orderdate >= TIMESTAMP '{F_rel.MKT_FROM} 00:00:00'
               AND o.o_orderdate <  TIMESTAMP '{F_rel.MKT_TO} 00:00:00'
+            GROUP BY 1
+        """,
+        "brand_qty_revenue": f"""
+            -- Q19 shape: OR-of-ANDs (brand, qty band, size band)
+            -- revenue per brand, bands from relational.BRAND_QTY_RULES
+            SELECT p.p_brand,
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE {" OR ".join(
+                f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {qlo} AND {qhi}"
+                f" AND p.p_size BETWEEN {slo} AND {shi})"
+                for b, qlo, qhi, slo, shi in F_rel.BRAND_QTY_RULES)}
             GROUP BY 1
         """,
         "event_user_overlap": """

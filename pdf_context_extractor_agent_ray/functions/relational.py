@@ -2543,3 +2543,129 @@ def market_share(sf_dir: str, region: str = MKT_REGION,
     return _finish_grouped_sums(
         j.map_batches(partial, batch_format="pyarrow", batch_size=None),
         ["o_year"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: OR-of-ANDs predicate revenue (brand x qty x size bands)
+# ---------------------------------------------------------------------------
+
+# (brand, qty_lo, qty_hi, size_lo, size_hi) — all bounds inclusive
+BRAND_QTY_RULES = (("Brand#12", 1, 11, 1, 5),
+                   ("Brand#23", 10, 20, 1, 10),
+                   ("Brand#34", 20, 30, 1, 15))
+
+
+def brand_qty_revenue(sf_dir: str, rules=BRAND_QTY_RULES,
+                      broadcast_max_bytes: int = PART_DIM_BROADCAST_MAX_BYTES,
+                      num_partitions: int | None = None):
+    """TPC-H Q19 shape: revenue from lineitems matching an OR of
+    (brand, quantity band, size band) conjunctions, reported per brand
+    — (p_brand, revenue_cents).
+
+    Shape at scale: below the byte gate the part dim broadcasts once
+    as sorted partkeys + (rule_code, size) payload arrays (only parts
+    of the listed brands ship); each lineitem batch resolves its rule
+    with one searchsorted and evaluates every band mask vectorized,
+    folding to <= |rules| partial rows — the fact table never
+    shuffles. Above the gate the (code, size) payload attaches via a
+    hash-partitioned ``Dataset.join`` and the same vectorized masks
+    run post-join.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    brands = [r[0] for r in rules]
+
+    def rev_col(batch: pa.Table) -> np.ndarray:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pc.cast(pc.round(pc.multiply(rev, 100),
+                                round_mode="half_towards_infinity"),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+
+    def fold_partial(code: np.ndarray, size: np.ndarray, qty: np.ndarray,
+                     rev_c: np.ndarray) -> pd.DataFrame:
+        out_b, out_r = [], []
+        for i, (brand, qlo, qhi, slo, shi) in enumerate(rules):
+            m = ((code == i) & (qty >= qlo) & (qty <= qhi)
+                 & (size >= slo) & (size <= shi))
+            if m.any():
+                out_b.append(brand)
+                out_r.append(int(rev_c[m].sum()))
+        return pd.DataFrame({"p_brand": pd.Series(out_b, dtype=object),
+                             "revenue_cents": pd.Series(out_r, dtype="int64")})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"])
+    try:
+        part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    except OSError:
+        part_bytes = 0
+
+    if part_bytes <= broadcast_max_bytes:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_size"])
+        brand_idx = {b: i for i, b in enumerate(brands)}
+        codes = np.array([brand_idx.get(b, -1)
+                          for b in part["p_brand"].to_pylist()], np.int64)
+        keep = codes >= 0
+        keys = part["p_partkey"].to_numpy(zero_copy_only=False)[keep]
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], codes[keep][order],
+                       part["p_size"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64)[keep][order]))
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            ks, cs, ss = ray.get(ref)
+            fk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ks, fk), max(len(ks) - 1, 0))
+            hit = (ks[pos] == fk) if len(ks) else np.zeros(len(fk), bool)
+            qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+            return fold_partial(cs[pos[hit]], ss[pos[hit]], qty,
+                                rev_col(batch)[hit])
+
+        return _finish_grouped_sums(
+            lineitem.map_batches(partial, batch_format="pyarrow",
+                                 batch_size=None), ["p_brand"])
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-part_bytes // (128 << 20))))
+
+    def dim_project(t: pa.Table) -> pa.Table:
+        code = np.full(len(t), -1, np.int64)
+        pb = t["p_brand"].to_numpy(zero_copy_only=False)
+        for i, b in enumerate(brands):
+            code[pb == b] = i
+        out = pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                        "code": pa.array(code, pa.int64()),
+                        "p_size64": pc.cast(t["p_size"], pa.int64())})
+        return out.filter(pc.greater_equal(out["code"],
+                                           pa.scalar(0, pa.int64())))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "qty": batch["l_quantity"],
+            "rev_c": pa.array(rev_col(batch), pa.int64()),
+        })
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(dim_project, batch_format="pyarrow")
+    j = lineitem.map_batches(li_project, batch_format="pyarrow") \
+        .join(part_ds, "inner", num_partitions=num_partitions,
+              on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial_joined(batch: pa.Table) -> pd.DataFrame:
+        return fold_partial(
+            batch["code"].to_numpy(zero_copy_only=False),
+            batch["p_size64"].to_numpy(zero_copy_only=False),
+            batch["qty"].to_numpy(zero_copy_only=False),
+            batch["rev_c"].to_numpy(zero_copy_only=False))
+
+    return _finish_grouped_sums(
+        j.map_batches(partial_joined, batch_format="pyarrow",
+                      batch_size=None), ["p_brand"])

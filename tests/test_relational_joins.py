@@ -367,3 +367,19 @@ def test_market_share_paths_agree(ray_session):
     assert len(fast) and fast.equals(slow)
     assert (fast["nation_cents"] <= fast["total_cents"]).all()
     assert (fast["nation_cents"] >= 0).all()
+
+
+def test_brand_qty_revenue_paths_agree(ray_session):
+    """Broadcast (partkey -> rule code, size) payload vs the forced
+    Dataset.join arm emit the identical per-brand revenue, covering
+    every listed brand with positive cents."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        BRAND_QTY_RULES, brand_qty_revenue)
+
+    fast = brand_qty_revenue(SF).to_pandas() \
+        .sort_values("p_brand").reset_index(drop=True)
+    slow = brand_qty_revenue(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values("p_brand").reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert set(fast["p_brand"]) <= {r[0] for r in BRAND_QTY_RULES}
+    assert (fast["revenue_cents"] > 0).all()
