@@ -2137,11 +2137,17 @@ def promo_revenue(sf_dir: str, promo_type: str = PROMO_TYPE,
             lineitem.map_batches(partial, batch_format="pyarrow",
                                  batch_size=None), ["ship_month"])
 
-    # at-scale fallback: hash-partitioned flag join on partkey
+    # at-scale fallback: hash-partitioned flag join on partkey —
+    # partition count sized by BOTH join inputs (the lineitem side
+    # dominates the exchange, not the dim)
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            li_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        except OSError:
+            li_bytes = 0
         num_partitions = min(max(2, cpus // 2),
-                             max(2, -(-part_bytes // (128 << 20))))
+                             max(2, -(-(part_bytes + li_bytes) // (128 << 20))))
 
     def li_project(batch: pa.Table) -> pa.Table:
         return pa.table({"l_partkey": batch["l_partkey"],
@@ -2632,8 +2638,13 @@ def brand_qty_revenue(sf_dir: str, rules=BRAND_QTY_RULES,
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            li_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        except OSError:
+            li_bytes = 0
+        # both join inputs ride the exchange — size on their sum
         num_partitions = min(max(2, cpus // 2),
-                             max(2, -(-part_bytes // (128 << 20))))
+                             max(2, -(-(part_bytes + li_bytes) // (128 << 20))))
 
     def dim_project(t: pa.Table) -> pa.Table:
         code = np.full(len(t), -1, np.int64)

@@ -33,9 +33,11 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 ROWS_PER_BUCKET = 1_000_000  # ~dozens of MB per bucket block
 
 
-def _events_bucketed(sf_dir: str, num_buckets: int | None = None):
+def _events_bucketed(sf_dir: str, num_buckets: int | None = None,
+                     columns: list[str] | None = None):
     """Events Dataset with a deterministic user-hash ``bucket`` column
-    (Knuth multiplicative hash so sequential user_ids still spread)."""
+    (Knuth multiplicative hash so sequential user_ids still spread).
+    ``columns`` prunes the read (must include ``user_id``)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -50,7 +52,8 @@ def _events_bucketed(sf_dir: str, num_buckets: int | None = None):
     # schema dedup fast path (util.strip_schema_metadata)
     ds = strip_schema_metadata(rd.read_parquet(
         f"{sf_dir}/events.parquet",
-        columns=["event_id", "ts", "user_id", "event_type", "value"]))
+        columns=columns or ["event_id", "ts", "user_id", "event_type",
+                            "value"]))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -326,10 +329,8 @@ def event_user_overlap(sf_dir: str, num_buckets: int | None = None):
     """
     from .util import finish_grouped
 
-    ds = _events_bucketed(sf_dir, num_buckets)
-
-    def select(batch: pa.Table) -> pa.Table:
-        return batch.select(["bucket", "user_id", "event_type"])
+    ds = _events_bucketed(sf_dir, num_buckets,
+                          columns=["user_id", "event_type"])
 
     def fold(df: pd.DataFrame) -> pd.DataFrame:
         ut = df[["user_id", "event_type"]].drop_duplicates()
@@ -360,8 +361,7 @@ def event_user_overlap(sf_dir: str, num_buckets: int | None = None):
                              "n": pd.Series(rows_n, dtype="int64")})
 
     summed = finish_grouped(
-        ds.map_batches(select, batch_format="pyarrow")
-          .groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ds.groupby("bucket").map_groups(fold, batch_format="pandas"),
         ["type_a", "type_b"])
 
     def attach_totals(df: pd.DataFrame) -> pd.DataFrame:

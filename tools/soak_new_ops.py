@@ -109,8 +109,13 @@ def check(reps: int) -> int:
         "nation_trade_volume": (R.nation_trade_volume,
                                 ["supp_nation", "cust_nation", "l_year"]),
         "market_share": (R.market_share, ["o_year"]),
+        "brand_qty_revenue": (R.brand_qty_revenue, ["p_brand"]),
         "event_user_overlap": (S.event_user_overlap, ["type_a", "type_b"]),
     }
+
+    only = os.environ.get("SOAK_ONLY", "")
+    if only:
+        OPS = {k: v for k, v in OPS.items() if k in only.split(",")}
 
     failures = 0
     for name, (fn, keys) in OPS.items():
