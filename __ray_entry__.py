@@ -183,8 +183,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (oracle: DuckDB summary over the
         # sequential-oracle extraction artifact — span-for-span md5)
         "extract_summary": _extract_summary,
+        # new in late r4 (pricing_summary rotated to the tail — r02+r03
+        # driver-green and unchanged — to keep these inside the window)
+        "revenue_change": F_rel.revenue_change,
+        "product_type_profit": F_rel.product_type_profit,
         # relational primitives (past the 50-entry window in r3)
-        "pricing_summary": F_rel.pricing_summary,
         "top_customers": F_rel.top_customers,
         "events_windowed": F_rel.events_windowed,
         "events_hopping": F_rel.events_hopping,
@@ -252,6 +255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": F_rel.market_share,
         "brand_qty_revenue": F_rel.brand_qty_revenue,
         "event_user_overlap": F_stream.event_user_overlap,
+        # new in late r4: Q10 returned-item top-k report and the Q20
+        # excess-shipped-quantity supplier list
+        "returned_item_report": F_rel.returned_item_report,
+        "excess_qty_suppliers": F_rel.excess_qty_suppliers,
         # dedup (minhash/near-dup/jaccard/clusters/survivors rotated to
         # the long-stable tail late-r4 — r3 driver-green and the r4
         # memoization change was value-preserving)
@@ -327,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": text_q(F_text.normalize_batch),
         "token_stats": text_q(F_text.token_stats_batch),
         "token_chunks": text_q(F_text.token_chunks_batch),
+        "pricing_summary": F_rel.pricing_summary,
     }
 
 
@@ -1878,5 +1886,73 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM w JOIN o ON o.tus >= w.window_start_us
                          AND o.tus < w.window_end_us
             GROUP BY 1, 2, 3
+        """,
+        "revenue_change": f"""
+            -- Q6 shape: one-row forecast revenue-change scalar; the
+            -- discount band endpoints are the SAME IEEE doubles on
+            -- both sides (DuckDB parses the literal to the nearest
+            -- double exactly like Python), cents round per ROW
+            SELECT COALESCE(CAST(sum({_CENTS.format('l_extendedprice * l_discount')}) AS BIGINT), 0) AS revenue_cents,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{F_rel.REVCHG_FROM} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{F_rel.REVCHG_TO} 00:00:00'
+              AND l_discount >= CAST({F_rel.REVCHG_DISC_LO} AS DOUBLE)
+              AND l_discount <= CAST({F_rel.REVCHG_DISC_HI} AS DOUBLE)
+              AND l_quantity < {F_rel.REVCHG_MAX_QTY}
+        """,
+        "product_type_profit": f"""
+            -- Q9 shape (partsupp-free): discounted revenue of
+            -- '{F_rel.PROFIT_NAME_TOKEN}'-named parts by supplier
+            -- nation and SHIP year (relational.product_type_profit)
+            SELECT n.n_name AS nation,
+                   year(l.l_shipdate) AS l_year,
+                   CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS profit_cents
+            FROM lineitem l
+            JOIN part p     ON p.p_partkey = l.l_partkey
+                           AND p.p_name LIKE '%{F_rel.PROFIT_NAME_TOKEN}%'
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        """,
+        "returned_item_report": f"""
+            -- Q10 shape: top-{F_rel.RETURNED_TOPK} customers by
+            -- returned-line revenue in one quarter, tie-break
+            -- (revenue desc, custkey asc) as in the engine rank fn
+            WITH rev AS (
+                SELECT o.o_custkey,
+                       CAST(sum({_CENTS.format('l.l_extendedprice * (1.0 - l.l_discount)')}) AS BIGINT) AS revenue_cents
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_returnflag = 'R'
+                  AND o.o_orderdate >= TIMESTAMP '{F_rel.RETURNED_FROM} 00:00:00'
+                  AND o.o_orderdate <  TIMESTAMP '{F_rel.RETURNED_TO} 00:00:00'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, rev.revenue_cents,
+                   {_CENTS.format('c.c_acctbal')} AS acctbal_cents,
+                   n.n_name
+            FROM rev
+            JOIN customer c ON c.c_custkey = rev.o_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            ORDER BY rev.revenue_cents DESC, c.c_custkey
+            LIMIT {F_rel.RETURNED_TOPK}
+        """,
+        "excess_qty_suppliers": f"""
+            -- Q20 shape (partsupp-free): suppliers with any single
+            -- '{F_rel.EXCESS_NAME_TOKEN}'-named part over the shipped
+            -- quantity threshold in the year; qty cents round per ROW
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+                SELECT l.l_suppkey
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                            AND p.p_name LIKE '%{F_rel.EXCESS_NAME_TOKEN}%'
+                WHERE l.l_shipdate >= TIMESTAMP '{F_rel.EXCESS_FROM} 00:00:00'
+                  AND l.l_shipdate <  TIMESTAMP '{F_rel.EXCESS_TO} 00:00:00'
+                GROUP BY l.l_suppkey, l.l_partkey
+                HAVING CAST(sum({_CENTS.format('l.l_quantity')}) AS BIGINT)
+                       > {F_rel.EXCESS_MIN_QTY_CENTS})
+            ORDER BY s.s_suppkey
         """,
     }

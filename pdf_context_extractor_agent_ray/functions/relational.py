@@ -2680,3 +2680,529 @@ def brand_qty_revenue(sf_dir: str, rules=BRAND_QTY_RULES,
     return _finish_grouped_sums(
         j.map_batches(partial_joined, batch_format="pyarrow",
                       batch_size=None), ["p_brand"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: single filtered scalar aggregate
+# ---------------------------------------------------------------------------
+
+REVCHG_FROM = "1996-01-01"
+REVCHG_TO = "1997-01-01"
+REVCHG_DISC_LO = 0.03
+REVCHG_DISC_HI = 0.07
+REVCHG_MAX_QTY = 24
+
+
+def revenue_change(sf_dir: str, date_from: str = REVCHG_FROM,
+                   date_to: str = REVCHG_TO,
+                   disc_lo: float = REVCHG_DISC_LO,
+                   disc_hi: float = REVCHG_DISC_HI,
+                   max_qty: int = REVCHG_MAX_QTY):
+    """TPC-H Q6 shape: the forecast revenue-change scalar — what
+    revenue was given away as discount on small-quantity lines shipped
+    inside one year and a discount band. Output is exactly ONE row
+    (revenue_cents, n_lines); per-row cents round half-away so the
+    DuckDB oracle sums identically, and the float band endpoints
+    compare as the same IEEE doubles on both sides.
+
+    Shape at scale: the textbook streaming aggregate — read-pruned to
+    four columns, every batch folds to a single partial row, the
+    finish sums |blocks| rows. No shuffle, no driver loop.
+    """
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_discount"],
+                                         pa.scalar(disc_lo)),
+                        pc.less_equal(batch["l_discount"],
+                                      pa.scalar(disc_hi))),
+                pc.less(batch["l_quantity"], pa.scalar(float(max_qty)))))
+        batch = batch.filter(keep)
+        given = pc.cast(pc.round(
+            pc.multiply(pc.multiply(batch["l_extendedprice"],
+                                    batch["l_discount"]), 100),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "revenue_cents": pa.array(
+                             [pc.sum(given).as_py() or 0], pa.int64()),
+                         "n_lines": pa.array([len(batch)], pa.int64())})
+
+    out = _finish_grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["k"])
+    return out.map_batches(lambda t: t.drop_columns(["k"]),
+                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# part-name semi-join: shared by product_type_profit / excess_qty_suppliers
+# ---------------------------------------------------------------------------
+
+
+def _semi_join_part_name(ds, sf_dir: str, name_token: str,
+                         broadcast_max_bytes: int,
+                         num_partitions: int | None, project):
+    """Keep only fact rows whose ``l_partkey`` belongs to a part whose
+    ``p_name`` contains ``name_token`` (substring, same semantics as
+    SQL ``LIKE '%token%'``). ``project(batch) -> pa.Table`` prepares
+    the fact columns (must include ``l_partkey``).
+
+    Below the byte gate the matching partkeys broadcast once as a
+    sorted numpy array and every fact batch resolves membership with
+    one searchsorted — the fact table never shuffles. Above it, a
+    hash-partitioned inner ``Dataset.join`` against the pre-filtered
+    part dim (the dim shrinks to matching keys BEFORE the exchange).
+    ``_attach_dim_value`` cannot express this (its ``allowed`` filter
+    is over int64 values, not a string predicate) — keep this helper
+    the single implementation of name-predicate semi-joins.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    try:
+        part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
+    except OSError:
+        part_bytes = 0
+
+    if part_bytes <= broadcast_max_bytes:
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_name"])
+        match = np.sort(part.filter(
+            pc.match_substring(part["p_name"], name_token))
+            ["p_partkey"].to_numpy(zero_copy_only=False))
+        ref = ray.put(match)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            t = project(batch)
+            fk = t["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, fk)
+            pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (ks[pos_c] == fk) if len(ks) else np.zeros(len(fk), bool)
+            return t.filter(pa.array(hit))
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            li_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        except OSError:
+            li_bytes = 0
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-(part_bytes + li_bytes) // (128 << 20))))
+
+    def dim_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], name_token))
+        return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64())})
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+        .map_batches(dim_project, batch_format="pyarrow")
+    j = ds.map_batches(project, batch_format="pyarrow") \
+        .join(part_ds, "inner", num_partitions=num_partitions,
+              on=("l_partkey",), right_on=("p_partkey",))
+
+    def cleanup(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("p_partkey",) if c in t.column_names]
+        return t.drop_columns(drop) if drop else t
+
+    return j.map_batches(cleanup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by supplier nation and ship year
+# ---------------------------------------------------------------------------
+
+PROFIT_NAME_TOKEN = "red"
+
+
+def product_type_profit(sf_dir: str, name_token: str = PROFIT_NAME_TOKEN,
+                        broadcast_max_bytes: int = PART_DIM_BROADCAST_MAX_BYTES,
+                        num_partitions: int | None = None):
+    """TPC-H Q9 shape (partsupp-free variant): revenue of lineitems
+    whose part name contains ``name_token``, grouped by the SUPPLIER's
+    nation and the SHIP year — (nation, l_year, profit_cents). The
+    testdata has no partsupp table, so profit is discounted revenue
+    (no supply-cost term) and the year comes from l_shipdate (no
+    orders join) — both divergences from stock Q9 are intentional and
+    mirrored in the oracle.
+
+    Shape at scale: two gated dim attaches and zero fact shuffles on
+    the broadcast path — the part-name semi-join prunes first (one
+    searchsorted per batch), the supplier nation attaches second on
+    the surviving ~1/|tokens| of rows, and each batch folds to
+    <= |nations|x|years| partial rows before the bounded-key finish.
+    Nation names map onto the TINY grouped result at the very end.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "l_year": pc.cast(pc.year(batch["l_shipdate"]), pa.int64()),
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    li = _semi_join_part_name(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+               "l_shipdate"]),
+        sf_dir, name_token, broadcast_max_bytes, num_partitions,
+        project=li_project)
+
+    if num_partitions is None:
+        import os
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        try:
+            nbytes = os.path.getsize(f"{sf_dir}/supplier.parquet") \
+                + os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        except OSError:
+            nbytes = 0
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-nbytes // (128 << 20))))
+
+    li = _attach_dim_value(li, sf_dir, "supplier", "s_suppkey",
+                           "s_nationkey", "l_suppkey", "s_nat",
+                           broadcast_max_bytes, num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"s_nat": batch["s_nat"], "l_year": batch["l_year"],
+                         "rev_c": batch["rev_c"]}) \
+            .group_by(["s_nat", "l_year"]).aggregate([("rev_c", "sum")]) \
+            .rename_columns(["s_nat", "l_year", "profit_cents"])
+
+    grouped = _finish_grouped_sums(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["s_nat", "l_year"])
+
+    # nation is the one always-tiny table (25 rows in stock TPC-H):
+    # map key -> name on the <= |nations|x|years| grouped result
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+    name_ref = ray.put(names)
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        nm = ray.get(name_ref)
+        return pa.table({
+            "nation": pa.array([nm[k] for k in t["s_nat"].to_pylist()],
+                               pa.string()),
+            "l_year": t["l_year"],
+            "profit_cents": t["profit_cents"],
+        })
+
+    return grouped.map_batches(attach_name, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue report, top-k customers
+# ---------------------------------------------------------------------------
+
+RETURNED_FROM = "1996-01-01"
+RETURNED_TO = "1996-04-01"  # one quarter
+RETURNED_TOPK = 20
+ORDERS_WINDOW_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def returned_item_report(sf_dir: str, date_from: str = RETURNED_FROM,
+                         date_to: str = RETURNED_TO,
+                         k: int = RETURNED_TOPK,
+                         broadcast_max_bytes: int = ORDERS_WINDOW_BROADCAST_MAX_BYTES,
+                         num_partitions: int | None = None):
+    """TPC-H Q10 shape: customers who returned the most revenue —
+    lineitems with l_returnflag='R' whose order was placed inside one
+    quarter, revenue summed per customer, top-k by (revenue desc,
+    custkey asc), enriched with c_name / acctbal_cents / nation name.
+
+    Shape at scale:
+    - the orders side filters to ONE quarter before it moves; below
+      the byte gate the (orderkey -> custkey) window map broadcasts
+      once as sorted numpy arrays and every lineitem batch attaches
+      custkey with one searchsorted (no fact shuffle); above it a
+      hash-partitioned inner ``Dataset.join`` on the orderkey;
+    - the per-customer aggregate pre-folds per batch, so the groupby
+      exchange moves one row per custkey per block, not line rows;
+    - top-k is per-block partial top-k then a k-row finisher (the
+      aggregate emits each custkey once, so top-k of top-ks is exact);
+    - the <= k winners broadcast as a tiny key set and the CUSTOMER
+      table streams once through a searchsorted semi-filter (column-
+      pruned, no shuffle) to pick up name/balance/nation. Assumes
+      orders.o_custkey FK-references customer (stock TPC-H guarantees
+      it); a dangling winner key would drop instead of promoting the
+      next customer the way the SQL inner join does.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    try:
+        orders_bytes = os.path.getsize(f"{sf_dir}/orders.parquet")
+    except OSError:
+        orders_bytes = 0
+
+    if orders_bytes <= broadcast_max_bytes:
+        o = pq.read_table(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        o = o.filter(pc.and_(pc.greater_equal(o["o_orderdate"], lo),
+                             pc.less(o["o_orderdate"], hi)))
+        ok = o["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = o["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok)
+        ref = ray.put((ok[order], ck[order]))
+
+        def attach_cust(batch: pa.Table) -> pa.Table:
+            ks, cs = ray.get(ref)
+            t = li_project(batch)
+            fk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, fk)
+            pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+            hit = (ks[pos_c] == fk) if len(ks) else np.zeros(len(fk), bool)
+            t = t.filter(pa.array(hit))
+            return t.append_column("o_custkey",
+                                   pa.array(cs[pos_c[hit]], pa.int64()))
+
+        joined = li.map_batches(attach_cust, batch_format="pyarrow")
+    else:
+        if num_partitions is None:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            try:
+                li_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet")
+            except OSError:
+                li_bytes = 0
+            num_partitions = min(
+                max(2, cpus // 2),
+                max(2, -(-(orders_bytes + li_bytes) // (128 << 20))))
+
+        def o_project(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                                 pc.less(t["o_orderdate"], hi)))
+            return pa.table({
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
+
+        o_ds = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(o_project, batch_format="pyarrow")
+        joined = li.map_batches(li_project, batch_format="pyarrow") \
+            .join(o_ds, "inner", num_partitions=num_partitions,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "rev_c": batch["rev_c"]}) \
+            .group_by("o_custkey").aggregate([("rev_c", "sum")]) \
+            .rename_columns(["o_custkey", "revenue_cents"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey") \
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "o_custkey"],
+                              ascending=[False, True]).head(k)
+
+    winners = agg.map_batches(rank, batch_format="pandas") \
+        .repartition(1).map_batches(rank, batch_format="pandas").take_all()
+    if not winners:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "c_name": pd.Series([], dtype=object),
+                             "revenue_cents": pd.Series([], dtype="int64"),
+                             "acctbal_cents": pd.Series([], dtype="int64"),
+                             "n_name": pd.Series([], dtype=object)})
+
+    win_keys = np.sort(np.array([w["o_custkey"] for w in winners], np.int64))
+    wref = ray.put(win_keys)
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ks = ray.get(wref)
+        fk = pc.cast(batch["c_custkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, fk)
+        pos_c = np.minimum(pos, max(len(ks) - 1, 0))
+        hit = ks[pos_c] == fk
+        t = batch.filter(pa.array(hit))
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "acctbal_cents": pc.cast(pc.round(
+                pc.multiply(t["c_acctbal"], 100),
+                round_mode="half_towards_infinity"), pa.int64()),
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+        })
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow").take_all()
+    attrs = {c["c_custkey"]: c for c in cust}
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation["n_nationkey"].to_pylist(),
+                     nation["n_name"].to_pylist()))
+
+    rows = [w for w in winners if w["o_custkey"] in attrs]
+    return pd.DataFrame({
+        "c_custkey": pd.Series([w["o_custkey"] for w in rows], dtype="int64"),
+        "c_name": [attrs[w["o_custkey"]]["c_name"] for w in rows],
+        "revenue_cents": pd.Series([w["revenue_cents"] for w in rows],
+                                   dtype="int64"),
+        "acctbal_cents": pd.Series(
+            [attrs[w["o_custkey"]]["acctbal_cents"] for w in rows],
+            dtype="int64"),
+        "n_name": [names[attrs[w["o_custkey"]]["c_nationkey"]] for w in rows],
+    })
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers who shipped excess quantity of a part family
+# ---------------------------------------------------------------------------
+
+EXCESS_NAME_TOKEN = "blue"
+EXCESS_FROM = "1996-01-01"
+EXCESS_TO = "1997-01-01"
+EXCESS_MIN_QTY_CENTS = 5000  # > 50 units of one part in the year
+SUPPLIER_DIM_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def excess_qty_suppliers(sf_dir: str, name_token: str = EXCESS_NAME_TOKEN,
+                         date_from: str = EXCESS_FROM,
+                         date_to: str = EXCESS_TO,
+                         min_qty_cents: int = EXCESS_MIN_QTY_CENTS,
+                         broadcast_max_bytes: int = SUPPLIER_DIM_BROADCAST_MAX_BYTES,
+                         num_partitions: int | None = None):
+    """TPC-H Q20 shape (partsupp-free variant): suppliers who shipped
+    MORE than ``min_qty_cents`` (quantity x100, integer-exact) of any
+    single part whose name contains ``name_token`` inside one year —
+    (s_suppkey, s_name), each supplier once. Stock Q20 thresholds on
+    partsupp.ps_availqty which the testdata lacks; a fixed shipped-
+    quantity threshold keeps the EXISTS-over-grouped-pairs shape.
+
+    Shape at scale: the part-name semi-join prunes the fact stream
+    with one searchsorted per batch (``_semi_join_part_name``, gated);
+    the (suppkey, partkey) aggregate pre-folds per batch so the 2-key
+    exchange moves pair partials, not line rows; qualifying pairs
+    collapse to distinct suppkeys with a second pre-folded groupby;
+    and the supplier name attaches gated — broadcast dict below the
+    byte gate, hash-partitioned join above.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum, Count
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                    pc.less(batch["l_shipdate"], hi)))
+        return pa.table({
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "qty_c": pc.cast(pc.round(pc.multiply(batch["l_quantity"], 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    li = _semi_join_part_name(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+        sf_dir, name_token, broadcast_max_bytes, num_partitions,
+        project=li_project)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_suppkey": batch["l_suppkey"],
+                         "l_partkey": batch["l_partkey"],
+                         "qty_c": batch["qty_c"]}) \
+            .group_by(["l_suppkey", "l_partkey"]) \
+            .aggregate([("qty_c", "sum")]) \
+            .rename_columns(["l_suppkey", "l_partkey", "qty_c"])
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["l_suppkey", "l_partkey"]) \
+        .aggregate(Sum("qty_c", alias_name="qty_c"))
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["qty_c"],
+                                    pa.scalar(min_qty_cents, pa.int64())))
+        return pa.table({"s_suppkey": pc.unique(
+            t["l_suppkey"].combine_chunks())})
+
+    supps = pairs.map_batches(qualify, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    try:
+        supp_bytes = os.path.getsize(f"{sf_dir}/supplier.parquet")
+    except OSError:
+        supp_bytes = 0
+
+    if supp_bytes <= broadcast_max_bytes:
+        supplier = pq.read_table(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_name"])
+        lookup = dict(zip(supplier["s_suppkey"].to_pylist(),
+                          supplier["s_name"].to_pylist()))
+        ref = ray.put(lookup)
+
+        def attach_name(df: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(ref)
+            # inner-join semantics: unknown suppkeys drop, like the SQL
+            df = df[df["s_suppkey"].isin(lk.keys())].copy()
+            df["s_name"] = [lk[s] for s in df["s_suppkey"]]
+            return df.sort_values("s_suppkey").reset_index(drop=True)
+
+        return supps.repartition(1).map_batches(attach_name,
+                                                batch_format="pandas")
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = min(max(2, cpus // 2),
+                             max(2, -(-supp_bytes // (128 << 20))))
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(lambda t: pa.table({
+            "sk": pc.cast(t["s_suppkey"], pa.int64()),
+            "s_name": t["s_name"]}), batch_format="pyarrow")
+    j = supps.join(supp_ds, "inner", num_partitions=num_partitions,
+                   on=("s_suppkey",), right_on=("sk",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["s_suppkey", "s_name"]].sort_values("s_suppkey") \
+            .reset_index(drop=True)
+
+    return j.repartition(1).map_batches(finish, batch_format="pandas")

@@ -383,3 +383,74 @@ def test_brand_qty_revenue_paths_agree(ray_session):
     assert len(fast) and fast.equals(slow)
     assert set(fast["p_brand"]) <= {r[0] for r in BRAND_QTY_RULES}
     assert (fast["revenue_cents"] > 0).all()
+
+
+def test_revenue_change_scalar_invariants(ray_session):
+    """The single-row streaming aggregate counts exactly the rows a
+    direct pyarrow filter keeps, with strictly positive give-back."""
+    import pyarrow.compute as pc
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        REVCHG_DISC_HI, REVCHG_DISC_LO, REVCHG_FROM, REVCHG_MAX_QTY,
+        REVCHG_TO, revenue_change)
+
+    out = revenue_change(SF).to_pandas()
+    assert len(out) == 1
+    assert out["revenue_cents"].iloc[0] > 0
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_shipdate", "l_discount", "l_quantity"])
+    keep = pc.and_(
+        pc.and_(pc.greater_equal(li["l_shipdate"],
+                                 np.datetime64(REVCHG_FROM, "us")),
+                pc.less(li["l_shipdate"], np.datetime64(REVCHG_TO, "us"))),
+        pc.and_(pc.and_(pc.greater_equal(li["l_discount"], REVCHG_DISC_LO),
+                        pc.less_equal(li["l_discount"], REVCHG_DISC_HI)),
+                pc.less(li["l_quantity"], float(REVCHG_MAX_QTY))))
+    assert out["n_lines"].iloc[0] == pc.sum(keep).as_py()
+
+
+def test_product_type_profit_paths_agree(ray_session):
+    """The gated part-name semi-join (broadcast searchsorted vs forced
+    hash-partitioned Dataset.join) and the gated supplier attach agree
+    on the per-(nation, year) profit."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        product_type_profit)
+
+    keys = ["nation", "l_year"]
+    fast = product_type_profit(SF).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    slow = product_type_profit(SF, broadcast_max_bytes=0).to_pandas() \
+        .sort_values(keys).reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert (fast["profit_cents"] > 0).all()
+
+
+def test_returned_item_report_paths_agree(ray_session):
+    """The gated orders-window attach (broadcast (orderkey, custkey)
+    arrays vs forced Dataset.join) keeps the identical top-k report,
+    k rows at most, strictly ranked (revenue desc, custkey asc)."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        RETURNED_TOPK, returned_item_report)
+
+    fast = returned_item_report(SF).reset_index(drop=True)
+    slow = returned_item_report(SF, broadcast_max_bytes=0) \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert len(fast) <= RETURNED_TOPK
+    rank = list(zip(-fast["revenue_cents"], fast["c_custkey"]))
+    assert rank == sorted(rank)
+
+
+def test_excess_qty_suppliers_paths_agree(ray_session):
+    """Part semi-join and supplier-name attach agree between the
+    broadcast arm and the forced Dataset.join arm; suppliers are
+    unique and sorted."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        excess_qty_suppliers)
+
+    fast = excess_qty_suppliers(SF).to_pandas().reset_index(drop=True)
+    slow = excess_qty_suppliers(SF, broadcast_max_bytes=0).to_pandas() \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert fast["s_suppkey"].is_unique
+    assert fast["s_suppkey"].is_monotonic_increasing
