@@ -265,6 +265,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_ivf": F_sim.ivf_knn,
+        # new in late r4, placed just past the 50-entry window so the
+        # knn artifact oracles (new r4, punch item 4) keep their first
+        # driver rows; these two are hash-verified every pytest run by
+        # test_driver_contract like the rest of the tail
+        "source_quality_gate": lambda sf: F_text.source_quality_gate(_docs(sf)),
+        "lsh_recall_report": lambda sf: F_dedup.lsh_recall_report(
+            _docs(sf), n_docs=_n_docs(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1936,6 +1943,66 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN nation n   ON n.n_nationkey = c.c_nationkey
             ORDER BY rev.revenue_cents DESC, c.c_custkey
             LIMIT {F_rel.RETURNED_TOPK}
+        """,
+        "lsh_recall_report": f"""
+            -- composes the ngram_jaccard_dup (exact) and
+            -- near_dup_pairs (LSH) contracts into one recall report
+            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
+            sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            shd AS (SELECT DISTINCT doc_id, s FROM sh),
+            sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            exact_pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sz sa ON sa.doc_id = inter.doc_a
+              JOIN sz sb ON sb.doc_id = inter.doc_b
+              WHERE round(1000000.0 * i / (sa.n + sb.n - i)) >= {F_dedup.JACCARD_THRESHOLD_E6}),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig UNION ALL
+              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
+              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
+              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
+            {_LSH_CAND},
+            sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
+            lsh_pairs AS (
+              SELECT doc_a, doc_b FROM cand
+              JOIN sets x ON x.doc_id = cand.doc_a
+              JOIN sets y ON y.doc_id = cand.doc_b
+              WHERE CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
+                               / len(list_distinct(x.ls || y.ls))) AS BIGINT)
+                    >= {F_dedup.JACCARD_THRESHOLD_E6})
+            SELECT (SELECT count(*) FROM exact_pairs) AS n_exact_pairs,
+                   (SELECT count(*) FROM lsh_pairs) AS n_lsh_pairs,
+                   (SELECT count(*) FROM exact_pairs e
+                    JOIN lsh_pairs l ON l.doc_a = e.doc_a
+                                    AND l.doc_b = e.doc_b) AS n_common_pairs
+        """,
+        "source_quality_gate": f"""
+            -- per-source percentile_disc gate on the integer
+            -- stopword-density score (text.source_quality_gate);
+            -- BIGINT // BIGINT floors on both sides (scores nonneg)
+            WITH s AS (
+              SELECT source,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     (CAST(array_length(regexp_extract_all(text, '{_EN}')) AS BIGINT) * 1000)
+                       // greatest(CAST(array_length(regexp_extract_all(text, '[^ ]+')) AS BIGINT), 1) AS score
+              FROM documents),
+            t AS (SELECT source,
+                         CAST(percentile_disc({F_text.QUALITY_GATE_Q_NUM / 100}) WITHIN GROUP (ORDER BY score) AS BIGINT) AS threshold_permille
+                  FROM s GROUP BY 1)
+            SELECT s.source,
+                   count(*) AS n_docs,
+                   any_value(t.threshold_permille) AS threshold_permille,
+                   CAST(sum(CASE WHEN s.score >= t.threshold_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN s.score >= t.threshold_permille THEN s.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+            FROM s JOIN t ON t.source = s.source
+            GROUP BY 1
         """,
         "excess_qty_suppliers": f"""
             -- Q20 shape (partsupp-free): suppliers with any single

@@ -1058,3 +1058,64 @@ def simhash_dup_pairs(ds, max_hamming: int = SIMHASH_MAX_HAMMING,
             "hamming": pa.array(ham[keep], pa.int64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+def lsh_recall_report(ds, n_docs: int | None = None):
+    """Dedup-quality evaluation: how much of the EXACT Jaccard >=
+    threshold pair set does the banded MinHash-LSH path recover?
+    One row — (n_exact_pairs, n_lsh_pairs, n_common_pairs); recall is
+    n_common/n_exact and the LSH false-positive count is
+    n_lsh - n_common (0 by construction here, since the LSH path
+    verifies candidates with the same exact Jaccard — the report
+    PROVES that instead of assuming it).
+
+    At-scale shape: both pair pipelines keep their own size-gated
+    paths; the report adds ONE exchange over (doc_a, doc_b) pair keys
+    (16 B/row + two flag ints) — pairs, not documents — and folds to
+    a single row of counts. The final take is <= one row per block.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .util import finish_grouped
+
+    exact = ngram_jaccard_pairs(ds, n_docs=n_docs)
+    lsh = lsh_candidate_pairs(ds, n_docs=n_docs)
+
+    def tag(is_exact: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            one = np.ones(n, np.int64)
+            zero = np.zeros(n, np.int64)
+            return pa.table({
+                "doc_a": pc.cast(t["doc_a"], pa.int64()),
+                "doc_b": pc.cast(t["doc_b"], pa.int64()),
+                "f_exact": pa.array(one if is_exact else zero, pa.int64()),
+                "f_lsh": pa.array(zero if is_exact else one, pa.int64())})
+        return fn
+
+    u = exact.map_batches(tag(True), batch_format="pyarrow") \
+        .union(lsh.map_batches(tag(False), batch_format="pyarrow"))
+    per_pair = u.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("f_exact", alias_name="f_exact"),
+        Sum("f_lsh", alias_name="f_lsh"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        fe = t["f_exact"].to_numpy(zero_copy_only=False)
+        fl = t["f_lsh"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_exact_pairs": pa.array([int((fe > 0).sum())], pa.int64()),
+            "n_lsh_pairs": pa.array([int((fl > 0).sum())], pa.int64()),
+            "n_common_pairs": pa.array([int(((fe > 0) & (fl > 0)).sum())],
+                                       pa.int64())})
+
+    rows = finish_grouped(
+        per_pair.map_batches(partial, batch_format="pyarrow"),
+        ["k"]).take_all()
+    n_ex = sum(r["n_exact_pairs"] for r in rows)
+    n_ls = sum(r["n_lsh_pairs"] for r in rows)
+    n_co = sum(r["n_common_pairs"] for r in rows)
+    return pd.DataFrame({"n_exact_pairs": pd.Series([n_ex], dtype="int64"),
+                         "n_lsh_pairs": pd.Series([n_ls], dtype="int64"),
+                         "n_common_pairs": pd.Series([n_co], dtype="int64")})

@@ -563,3 +563,33 @@ def test_cross_split_contamination_paths_agree(ray_session):
     want = sorted((d, split[d], int(h[d] in train))
                   for d in split if split[d] != "train")
     assert fast == want
+
+
+def test_lsh_recall_report_consistent_with_pair_sets(ray_session):
+    """The one-row report must equal direct recounts of the two pair
+    pipelines it composes: n_common is the true intersection size and
+    (because the LSH path exact-verifies candidates) every LSH pair is
+    an exact pair, so n_lsh == n_common <= n_exact."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        lsh_candidate_pairs, lsh_recall_report, ngram_jaccard_pairs)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+    rep = lsh_recall_report(docs(), n_docs=n)
+    assert len(rep) == 1
+
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs(docs(), n_docs=n).take_all()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in lsh_candidate_pairs(docs(), n_docs=n).take_all()}
+    row = rep.iloc[0]
+    assert row["n_exact_pairs"] == len(exact) > 0
+    assert row["n_lsh_pairs"] == len(lsh)
+    assert row["n_common_pairs"] == len(exact & lsh)
+    assert lsh <= exact

@@ -295,3 +295,43 @@ def test_doc_novelty_survives_mid_doc_block_splits(ray_session):
         ctx.target_max_block_size = saved
     assert len(split) == n_docs and split.equals(base)
     assert split_union.equals(base)
+
+
+def test_source_quality_gate_matches_per_doc_recompute(ray_session):
+    """The bounded-histogram fold reproduces a direct per-doc pandas
+    recompute of the percentile_disc rule (threshold = smallest score
+    with cum count >= ceil(q*n)), and the kept counts are the suffix
+    sums of that same distribution."""
+    import numpy as np
+    from pdf_context_extractor_agent_ray.functions.text import (
+        QUALITY_GATE_Q_NUM, STOPWORD_RES, TOKEN_RE, source_quality_gate)
+
+    out = source_quality_gate(_docs()).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+
+    docs = _docs().to_pandas()
+    import re
+    tok = re.compile(TOKEN_RE)
+    stop = re.compile(STOPWORD_RES["en"])
+    docs["n_chars"] = docs["text"].str.len()
+    docs["score"] = [
+        len(stop.findall(t)) * 1000 // max(len(tok.findall(t)), 1)
+        for t in docs["text"]]
+    rows = []
+    for source, g in docs.groupby("source", sort=True):
+        vals = np.sort(g["score"].to_numpy(np.int64))
+        n = len(vals)
+        thr = int(vals[(n * QUALITY_GATE_Q_NUM + 99) // 100 - 1])
+        kept = g[g["score"] >= thr]
+        rows.append({"source": source, "n_docs": n,
+                     "threshold_permille": thr, "n_kept": len(kept),
+                     "kept_chars": int(kept["n_chars"].sum())})
+    expect = pd.DataFrame(rows)
+    for c in expect.columns:
+        if c != "source":
+            expect[c] = expect[c].astype("int64")
+    assert len(out) and out.equals(expect)
+    assert (out["n_kept"] <= out["n_docs"]).all()
+    # the gate keeps at least (100 - q)% of every source by definition
+    assert (out["n_kept"] * 100 >= out["n_docs"]
+            * (100 - QUALITY_GATE_Q_NUM)).all()

@@ -111,17 +111,77 @@ def check(reps: int) -> int:
         "market_share": (R.market_share, ["o_year"]),
         "brand_qty_revenue": (R.brand_qty_revenue, ["p_brand"]),
         "event_user_overlap": (S.event_user_overlap, ["type_a", "type_b"]),
+        # the Q6 scalar and Q9 rollup replicate uniformly too
+        "revenue_change": (R.revenue_change, []),
+        "product_type_profit": (R.product_type_profit,
+                                ["nation", "l_year"]),
+    }
+
+    # key-LISTING ops don't scale x reps — every replica contributes
+    # its own shifted winners. Expected = expand each base row into its
+    # reps key-shifted copies (same names/amounts), re-rank, compare.
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _stride(dom: str) -> int:
+        tab, col = DOMAIN_SOURCE[dom]
+        return int(pc.max(
+            pq.read_table(f"{SF}/{tab}.parquet", columns=[col])[col]
+        ).as_py()) + 1
+
+    def _expand(base: pd.DataFrame, key_col: str, dom: str) -> pd.DataFrame:
+        stride = _stride(dom)
+        out = pd.concat(
+            [base.assign(**{key_col: base[key_col] + i * stride})
+             for i in range(reps)], ignore_index=True)
+        return out
+
+    def check_returned_item_report():
+        base = R.returned_item_report(SF)
+        t0 = time.time()
+        big = R.returned_item_report(OUT).reset_index(drop=True)
+        dt = time.time() - t0
+        # global top-k is drawn from the replicas of the base top-k:
+        # any base row below the base cut has >= k replica-0 copies of
+        # better rows above it (proof in SCALE.md), so expanding the
+        # base page and re-ranking is the exact expectation
+        expect = _expand(base, "c_custkey", "custkey") \
+            .sort_values(["revenue_cents", "c_custkey"],
+                         ascending=[False, True]) \
+            .head(R.RETURNED_TOPK).reset_index(drop=True)
+        return big.equals(expect), dt, len(big)
+
+    def check_excess_qty_suppliers():
+        base = R.excess_qty_suppliers(SF).to_pandas()
+        t0 = time.time()
+        big = R.excess_qty_suppliers(OUT).to_pandas().reset_index(drop=True)
+        dt = time.time() - t0
+        expect = _expand(base, "s_suppkey", "suppkey") \
+            .sort_values("s_suppkey").reset_index(drop=True)
+        return big.equals(expect), dt, len(big)
+
+    LISTING_OPS = {
+        "returned_item_report": check_returned_item_report,
+        "excess_qty_suppliers": check_excess_qty_suppliers,
     }
 
     only = os.environ.get("SOAK_ONLY", "")
     if only:
         OPS = {k: v for k, v in OPS.items() if k in only.split(",")}
+        LISTING_OPS = {k: v for k, v in LISTING_OPS.items()
+                       if k in only.split(",")}
 
     failures = 0
     for name, (fn, keys) in OPS.items():
-        base = fn(SF).to_pandas().sort_values(keys).reset_index(drop=True)
+        base = fn(SF).to_pandas()
+        if keys:
+            base = base.sort_values(keys)
+        base = base.reset_index(drop=True)
         t0 = time.time()
-        big = fn(OUT).to_pandas().sort_values(keys).reset_index(drop=True)
+        big = fn(OUT).to_pandas()
+        if keys:
+            big = big.sort_values(keys)
+        big = big.reset_index(drop=True)
         dt = time.time() - t0
         expect = base.copy()
         for c in expect.columns:
@@ -134,6 +194,12 @@ def check(reps: int) -> int:
             failures += 1
             print("expected (base x reps):\n", expect.head(10))
             print("got:\n", big.head(10))
+    for name, chk in LISTING_OPS.items():
+        ok, dt, nrows = chk()
+        print(f"{name}: {dt:6.1f} s  rows={nrows}  "
+              f"{'EXACT (expansion)' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            failures += 1
     ray.shutdown()
     return failures
 
