@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_gate": lambda sf: F_text.source_quality_gate(_docs(sf)),
         "lsh_recall_report": lambda sf: F_dedup.lsh_recall_report(
             _docs(sf), n_docs=_n_docs(sf)),
+        "corpus_clean_funnel": lambda sf: F_dedup.corpus_clean_funnel(
+            _docs(sf), n_docs=_n_docs(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -438,8 +440,14 @@ _SIMHASH_CTE = f"""norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
                   FROM bits GROUP BY doc_id)"""
 
 
-_DUP_CLUSTERS_SQL = f"""
-            WITH RECURSIVE norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+def _dup_cluster_ctes(src: str) -> str:
+    """The MinHash-LSH near-dup CLUSTER CTE chain (norm .. reach) over
+    an arbitrary source relation ``src`` (must expose doc_id, text).
+    Callers embed it after a ``WITH RECURSIVE`` and select from
+    ``reach``; ``_DUP_CLUSTERS_SQL`` is the documents-table instance
+    and ``corpus_clean_funnel`` re-instantiates it over the exact-dedup
+    survivor CTE."""
+    return f"""norm AS (SELECT doc_id, {_NORM} AS n FROM {src}),
             toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
             sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
                    FROM toks,
@@ -464,7 +472,11 @@ _DUP_CLUSTERS_SQL = f"""
               SELECT a, b FROM edges
               UNION
               SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-            )
+            )"""
+
+
+_DUP_CLUSTERS_SQL = f"""
+            WITH RECURSIVE {_dup_cluster_ctes('documents')}
             SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
         """
 
@@ -1943,6 +1955,71 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN nation n   ON n.n_nationkey = c.c_nationkey
             ORDER BY rev.revenue_cents DESC, c.c_custkey
             LIMIT {F_rel.RETURNED_TOPK}
+        """,
+        "corpus_clean_funnel": f"""
+            -- the end-to-end cleaning funnel: each stage's CTE feeds
+            -- the next, each count is a survivor count. Stage SQL
+            -- reuses the per-op contracts (exact_dedup fingerprint,
+            -- _dup_cluster_ctes over the survivor CTE, decontaminate
+            -- blocklist on the RAW corpus, quality_gate CASE rules).
+            WITH RECURSIVE
+            h0 AS (SELECT doc_id,
+                          md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS h
+                   FROM documents),
+            k0 AS (SELECT h, min(doc_id) AS kid FROM h0 GROUP BY 1),
+            docs2 AS (SELECT d.doc_id, d.text FROM documents d
+                      JOIN k0 ON k0.kid = d.doc_id),
+            {_dup_cluster_ctes('docs2')},
+            clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                         FROM reach GROUP BY a),
+            lens AS (SELECT doc_id, CAST(length({_NORM}) AS BIGINT) AS n_chars
+                     FROM docs2),
+            ranked AS (SELECT c.doc_id,
+                              row_number() OVER (PARTITION BY c.cluster_id
+                                                 ORDER BY l.n_chars DESC,
+                                                          c.doc_id ASC) AS rn
+                       FROM clusters c JOIN lens l ON l.doc_id = c.doc_id),
+            docs3 AS (SELECT * FROM docs2
+                      WHERE doc_id NOT IN (SELECT doc_id FROM ranked
+                                           WHERE rn > 1)),
+            bench AS (SELECT DISTINCT
+                             md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS h
+                      FROM documents
+                      WHERE doc_id % {F_text.DECONTAM_MODULUS} = 0),
+            docs4 AS (SELECT * FROM docs3
+                      WHERE md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX}))
+                            NOT IN (SELECT h FROM bench)),
+            t AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM docs4),
+            per AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS nd,
+                           CAST(max(c) AS BIGINT) AS top
+                    FROM per GROUP BY 1),
+            f AS (SELECT doc_id, n_tokens,
+                         CAST(round(1000000.0 * (n_tokens - nd) / n_tokens)
+                              AS BIGINT) AS dup_e6,
+                         CAST(round(1000000.0 * top / n_tokens)
+                              AS BIGINT) AS top_e6
+                  FROM agg),
+            docs5 AS (SELECT doc_id FROM f
+                      WHERE NOT (n_tokens < {F_text.QUALITY_GATE_MIN_TOKENS}
+                                 OR n_tokens > {F_text.QUALITY_GATE_MAX_TOKENS}
+                                 OR dup_e6 > {F_text.QUALITY_GATE_MAX_DUP_E6}
+                                 OR top_e6 > {F_text.QUALITY_GATE_MAX_TOP_E6}))
+            SELECT * FROM (
+              SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+                     (SELECT count(*) FROM documents) AS n_docs
+              UNION ALL SELECT 1, 'exact_dedup',
+                     (SELECT count(*) FROM docs2)
+              UNION ALL SELECT 2, 'near_dup_keep_best',
+                     (SELECT count(*) FROM docs3)
+              UNION ALL SELECT 3, 'decontaminate',
+                     (SELECT count(*) FROM docs4)
+              UNION ALL SELECT 4, 'quality_gate',
+                     (SELECT count(*) FROM docs5))
+            ORDER BY stage_idx
         """,
         "lsh_recall_report": f"""
             -- composes the ngram_jaccard_dup (exact) and

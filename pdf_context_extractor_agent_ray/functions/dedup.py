@@ -769,6 +769,19 @@ def near_dup_keep_best(ds,
     no per-cluster Python call, cluster size never matters). The final
     keep-list reuses the shared size-gated anti-join.
     """
+    drops = _keep_best_drops(ds, broadcast_max_cluster_docs, n_docs)
+    return _keep_ids_except(ds, drops, broadcast_max_drops)
+
+
+def _keep_best_drops(ds,
+                     broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
+                     n_docs: int | None = None):
+    """The keep-best DROP set (``drop_id`` rows): every clustered
+    near-duplicate except its cluster's longest-normalized-text member
+    (ties -> smallest doc_id). Factored out of ``near_dup_keep_best``
+    so pipeline compositions (``corpus_clean_funnel``) can anti-join
+    the same sparse drop set against a full ROW stream instead of the
+    id-only keep-list."""
     import ray
     import ray.data as rd
 
@@ -777,9 +790,8 @@ def near_dup_keep_best(ds,
     if clusters.count() <= broadcast_max_cluster_docs:
         rows = clusters.take_all()
         if not rows:
-            return _keep_ids_except(
-                ds, rd.from_arrow(pa.table({"drop_id": pa.array([], pa.int64())})),
-                broadcast_max_drops)
+            return rd.from_arrow(
+                pa.table({"drop_id": pa.array([], pa.int64())}))
         cid = {r["doc_id"]: r["cluster_id"] for r in rows}
         idref = ray.put(pa.array(sorted(cid), pa.int64()))
 
@@ -799,9 +811,8 @@ def near_dup_keep_best(ds,
         df = df.sort_values(["cluster_id", "n_chars", "doc_id"],
                             ascending=[True, False, True], kind="stable")
         best = set(df.groupby("cluster_id", sort=False).head(1)["doc_id"])
-        drops = rd.from_arrow(pa.table(
+        return rd.from_arrow(pa.table(
             {"drop_id": pa.array(sorted(set(cid) - best), pa.int64())}))
-        return _keep_ids_except(ds, drops, broadcast_max_drops)
 
     from ray.data.aggregate import Max
 
@@ -843,8 +854,7 @@ def near_dup_keep_best(ds,
         m = pc.not_equal(batch["key"], batch["best_key"])
         return pa.table({"drop_id": batch.filter(m)["doc_id"]})
 
-    drops = j2.map_batches(non_best, batch_format="pyarrow")
-    return _keep_ids_except(ds, drops, broadcast_max_drops)
+    return j2.map_batches(non_best, batch_format="pyarrow")
 
 
 def simhash_batch(batch: pa.Table, bits: int = 64) -> pa.Table:
@@ -1119,3 +1129,201 @@ def lsh_recall_report(ds, n_docs: int | None = None):
     return pd.DataFrame({"n_exact_pairs": pd.Series([n_ex], dtype="int64"),
                          "n_lsh_pairs": pd.Series([n_ls], dtype="int64"),
                          "n_common_pairs": pd.Series([n_co], dtype="int64")})
+
+
+def _rows_except(ds, drops, broadcast_max_drops: int):
+    """Row-preserving size-gated anti-join: every ROW of ``ds`` whose
+    ``doc_id`` is not in ``drops`` (``drop_id`` rows), all columns
+    kept. The id-only twin is ``_keep_ids_except`` (cheaper above the
+    gate — it ships ids through the join, not rows); this variant
+    exists for stage chaining in ``corpus_clean_funnel`` where the
+    surviving TEXT feeds the next stage."""
+    import ray
+
+    drops = drops.materialize()  # consumed by the gate AND the path
+    if drops.count() <= broadcast_max_drops:
+        drop_list = [r["drop_id"] for r in drops.take_all()]
+        ref = ray.put(pa.array(sorted(drop_list), pa.int64()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.invert(
+                pc.is_in(batch["doc_id"], value_set=ray.get(ref))))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    marked = drops.map_batches(
+        lambda b: pa.table({"drop_id": b["drop_id"],
+                            "_m": pa.array([1] * len(b), pa.int8())}),
+        batch_format="pyarrow")
+    j = ds.join(marked, "left_outer", num_partitions=max(2, cpus // 2),
+                on=("doc_id",), right_on=("drop_id",))
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_null(batch["_m"])).drop_columns(["_m"])
+
+    return j.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+FUNNEL_DUP_GROUP_BROADCAST_MAX = 10_000_000  # (hash, keep_id) rows
+FUNNEL_STAGES = ("raw", "exact_dedup", "near_dup_keep_best",
+                 "decontaminate", "quality_gate")
+
+
+def corpus_clean_funnel(ds, n_docs: int | None = None,
+                        dup_group_broadcast_max: int = FUNNEL_DUP_GROUP_BROADCAST_MAX,
+                        broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX,
+                        broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
+                        decontam_broadcast_max: int | None = None):
+    """The end-to-end corpus-cleaning FUNNEL a training-data run ships
+    as its headline report: raw -> exact dedup (keep-first by content
+    fingerprint) -> near-dup keep-best -> benchmark decontamination ->
+    quality gate, with the surviving doc count after each stage.
+    Output: (stage_idx, stage, n_docs) — 5 rows, integers.
+
+    Composition semantics (each stage sees the SURVIVORS of the one
+    before, exactly as chained cleaning jobs would):
+
+    - exact dedup drops every doc that is not the min doc_id of its
+      fingerprint group. The drop resolution is gated on the number of
+      DUPLICATED groups (sparse): below the gate the (hash -> keeper)
+      map broadcasts once; above it the hash rows join the duplicated
+      groups hash-partitioned on text_hash.
+    - near-dup keep-best reuses ``_keep_best_drops`` over the stage-1
+      survivor stream (clusters computed on survivors — a doc deduped
+      exactly is not eligible to win a near-dup cluster).
+    - decontamination drops survivors whose fingerprint collides with
+      the benchmark set, which is defined on the RAW corpus
+      (``doc_id % DECONTAM_MODULUS == 0``) — the benchmark is external
+      to the cleaning chain and must not shrink with it.
+    - quality gate applies ``quality_gate_batch``'s Gopher rules.
+
+    Scale shape: no stage materializes surviving TEXT — survivor
+    streams are lazy chained anti-filters (broadcast id sets below the
+    gates, hash-partitioned joins above), drop sets are the sparse
+    fraction and are the only thing counted; stage counts derive as
+    ``n_prev - |drops|``. The whole funnel costs ~6 corpus scans
+    (hash pass, LSH pass, clustered-lens pass, bench pass, survivor
+    hash pass, quality pass) — the same passes running the four ops
+    separately would cost, now over progressively smaller streams.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .text import (DECONTAM_MODULUS, fingerprint_batch,
+                       quality_gate_batch)
+    from .util import finish_grouped
+
+    n_raw = ds.count() if n_docs is None else n_docs
+
+    # ---- stage 1: exact dedup (keep-first per fingerprint) ----
+    hashed = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    groups = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_copies"))
+    dup_groups = groups.map_batches(
+        lambda t: t.filter(pc.greater(t["n_copies"], 1))
+        .select(["text_hash", "keep_doc_id"]),
+        batch_format="pyarrow").materialize()
+
+    if dup_groups.count() <= dup_group_broadcast_max:
+        dmap = {r["text_hash"]: r["keep_doc_id"]
+                for r in dup_groups.take_all()}
+        ref = ray.put(dmap)
+
+        def exact_drops(batch: pa.Table) -> pa.Table:
+            dm = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.array([dm.get(h, -1)
+                             for h in batch["text_hash"].to_pylist()],
+                            np.int64)
+            return pa.table({"drop_id": pa.array(
+                ids[(keep >= 0) & (keep != ids)], pa.int64())})
+
+        drops1 = hashed.map_batches(exact_drops, batch_format="pyarrow")
+    else:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        j = hashed.join(dup_groups, "inner",
+                        num_partitions=max(2, cpus // 2),
+                        on=("text_hash",))
+        drops1 = j.map_batches(
+            lambda t: pa.table({"drop_id": t.filter(pc.not_equal(
+                t["doc_id"], t["keep_doc_id"]))["doc_id"]}),
+            batch_format="pyarrow")
+
+    drops1 = drops1.materialize()
+    n_exact = n_raw - drops1.count()
+    ds2 = _rows_except(ds, drops1, broadcast_max_drops)
+
+    # ---- stage 2: near-dup keep-best over the exact survivors ----
+    drops2 = _keep_best_drops(
+        ds2, broadcast_max_cluster_docs, n_docs=n_exact).materialize()
+    n_near = n_exact - drops2.count()
+    ds3 = _rows_except(ds2, drops2, broadcast_max_drops)
+
+    # ---- stage 3: decontaminate vs the RAW-corpus benchmark set ----
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids % DECONTAM_MODULUS == 0))
+        return pa.table({"text_hash": pc.unique(
+            fingerprint_batch(sel)["text_hash"].combine_chunks())})
+
+    from .text import DECONTAM_BROADCAST_MAX
+    if decontam_broadcast_max is None:
+        decontam_broadcast_max = DECONTAM_BROADCAST_MAX
+
+    bench = ds.map_batches(bench_hashes, batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    if bench.count() <= decontam_broadcast_max:
+        bl = pa.array([r["text_hash"] for r in bench.take_all()],
+                      pa.string())
+        blref = ray.put(bl)
+
+        def contaminated(batch: pa.Table) -> pa.Table:
+            h = fingerprint_batch(batch)
+            hit = pc.is_in(h["text_hash"], value_set=ray.get(blref))
+            return pa.table({"drop_id": h.filter(hit)["doc_id"]})
+
+        drops3 = ds3.map_batches(contaminated, batch_format="pyarrow")
+    else:
+        # benchmark side scales with the corpus: hash-partitioned
+        # inner join of survivor fingerprints vs the bench hashes —
+        # matches ARE the drop set (same shape as text.decontaminate's
+        # above-gate arm)
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        surv_h = ds3.map_batches(
+            lambda t: fingerprint_batch(t), batch_format="pyarrow")
+        jm = surv_h.join(bench.map_batches(
+            lambda t: pa.table({"bh": t["text_hash"]}),
+            batch_format="pyarrow"), "inner",
+            num_partitions=max(2, cpus // 2),
+            on=("text_hash",), right_on=("bh",))
+        drops3 = jm.map_batches(
+            lambda t: pa.table({"drop_id": t["doc_id"]}),
+            batch_format="pyarrow")
+
+    drops3 = drops3.materialize()
+    n_decon = n_near - drops3.count()
+    ds4 = _rows_except(ds3, drops3, broadcast_max_drops)
+
+    # ---- stage 4: quality gate (count only — the funnel's terminus) ----
+    def kept_partial(batch: pa.Table) -> pa.Table:
+        q = quality_gate_batch(batch)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n": pa.array([int(pc.sum(q["keep"]).as_py() or 0)],
+                                       pa.int64())})
+
+    kept_rows = finish_grouped(
+        ds4.map_batches(kept_partial, batch_format="pyarrow"),
+        ["k"]).take_all()
+    n_quality = sum(r["n"] for r in kept_rows)
+
+    counts = [n_raw, n_exact, n_near, n_decon, n_quality]
+    return pd.DataFrame({
+        "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
+        "stage": list(FUNNEL_STAGES),
+        "n_docs": pd.Series(counts, dtype="int64"),
+    })

@@ -593,3 +593,34 @@ def test_lsh_recall_report_consistent_with_pair_sets(ray_session):
     assert row["n_lsh_pairs"] == len(lsh)
     assert row["n_common_pairs"] == len(exact & lsh)
     assert lsh <= exact
+
+
+def test_corpus_clean_funnel_paths_and_stagewise_agreement(ray_session):
+    """The funnel's broadcast arms and every forced join arm (dup-group
+    join, row anti-joins, distributed keep-best winner, decontam hash
+    join) produce the identical 5-row report; counts are monotone
+    non-increasing; and the exact-dedup stage equals the standalone
+    exact_dedup contract's distinct-fingerprint count."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        corpus_clean_funnel, exact_dedup)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+    fast = corpus_clean_funnel(docs(), n_docs=n)
+    slow = corpus_clean_funnel(docs(), n_docs=n,
+                               dup_group_broadcast_max=0,
+                               broadcast_max_drops=0,
+                               broadcast_max_cluster_docs=0,
+                               decontam_broadcast_max=0)
+    assert fast.equals(slow)
+    counts = fast["n_docs"].tolist()
+    assert counts[0] == n
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
+    assert counts[1] == exact_dedup(docs()).count()
