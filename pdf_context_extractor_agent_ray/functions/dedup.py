@@ -1070,7 +1070,8 @@ def simhash_dup_pairs(ds, max_hamming: int = SIMHASH_MAX_HAMMING,
     return j.map_batches(verify, batch_format="pyarrow")
 
 
-def lsh_recall_report(ds, n_docs: int | None = None):
+def lsh_recall_report(ds, n_docs: int | None = None,
+                      driver_max_docs: int | None = None):
     """Dedup-quality evaluation: how much of the EXACT Jaccard >=
     threshold pair set does the banded MinHash-LSH path recover?
     One row — (n_exact_pairs, n_lsh_pairs, n_common_pairs); recall is
@@ -1079,18 +1080,35 @@ def lsh_recall_report(ds, n_docs: int | None = None):
     verifies candidates with the same exact Jaccard — the report
     PROVES that instead of assuming it).
 
-    At-scale shape: both pair pipelines keep their own size-gated
-    paths; the report adds ONE exchange over (doc_a, doc_b) pair keys
-    (16 B/row + two flag ints) — pairs, not documents — and folds to
-    a single row of counts. The final take is <= one row per block.
+    Size-gated like its inputs: below ``driver_max_docs`` (defaults to
+    the LSH broadcast gate) both pair sets are the sparse duplicate
+    fraction of a driver-path corpus, so they come back with
+    ``take_all`` and set-intersect in plain Python — no exchange at
+    all. At-scale, the report adds ONE exchange over (doc_a, doc_b)
+    pair keys (16 B/row + two flag ints) — pairs, not documents — and
+    folds to a single row of counts.
     """
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from .util import finish_grouped
 
+    if driver_max_docs is None:
+        driver_max_docs = LSH_BROADCAST_MAX_DOCS
+    if n_docs is None:
+        n_docs = ds.count()
+
     exact = ngram_jaccard_pairs(ds, n_docs=n_docs)
     lsh = lsh_candidate_pairs(ds, n_docs=n_docs)
+
+    if n_docs <= driver_max_docs:
+        e_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.take_all()}
+        l_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh.take_all()}
+        return pd.DataFrame({
+            "n_exact_pairs": pd.Series([len(e_pairs)], dtype="int64"),
+            "n_lsh_pairs": pd.Series([len(l_pairs)], dtype="int64"),
+            "n_common_pairs": pd.Series([len(e_pairs & l_pairs)],
+                                        dtype="int64")})
 
     def tag(is_exact: bool):
         def fn(t: pa.Table) -> pa.Table:

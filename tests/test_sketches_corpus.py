@@ -583,6 +583,10 @@ def test_lsh_recall_report_consistent_with_pair_sets(ray_session):
     n = parquet_num_rows(f"{SF}/documents.parquet")
     rep = lsh_recall_report(docs(), n_docs=n)
     assert len(rep) == 1
+    # forced distributed arm (union + pair-key exchange) must agree
+    # with the driver set-intersect arm
+    slow = lsh_recall_report(docs(), n_docs=n, driver_max_docs=0)
+    assert rep.equals(slow)
 
     exact = {(r["doc_a"], r["doc_b"])
              for r in ngram_jaccard_pairs(docs(), n_docs=n).take_all()}
