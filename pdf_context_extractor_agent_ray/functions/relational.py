@@ -24,13 +24,27 @@ import pyarrow.compute as pc
 from .util import table_from_pandas
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, predicate=None):
+    """Column- and (optionally) row-pruned parquet read. ``predicate``
+    is a ``pyarrow.dataset`` expression pushed into the fragment scan —
+    at scale it skips whole row groups via min/max statistics before
+    any byte leaves storage. Callers KEEP their in-batch filters with
+    the same bounds: the pushdown is purely an optimization and the
+    batch filter remains the semantic guard (so an oracle never
+    depends on scan-level behavior)."""
     import ray.data as rd
     from .util import strip_schema_metadata
     # metadata-free blocks keep downstream groupby/join reduces on the
     # hashable-schema fast path (util.strip_schema_metadata)
+    kw = {"filter": predicate} if predicate is not None else {}
     return strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns))
+        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw))
+
+
+def _between(col: str, lo, hi):
+    """``lo <= col < hi`` as a pushdown-able dataset expression."""
+    import pyarrow.dataset as pds
+    return (pds.field(col) >= lo) & (pds.field(col) < hi)
 
 
 def _finish_grouped_sums(partials, keys: list[str]):
@@ -749,7 +763,10 @@ def idle_customers(sf_dir: str, cutoff: str = IDLE_CUTOFF,
     # side, groupby dedups globally, then a hash-partitioned left_outer
     # join marks matches and the filter keeps the nulls (anti-join)
     from ray.data.aggregate import Count
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    import pyarrow.dataset as pds
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   predicate=pds.field("o_orderdate")
+                   >= np.datetime64(cutoff, "us"))
     have_ds = orders.map_batches(
         lambda t: pa.table({"o_custkey": pc.unique(
             t.filter(pc.greater_equal(t["o_orderdate"], cutoff_ts))
@@ -851,7 +868,10 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         num_partitions = min(max(2, cpus // 2),
                              max(2, -(-nbytes // (128 << 20))))
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   predicate=_between("o_orderdate",
+                                      np.datetime64(date_from, "us"),
+                                      np.datetime64(date_to, "us")))
 
     def in_window(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.and_(
@@ -2269,10 +2289,16 @@ def late_shipment_priority(sf_dir: str, date_from: str = LATE_FROM,
                             "n_late": late.astype(np.int64)})
         return out.groupby("o_orderpriority", as_index=False).sum()
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+    import pyarrow.dataset as pds
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
+               predicate=pds.field("l_shipdate")
+               > np.datetime64(lo_us + grace_us, "us")) \
         .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     o = _read(sf_dir, "orders",
-              ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+              ["o_orderkey", "o_orderdate", "o_orderpriority"],
+              predicate=_between("o_orderdate",
+                                 np.datetime64(date_from, "us"),
+                                 np.datetime64(date_to, "us"))) \
         .map_batches(order_rows, batch_format="pyarrow", batch_size=None)
     return _finish_grouped_sums(
         li.union(o).groupby("bucket").map_groups(fold, batch_format="pandas"),
@@ -2353,7 +2379,10 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
     li = _attach_dim_value(
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-               "l_shipdate"]),
+               "l_shipdate"],
+              predicate=_between("l_shipdate",
+                                 np.datetime64(date_from, "us"),
+                                 np.datetime64(date_to, "us"))),
         sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey", "s_nat",
         broadcast_max_bytes, num_partitions, allowed=allowed,
         project=li_project)
@@ -2526,7 +2555,10 @@ def market_share(sf_dir: str, region: str = MKT_REGION,
         })
 
     o = _attach_dim_value(
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+              predicate=_between("o_orderdate",
+                                 np.datetime64(date_from, "us"),
+                                 np.datetime64(date_to, "us"))),
         sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey", None,
         broadcast_max_bytes, num_partitions, allowed=region_nations,
         project=o_project)
@@ -2713,7 +2745,9 @@ def revenue_change(sf_dir: str, date_from: str = REVCHG_FROM,
     hi = pa.scalar(np.datetime64(date_to, "us"))
 
     ds = _read(sf_dir, "lineitem",
-               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+               ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+               predicate=_between("l_shipdate", np.datetime64(date_from, "us"),
+                                  np.datetime64(date_to, "us")))
 
     def partial(batch: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -3016,7 +3050,10 @@ def returned_item_report(sf_dir: str, date_from: str = RETURNED_FROM,
                 "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
 
         o_ds = _read(sf_dir, "orders",
-                     ["o_orderkey", "o_custkey", "o_orderdate"]) \
+                     ["o_orderkey", "o_custkey", "o_orderdate"],
+                     predicate=_between("o_orderdate",
+                                        np.datetime64(date_from, "us"),
+                                        np.datetime64(date_to, "us"))) \
             .map_batches(o_project, batch_format="pyarrow")
         joined = li.map_batches(li_project, batch_format="pyarrow") \
             .join(o_ds, "inner", num_partitions=num_partitions,
@@ -3142,7 +3179,10 @@ def excess_qty_suppliers(sf_dir: str, name_token: str = EXCESS_NAME_TOKEN,
 
     li = _semi_join_part_name(
         _read(sf_dir, "lineitem",
-              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]),
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+              predicate=_between("l_shipdate",
+                                 np.datetime64(date_from, "us"),
+                                 np.datetime64(date_to, "us"))),
         sf_dir, name_token, broadcast_max_bytes, num_partitions,
         project=li_project)
 

@@ -454,3 +454,20 @@ def test_excess_qty_suppliers_paths_agree(ray_session):
     assert len(fast) and fast.equals(slow)
     assert fast["s_suppkey"].is_unique
     assert fast["s_suppkey"].is_monotonic_increasing
+
+
+def test_read_predicate_pushdown_matches_batch_filter(ray_session):
+    """_read's scan-level predicate keeps exactly the rows the
+    equivalent in-batch filter keeps (callers keep both — the batch
+    filter stays the semantic guard, the predicate only prunes)."""
+    import pyarrow.compute as pc
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        _between, _read)
+
+    lo, hi = np.datetime64("1996-01-01", "us"), np.datetime64("1997-01-01", "us")
+    pushed = _read(SF, "lineitem", ["l_shipdate"],
+                   predicate=_between("l_shipdate", lo, hi)).count()
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_shipdate"])
+    expect = pc.sum(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi))).as_py()
+    assert pushed == expect > 0
