@@ -195,6 +195,31 @@ def cmd_metrics(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_clean(args: argparse.Namespace) -> int:
+    """Run the corpus-cleaning funnel (exact dedup -> near-dup
+    keep-best -> decontaminate -> quality gate) over a documents table,
+    write the cleaned corpus as parquet, and print the 5-stage
+    survivor report as JSON."""
+    import ray.data as rd
+
+    from .functions.dedup import corpus_clean_funnel
+    from .functions.util import parquet_num_rows, strip_schema_metadata
+
+    _init_ray(args.num_cpus)
+    docs = strip_schema_metadata(
+        rd.read_parquet(f"{args.sf_dir}/documents.parquet"))
+    n = parquet_num_rows(f"{args.sf_dir}/documents.parquet")
+    report = corpus_clean_funnel(docs, n_docs=n, output_path=args.output)
+    print(json.dumps({
+        "output": args.output,
+        "funnel": {r["stage"]: int(r["n_docs"])
+                   for _, r in report.iterrows()},
+    }))
+    import ray
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any registered analytics query (the ``__ray_entry__``
     ``queries()`` registry) over a table directory and write the
@@ -291,6 +316,16 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--output", required=True)
     pm.add_argument("--num-cpus", type=int)
     pm.set_defaults(fn=cmd_metrics)
+
+    pc_ = sub.add_parser(
+        "clean", help="run the corpus-cleaning funnel over a documents "
+                      "table and write the cleaned corpus")
+    pc_.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                     help="directory holding documents.parquet")
+    pc_.add_argument("--output", required=True,
+                     help="directory for the cleaned corpus parquet")
+    pc_.add_argument("--num-cpus", type=int)
+    pc_.set_defaults(fn=cmd_clean)
 
     pq_ = sub.add_parser(
         "query", help="run a registered analytics query ('query list' "

@@ -1192,12 +1192,17 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
                         dup_group_broadcast_max: int = FUNNEL_DUP_GROUP_BROADCAST_MAX,
                         broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX,
                         broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
-                        decontam_broadcast_max: int | None = None):
+                        decontam_broadcast_max: int | None = None,
+                        output_path: str | None = None):
     """The end-to-end corpus-cleaning FUNNEL a training-data run ships
     as its headline report: raw -> exact dedup (keep-first by content
     fingerprint) -> near-dup keep-best -> benchmark decontamination ->
     quality gate, with the surviving doc count after each stage.
-    Output: (stage_idx, stage, n_docs) — 5 rows, integers.
+    Output: (stage_idx, stage, n_docs) — 5 rows, integers. With
+    ``output_path`` set, the final survivors are WRITTEN as parquet
+    (one file per block; read back with ``io.read_documents``) and the
+    terminal count comes from the written footers — production mode,
+    exposed as the ``clean`` CLI subcommand.
 
     Composition semantics (each stage sees the SURVIVORS of the one
     before, exactly as chained cleaning jobs would):
@@ -1327,17 +1332,34 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
     n_decon = n_near - drops3.count()
     ds4 = _rows_except(ds3, drops3, broadcast_max_drops)
 
-    # ---- stage 4: quality gate (count only — the funnel's terminus) ----
-    def kept_partial(batch: pa.Table) -> pa.Table:
-        q = quality_gate_batch(batch)
-        return pa.table({"k": pa.array([0], pa.int64()),
-                         "n": pa.array([int(pc.sum(q["keep"]).as_py() or 0)],
-                                       pa.int64())})
+    # ---- stage 4: quality gate (the funnel's terminus) ----
+    if output_path is not None:
+        # production mode: WRITE the cleaned corpus (partitioned
+        # parquet, one file per block) and count from the written
+        # footers — one execution of the chain, resumable consumers
+        # read the directory back with io.read_documents
+        import pyarrow.dataset as pads
 
-    kept_rows = finish_grouped(
-        ds4.map_batches(kept_partial, batch_format="pyarrow"),
-        ["k"]).take_all()
-    n_quality = sum(r["n"] for r in kept_rows)
+        def quality_rows(batch: pa.Table) -> pa.Table:
+            q = quality_gate_batch(batch)
+            return batch.filter(pc.equal(q["keep"], 1))
+
+        ds4.map_batches(quality_rows, batch_format="pyarrow") \
+            .write_parquet(output_path)
+        n_quality = sum(f.count_rows()
+                        for f in pads.dataset(output_path).get_fragments())
+    else:
+        def kept_partial(batch: pa.Table) -> pa.Table:
+            q = quality_gate_batch(batch)
+            return pa.table({"k": pa.array([0], pa.int64()),
+                             "n": pa.array(
+                                 [int(pc.sum(q["keep"]).as_py() or 0)],
+                                 pa.int64())})
+
+        kept_rows = finish_grouped(
+            ds4.map_batches(kept_partial, batch_format="pyarrow"),
+            ["k"]).take_all()
+        n_quality = sum(r["n"] for r in kept_rows)
 
     counts = [n_raw, n_exact, n_near, n_decon, n_quality]
     return pd.DataFrame({

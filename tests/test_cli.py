@@ -114,3 +114,23 @@ def test_cli_query_registry(tmp_path):
          "query", "no_such_query", "--show"],
         capture_output=True, text=True, timeout=60)
     assert bad.returncode != 0 and "unknown query" in bad.stderr
+
+
+def test_cli_clean_writes_survivors(tmp_path):
+    """`clean` writes the quality-gate survivors as parquet and the
+    printed funnel report's terminal count equals the written rows."""
+    import pyarrow.dataset as pads
+
+    dest = str(tmp_path / "cleaned")
+    r = _run("clean", "--sf-dir", "/root/testdata/sf0.001",
+             "--output", dest, "--num-cpus", "4")
+    rep = r[-1]
+    assert rep["output"] == dest
+    funnel = rep["funnel"]
+    assert list(funnel) == ["raw", "exact_dedup", "near_dup_keep_best",
+                            "decontaminate", "quality_gate"]
+    vals = list(funnel.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    written = sum(f.count_rows()
+                  for f in pads.dataset(dest).get_fragments())
+    assert written == funnel["quality_gate"] > 0
