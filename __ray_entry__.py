@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), n_docs=_n_docs(sf)),
         "corpus_clean_funnel": lambda sf: F_dedup.corpus_clean_funnel(
             _docs(sf), n_docs=_n_docs(sf)),
+        "dup_source_matrix": lambda sf: F_dedup.dup_source_matrix(
+            _docs(sf), n_docs=_n_docs(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1955,6 +1957,37 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN nation n   ON n.n_nationkey = c.c_nationkey
             ORDER BY rev.revenue_cents DESC, c.c_custkey
             LIMIT {F_rel.RETURNED_TOPK}
+        """,
+        "dup_source_matrix": f"""
+            -- cross-source duplication matrix over the verified LSH
+            -- pair set (dedup.dup_source_matrix); source pair in
+            -- lexicographic order so (a,b) and (b,a) fold together
+            WITH norm AS (SELECT doc_id, {_NORM} AS n FROM documents),
+            toks AS (SELECT doc_id, string_split(n, ' ') AS tk FROM norm),
+            sh AS (SELECT doc_id, array_to_string(tk[i:i+{F_dedup.SHINGLE_TOKENS - 1}], ' ') AS s
+                   FROM toks,
+                        unnest(range(1, greatest(len(tk) - {F_dedup.SHINGLE_TOKENS}, 0) + 2)) AS u(i)),
+            sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(sig_0 || '|' || sig_1) AS bucket FROM sig UNION ALL
+              SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sig UNION ALL
+              SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sig UNION ALL
+              SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sig),
+            {_LSH_CAND},
+            sets AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id),
+            p AS (SELECT doc_a, doc_b FROM cand
+                  JOIN sets x ON x.doc_id = cand.doc_a
+                  JOIN sets y ON y.doc_id = cand.doc_b
+                  WHERE CAST(round(1000000.0 * len(list_intersect(x.ls, y.ls))
+                                   / len(list_distinct(x.ls || y.ls))) AS BIGINT)
+                        >= {F_dedup.JACCARD_THRESHOLD_E6})
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   count(*) AS n_pairs
+            FROM p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+            GROUP BY 1, 2
         """,
         "corpus_clean_funnel": f"""
             -- the end-to-end cleaning funnel: each stage's CTE feeds

@@ -1367,3 +1367,104 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
         "stage": list(FUNNEL_STAGES),
         "n_docs": pd.Series(counts, dtype="int64"),
     })
+
+
+def dup_source_matrix(ds, n_docs: int | None = None,
+                      broadcast_max_docs: int = LSH_BROADCAST_MAX_DOCS,
+                      num_partitions: int | None = None):
+    """Cross-source duplication matrix: for every near-dup pair
+    (MinHash-LSH, exact-verified), which SOURCES the two members came
+    from — (source_a, source_b, n_pairs) with the source pair in
+    lexicographic order. The report a mixture planner reads to find
+    which feeds duplicate each other (and themselves: the diagonal).
+
+    Size-gated: below ``broadcast_max_docs`` the (doc_id -> source)
+    map broadcasts once via ``ray.put`` and the sparse pair stream
+    annotates + folds on the driver; above it the pair stream joins
+    the pruned (doc_id, source) projection TWICE, hash-partitioned on
+    the pair's doc ids — pairs are the sparse duplicate fraction, so
+    both joins move pair-proportional rows, never the corpus.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .util import finish_grouped
+
+    if n_docs is None:
+        n_docs = ds.count()
+    pairs = lsh_candidate_pairs(ds, n_docs=n_docs)
+
+    empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype=object),
+        "source_b": pd.Series([], dtype=object),
+        "n_pairs": pd.Series([], dtype="int64")})
+
+    def src_project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "source": batch["source"]})
+
+    if n_docs <= broadcast_max_docs:
+        rows = ds.map_batches(src_project, batch_format="pyarrow").take_all()
+        smap = {r["doc_id"]: r["source"] for r in rows}
+        ref = ray.put(smap)
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            sm = ray.get(ref)
+            sa, sb = [], []
+            for a, b in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist()):
+                x, y = sm[a], sm[b]
+                if y < x:
+                    x, y = y, x
+                sa.append(x)
+                sb.append(y)
+            return pa.table({"source_a": pa.array(sa, pa.string()),
+                             "source_b": pa.array(sb, pa.string())})
+
+        ann = pairs.map_batches(annotate, batch_format="pyarrow").take_all()
+        if not ann:
+            return empty
+        df = pd.DataFrame(ann).groupby(["source_a", "source_b"],
+                                       as_index=False).size() \
+            .rename(columns={"size": "n_pairs"})
+        df["n_pairs"] = df["n_pairs"].astype("int64")
+        return df.sort_values(["source_a", "source_b"]) \
+            .reset_index(drop=True)
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, cpus // 2)
+
+    src = ds.map_batches(src_project, batch_format="pyarrow")
+    sa = src.map_batches(lambda t: pa.table({"_ka": t["doc_id"],
+                                             "src_a": t["source"]}),
+                         batch_format="pyarrow")
+    sb = src.map_batches(lambda t: pa.table({"_kb": t["doc_id"],
+                                             "src_b": t["source"]}),
+                         batch_format="pyarrow")
+    j = pairs.select_columns(["doc_a", "doc_b"]) \
+        .join(sa, "inner", num_partitions=num_partitions,
+              on=("doc_a",), right_on=("_ka",)) \
+        .join(sb, "inner", num_partitions=num_partitions,
+              on=("doc_b",), right_on=("_kb",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch["src_a"].to_pylist()
+        b = batch["src_b"].to_pylist()
+        lo = [x if x <= y else y for x, y in zip(a, b)]
+        hi = [y if x <= y else x for x, y in zip(a, b)]
+        return pa.table({"source_a": pa.array(lo, pa.string()),
+                         "source_b": pa.array(hi, pa.string())}) \
+            .group_by(["source_a", "source_b"]) \
+            .aggregate([("source_b", "count")]) \
+            .rename_columns(["source_a", "source_b", "n_pairs"])
+
+    out = finish_grouped(j.map_batches(partial, batch_format="pyarrow"),
+                         ["source_a", "source_b"])
+
+    def order(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["source_a", "source_b"]) \
+            .reset_index(drop=True)
+
+    return out.repartition(1).map_batches(order, batch_format="pandas")

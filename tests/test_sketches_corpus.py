@@ -628,3 +628,43 @@ def test_corpus_clean_funnel_paths_and_stagewise_agreement(ray_session):
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[-1] > 0
     assert counts[1] == exact_dedup(docs()).count()
+
+
+def test_dup_source_matrix_paths_and_recount(ray_session):
+    """Driver annotate arm and the forced double-join arm emit the
+    identical matrix, and the matrix equals a direct pandas recount of
+    the verified pair set against the documents' sources."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        dup_source_matrix, lsh_candidate_pairs)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+    fast = dup_source_matrix(docs(), n_docs=n)
+    fast = (fast if isinstance(fast, pd.DataFrame) else fast.to_pandas()) \
+        .reset_index(drop=True)
+    slow = dup_source_matrix(docs(), n_docs=n, broadcast_max_docs=0)
+    slow = (slow if isinstance(slow, pd.DataFrame) else slow.to_pandas()) \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "source"]).to_pandas() \
+        .set_index("doc_id")["source"]
+    pairs = lsh_candidate_pairs(docs(), n_docs=n).take_all()
+    from collections import Counter
+    cnt = Counter(tuple(sorted((src[p["doc_a"]], src[p["doc_b"]])))
+                  for p in pairs)
+    expect = pd.DataFrame(
+        [(a, b, c) for (a, b), c in sorted(cnt.items())],
+        columns=["source_a", "source_b", "n_pairs"])
+    expect["n_pairs"] = expect["n_pairs"].astype("int64")
+    assert fast.equals(expect)
+    assert fast["n_pairs"].sum() == len(pairs)
