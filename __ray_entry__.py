@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), n_docs=_n_docs(sf)),
         "dup_source_matrix": lambda sf: F_dedup.dup_source_matrix(
             _docs(sf), n_docs=_n_docs(sf)),
+        "corpus_clean_funnel_by_source": lambda sf:
+            F_dedup.corpus_clean_funnel_by_source(
+                _docs(sf), n_docs=_n_docs(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1957,6 +1960,69 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             JOIN nation n   ON n.n_nationkey = c.c_nationkey
             ORDER BY rev.revenue_cents DESC, c.c_custkey
             LIMIT {F_rel.RETURNED_TOPK}
+        """,
+        "corpus_clean_funnel_by_source": f"""
+            -- the cleaning funnel attributed per source: same stage
+            -- CTE chain as corpus_clean_funnel, each stage grouped by
+            -- source (dedup.corpus_clean_funnel_by_source)
+            WITH RECURSIVE
+            h0 AS (SELECT doc_id,
+                          md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS h
+                   FROM documents),
+            k0 AS (SELECT h, min(doc_id) AS kid FROM h0 GROUP BY 1),
+            docs2 AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                      JOIN k0 ON k0.kid = d.doc_id),
+            {_dup_cluster_ctes('docs2')},
+            clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                         FROM reach GROUP BY a),
+            lens AS (SELECT doc_id, CAST(length({_NORM}) AS BIGINT) AS n_chars
+                     FROM docs2),
+            ranked AS (SELECT c.doc_id,
+                              row_number() OVER (PARTITION BY c.cluster_id
+                                                 ORDER BY l.n_chars DESC,
+                                                          c.doc_id ASC) AS rn
+                       FROM clusters c JOIN lens l ON l.doc_id = c.doc_id),
+            docs3 AS (SELECT * FROM docs2
+                      WHERE doc_id NOT IN (SELECT doc_id FROM ranked
+                                           WHERE rn > 1)),
+            bench AS (SELECT DISTINCT
+                             md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS h
+                      FROM documents
+                      WHERE doc_id % {F_text.DECONTAM_MODULUS} = 0),
+            docs4 AS (SELECT * FROM docs3
+                      WHERE md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX}))
+                            NOT IN (SELECT h FROM bench)),
+            t AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM docs4),
+            per AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            agg AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS nd,
+                           CAST(max(c) AS BIGINT) AS top
+                    FROM per GROUP BY 1),
+            f AS (SELECT doc_id, n_tokens,
+                         CAST(round(1000000.0 * (n_tokens - nd) / n_tokens)
+                              AS BIGINT) AS dup_e6,
+                         CAST(round(1000000.0 * top / n_tokens)
+                              AS BIGINT) AS top_e6
+                  FROM agg),
+            docs5 AS (SELECT d.source FROM docs4 d JOIN f ON f.doc_id = d.doc_id
+                      WHERE NOT (f.n_tokens < {F_text.QUALITY_GATE_MIN_TOKENS}
+                                 OR f.n_tokens > {F_text.QUALITY_GATE_MAX_TOKENS}
+                                 OR f.dup_e6 > {F_text.QUALITY_GATE_MAX_DUP_E6}
+                                 OR f.top_e6 > {F_text.QUALITY_GATE_MAX_TOP_E6}))
+            SELECT * FROM (
+              SELECT source, CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+                     count(*) AS n_docs FROM documents GROUP BY 1
+              UNION ALL SELECT source, 1, 'exact_dedup', count(*)
+                     FROM docs2 GROUP BY 1
+              UNION ALL SELECT source, 2, 'near_dup_keep_best', count(*)
+                     FROM docs3 GROUP BY 1
+              UNION ALL SELECT source, 3, 'decontaminate', count(*)
+                     FROM docs4 GROUP BY 1
+              UNION ALL SELECT source, 4, 'quality_gate', count(*)
+                     FROM docs5 GROUP BY 1)
+            ORDER BY source, stage_idx
         """,
         "dup_source_matrix": f"""
             -- cross-source duplication matrix over the verified LSH

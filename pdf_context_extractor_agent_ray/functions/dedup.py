@@ -1230,13 +1230,62 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
     hash pass, quality pass) — the same passes running the four ops
     separately would cost, now over progressively smaller streams.
     """
+    from .text import quality_gate_batch
+    from .util import finish_grouped
+
+    n_raw, n_exact, n_near, n_decon, _ds2, _ds3, ds4 = _funnel_chain(
+        ds, n_docs, dup_group_broadcast_max, broadcast_max_drops,
+        broadcast_max_cluster_docs, decontam_broadcast_max)
+
+    # ---- stage 4: quality gate (the funnel's terminus) ----
+    if output_path is not None:
+        # production mode: WRITE the cleaned corpus (partitioned
+        # parquet, one file per block) and count from the written
+        # footers — one execution of the chain, resumable consumers
+        # read the directory back with io.read_documents
+        import pyarrow.dataset as pads
+
+        def quality_rows(batch: pa.Table) -> pa.Table:
+            q = quality_gate_batch(batch)
+            return batch.filter(pc.equal(q["keep"], 1))
+
+        ds4.map_batches(quality_rows, batch_format="pyarrow") \
+            .write_parquet(output_path)
+        n_quality = sum(f.count_rows()
+                        for f in pads.dataset(output_path).get_fragments())
+    else:
+        def kept_partial(batch: pa.Table) -> pa.Table:
+            q = quality_gate_batch(batch)
+            return pa.table({"k": pa.array([0], pa.int64()),
+                             "n": pa.array(
+                                 [int(pc.sum(q["keep"]).as_py() or 0)],
+                                 pa.int64())})
+
+        kept_rows = finish_grouped(
+            ds4.map_batches(kept_partial, batch_format="pyarrow"),
+            ["k"]).take_all()
+        n_quality = sum(r["n"] for r in kept_rows)
+
+    counts = [n_raw, n_exact, n_near, n_decon, n_quality]
+    return pd.DataFrame({
+        "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
+        "stage": list(FUNNEL_STAGES),
+        "n_docs": pd.Series(counts, dtype="int64"),
+    })
+
+
+def _funnel_chain(ds, n_docs, dup_group_broadcast_max,
+                  broadcast_max_drops, broadcast_max_cluster_docs,
+                  decontam_broadcast_max):
+    """Stages 1-3 of the cleaning funnel as LAZY survivor streams:
+    returns ``(n_raw, n_exact, n_near, n_decon, ds2, ds3, ds4)``.
+    Shared by ``corpus_clean_funnel`` (scalar report / production
+    write) and ``corpus_clean_funnel_by_source`` (per-source
+    attribution) — the stage semantics live HERE once."""
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Count, Min
 
-    from .text import (DECONTAM_MODULUS, fingerprint_batch,
-                       quality_gate_batch)
-    from .util import finish_grouped
+    from .text import DECONTAM_MODULUS, fingerprint_batch
 
     n_raw = ds.count() if n_docs is None else n_docs
 
@@ -1332,41 +1381,7 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
     n_decon = n_near - drops3.count()
     ds4 = _rows_except(ds3, drops3, broadcast_max_drops)
 
-    # ---- stage 4: quality gate (the funnel's terminus) ----
-    if output_path is not None:
-        # production mode: WRITE the cleaned corpus (partitioned
-        # parquet, one file per block) and count from the written
-        # footers — one execution of the chain, resumable consumers
-        # read the directory back with io.read_documents
-        import pyarrow.dataset as pads
-
-        def quality_rows(batch: pa.Table) -> pa.Table:
-            q = quality_gate_batch(batch)
-            return batch.filter(pc.equal(q["keep"], 1))
-
-        ds4.map_batches(quality_rows, batch_format="pyarrow") \
-            .write_parquet(output_path)
-        n_quality = sum(f.count_rows()
-                        for f in pads.dataset(output_path).get_fragments())
-    else:
-        def kept_partial(batch: pa.Table) -> pa.Table:
-            q = quality_gate_batch(batch)
-            return pa.table({"k": pa.array([0], pa.int64()),
-                             "n": pa.array(
-                                 [int(pc.sum(q["keep"]).as_py() or 0)],
-                                 pa.int64())})
-
-        kept_rows = finish_grouped(
-            ds4.map_batches(kept_partial, batch_format="pyarrow"),
-            ["k"]).take_all()
-        n_quality = sum(r["n"] for r in kept_rows)
-
-    counts = [n_raw, n_exact, n_near, n_decon, n_quality]
-    return pd.DataFrame({
-        "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
-        "stage": list(FUNNEL_STAGES),
-        "n_docs": pd.Series(counts, dtype="int64"),
-    })
+    return n_raw, n_exact, n_near, n_decon, ds2, ds3, ds4
 
 
 def dup_source_matrix(ds, n_docs: int | None = None,
@@ -1468,3 +1483,62 @@ def dup_source_matrix(ds, n_docs: int | None = None,
             .reset_index(drop=True)
 
     return out.repartition(1).map_batches(order, batch_format="pandas")
+
+
+def corpus_clean_funnel_by_source(ds, n_docs: int | None = None,
+                                  dup_group_broadcast_max: int = FUNNEL_DUP_GROUP_BROADCAST_MAX,
+                                  broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX,
+                                  broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
+                                  decontam_broadcast_max: int | None = None):
+    """The cleaning funnel ATTRIBUTED per source: for every stage of
+    ``corpus_clean_funnel``, how many docs of each source survive —
+    (source, stage_idx, stage, n_docs), sources x stages rows. The
+    report that tells a mixture planner WHICH feeds are dirty: a
+    source losing most of its mass at near-dup or quality is priced
+    accordingly.
+
+    Same stage semantics and gates as ``corpus_clean_funnel`` (the
+    scalar funnel's total at each stage equals this report's per-stage
+    column sum — pinned by a test). Per-source counts come from one
+    bounded-key (source) partial aggregate over each LAZY survivor
+    stream — three extra filtered corpus passes, never a
+    materialization; a source with zero survivors at a stage drops out
+    of that stage's rows (same as the SQL GROUP BY twin).
+    """
+    from .util import finish_grouped
+    from .text import quality_gate_batch
+
+    def source_counts(stream, quality_only: bool = False):
+        def partial(batch: pa.Table) -> pa.Table:
+            if quality_only:
+                q = quality_gate_batch(batch)
+                batch = batch.filter(pc.equal(q["keep"], 1))
+            return pa.table({"source": batch["source"]}) \
+                .group_by("source").aggregate([("source", "count")]) \
+                .rename_columns(["source", "n_docs"])
+
+        rows = finish_grouped(
+            stream.map_batches(partial, batch_format="pyarrow"),
+            ["source"]).take_all()
+        return {r["source"]: r["n_docs"] for r in rows}
+
+    _, _, _, _, ds2, ds3, ds4 = _funnel_chain(
+        ds, n_docs, dup_group_broadcast_max, broadcast_max_drops,
+        broadcast_max_cluster_docs, decontam_broadcast_max)
+
+    stage_counts = [
+        source_counts(ds),
+        source_counts(ds2),
+        source_counts(ds3),
+        source_counts(ds4),
+        source_counts(ds4, quality_only=True),
+    ]
+    rows = []
+    for idx, (stage, counts) in enumerate(zip(FUNNEL_STAGES, stage_counts)):
+        for source in sorted(counts):
+            rows.append((source, idx, stage, counts[source]))
+    out = pd.DataFrame(rows, columns=["source", "stage_idx", "stage",
+                                      "n_docs"])
+    out["stage_idx"] = out["stage_idx"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["source", "stage_idx"]).reset_index(drop=True)

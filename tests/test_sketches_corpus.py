@@ -668,3 +668,37 @@ def test_dup_source_matrix_paths_and_recount(ray_session):
     expect["n_pairs"] = expect["n_pairs"].astype("int64")
     assert fast.equals(expect)
     assert fast["n_pairs"].sum() == len(pairs)
+
+
+def test_funnel_by_source_sums_to_scalar_funnel(ray_session):
+    """Per-source attribution is a strict refinement: each stage's
+    per-source counts sum to the scalar funnel's stage total (both on
+    the broadcast arms and with every join arm forced), and counts
+    are monotone non-increasing per source."""
+    import pandas as pd
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        FUNNEL_STAGES, corpus_clean_funnel, corpus_clean_funnel_by_source)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+    scalar = corpus_clean_funnel(docs(), n_docs=n)
+    per_src = corpus_clean_funnel_by_source(docs(), n_docs=n)
+    sums = per_src.groupby("stage_idx")["n_docs"].sum()
+    for _, r in scalar.iterrows():
+        assert sums[r["stage_idx"]] == r["n_docs"]
+
+    forced = corpus_clean_funnel_by_source(
+        docs(), n_docs=n, dup_group_broadcast_max=0,
+        broadcast_max_drops=0, broadcast_max_cluster_docs=0,
+        decontam_broadcast_max=0)
+    assert per_src.equals(forced)
+
+    for _, g in per_src.groupby("source"):
+        vals = g.sort_values("stage_idx")["n_docs"].tolist()
+        assert all(a >= b for a, b in zip(vals, vals[1:]))
