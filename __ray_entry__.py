@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_funnel_by_source": lambda sf:
             F_dedup.corpus_clean_funnel_by_source(
                 _docs(sf), n_docs=_n_docs(sf)),
+        "embedding_quantize": lambda sf: F_sim.embedding_quantize(_emb(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1387,6 +1388,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             FROM cand c JOIN s x ON x.doc_id = c.doc_a
                         JOIN s y ON y.doc_id = c.doc_b
             WHERE bit_count(xor(x.hu, y.hu)) <= {F_dedup.SIMHASH_MAX_HAMMING}
+        """,
+        "embedding_quantize": f"""
+            -- symmetric per-vector int8 quantization audit summary
+            -- (simsearch.embedding_quantize): float32 -> DOUBLE is
+            -- exact, scale = max|v| in DOUBLE, each element rounds
+            -- round(127.0 * x / m) with the same IEEE op order as the
+            -- engine's (127.0 * v) / m; zero vectors are all-zero
+            WITH q AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS e,
+                              list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                      x -> abs(x))) AS m
+                       FROM embeddings),
+            t AS (SELECT vec_id, m,
+                         CASE WHEN m > 0
+                              THEN list_transform(e, x -> CAST(round(127.0 * x / m) AS BIGINT))
+                              ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                         END AS qv
+                  FROM q)
+            SELECT vec_id,
+                   CAST(len(qv) AS BIGINT) AS n_dims,
+                   CAST(round(m * 1000000000.0) AS BIGINT) AS maxabs_e9,
+                   CAST(list_sum(qv) AS BIGINT) AS qsum,
+                   CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
+            FROM t
         """,
         "knn_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

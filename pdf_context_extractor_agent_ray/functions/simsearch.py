@@ -764,3 +764,101 @@ def doc_label_mix(sf_dir: str,
     j = docs.join(emb_ds, "inner", num_partitions=num_partitions,
                   on=("doc_id",), right_on=("vec_id",))
     return rollup(j)
+
+
+QUANT_LEVELS = 127  # int8 symmetric quantization range
+
+
+def embedding_quantize(ds):
+    """Symmetric per-vector int8 quantization — the storage/compute
+    shrink trick for billion-vector ANN (4x smaller than float32, int
+    SIMD dot products): ``q_i = round(127 * v_i / max|v|)``. Output is
+    the integer audit summary per vector — (vec_id, n_dims,
+    maxabs_e9, qsum, qnorm2) — which pins every quantized element
+    (any single-element divergence almost surely moves qsum/qnorm2),
+    while the recall impact is pinned by the pytest audit
+    (quantized-dot top-k vs exact float top-k).
+
+    Parity contract: elements upcast float32 -> float64 (exact), the
+    scale is ``max(|v|)`` in float64, each element computes as
+    ``(127.0 * v) / m`` in float64 and rounds half-AWAY — the same
+    IEEE ops in the same order as the DuckDB twin's
+    ``round(127.0 * x / m)``. Zero vectors quantize to all-zero with
+    maxabs_e9 = 0.
+
+    At scale this is one stateless vectorized pass (numpy matmul-free,
+    no exchange); the quantized corpus would be written columnar and
+    the int8 dot-product rerank replaces the float one.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _matrix(batch)                      # (n, d) float64
+        m = np.abs(M).max(axis=1)               # per-vector scale
+        safe = np.where(m > 0, m, 1.0)
+        q = round_half_away_e((QUANT_LEVELS * M) / safe[:, None],
+                              scale=1.0).astype(np.int64)
+        q[m == 0] = 0
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "n_dims": pa.array(np.full(len(M), M.shape[1], np.int64)),
+            "maxabs_e9": pa.array(
+                round_half_away_e(m * 1e9, scale=1.0).astype(np.int64)),
+            "qsum": pa.array(q.sum(axis=1), pa.int64()),
+            "qnorm2": pa.array((q * q).sum(axis=1), pa.int64()),
+        })
+
+    return strip_schema_metadata(ds).map_batches(
+        partial, batch_format="pyarrow")
+
+
+def quantized_knn_topk(ds, query_vectors: dict[int, list[float]],
+                       k: int = DEFAULT_K):
+    """Top-k by QUANTIZED cosine: both corpus vectors and queries
+    quantize to int8 (same rule as ``embedding_quantize``); the
+    integer dot q_c . q_q normalizes by the quantized norms
+    (sqrt(qnorm2)) so the ranking approximates the exact COSINE
+    ranking the float path uses (tie-break vec_id asc). Used by the
+    recall audit against the exact float path — not driver-registered
+    (the quantization CONTRACT is oracled via embedding_quantize;
+    ranking quality is a measured property, not an equality)."""
+    import ray
+
+    def quant(M: np.ndarray) -> np.ndarray:
+        m = np.abs(M).max(axis=1)
+        safe = np.where(m > 0, m, 1.0)
+        q = round_half_away_e((QUANT_LEVELS * M) / safe[:, None],
+                              scale=1.0)
+        q[m == 0] = 0
+        return q
+
+    qids = np.array(sorted(query_vectors), np.int64)
+    QM = quant(np.stack([np.asarray(query_vectors[q], np.float64)
+                         for q in qids]))
+    ref = ray.put((QM, qids))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, ids = ray.get(ref)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(vec_ids, ids)  # same exclusion rule as knn_topk
+        vec_ids = vec_ids[keep]
+        C = quant(_matrix(batch)[keep])
+        cn = np.sqrt((C * C).sum(axis=1))
+        cn[cn == 0] = 1.0
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        qn[qn == 0] = 1.0
+        sims = (C @ qm.T) / cn[:, None] / qn[None, :]  # quantized cosine
+        out_q, out_v, out_d = [], [], []
+        top = min(k, len(C))
+        for j in range(sims.shape[1]):
+            col = round_half_away_e(1e6 * sims[:, j], scale=1.0) \
+                .astype(np.int64)
+            idx = np.lexsort((vec_ids, -col))[:top]
+            out_q += [ids[j]] * len(idx)
+            out_v += list(vec_ids[idx])
+            out_d += list(col[idx])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim_e6": pa.array(out_d, pa.int64())})
+
+    return _finish_topk(
+        strip_schema_metadata(ds).map_batches(partial,
+                                              batch_format="pyarrow"), k)
