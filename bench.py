@@ -335,7 +335,11 @@ def run_scaling(trials: int = SCALING_TRIALS) -> dict:
     r_lo, r_hi = max(eligible_pairs(pairs), key=eff_of)
     tp_lo = r_lo["docs_per_sec"]
     tp_hi = r_hi["docs_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    # the job is deterministic, so efficiency > 1.0 is physically
+    # residual noise the 15% lo-tolerance let through (a mildly slowed
+    # lo level) — CAP the reported value at 1.0; the raw ratio stays
+    # visible in "pairs". The cap only ever biases the report DOWN.
+    eff = min((tp_hi / tp_lo) / (hi / lo), 1.0)
     return {
         "metric": f"scaling efficiency {lo}->{hi} cpus (docs/sec ratio / cpu ratio)",
         "value": round(eff, 3),
