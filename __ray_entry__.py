@@ -280,6 +280,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             F_dedup.corpus_clean_funnel_by_source(
                 _docs(sf), n_docs=_n_docs(sf)),
         "embedding_quantize": lambda sf: F_sim.embedding_quantize(_emb(sf)),
+        # new in late r4: the last two expressible TPC-H shapes — Q11
+        # (per-part value gated by a share-of-global threshold; the
+        # 1/DEN threshold bounds survivors at DEN-1 rows, so the final
+        # sort is constant-size) and Q2 (per-part argmin over filtered
+        # region suppliers, winners enriched + tie-broken top-100)
+        "important_parts": F_rel.important_parts,
+        "min_cost_supplier": F_rel.min_cost_supplier,
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1412,6 +1419,60 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS qsum,
                    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
             FROM t
+        """,
+        "important_parts": f"""
+            -- Q11 shape: per-part value over one nation's suppliers,
+            -- kept where value > total/DEN — the integer compare is
+            -- value > total // DEN, exact on both sides; DEN scales
+            -- with SF exactly as stock Q11's 0.0001/SF fraction does,
+            -- derived from the SAME lineitem footer row count the
+            -- engine reads (relational.important_parts)
+            WITH supp AS (SELECT s_suppkey FROM supplier
+                          JOIN nation ON s_nationkey = n_nationkey
+                          WHERE n_name = '{F_rel.IMPORTANT_NATION}'),
+            v AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                         CAST(sum({_CENTS.format(
+                             'l_extendedprice * (1 - l_discount)')})
+                              AS BIGINT) AS value_cents
+                  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+                  GROUP BY 1)
+            SELECT l_partkey, value_cents FROM v
+            WHERE value_cents >
+                  (SELECT sum(value_cents) // {F_rel.important_share_den(sf_dir)}
+                   FROM v)
+            ORDER BY value_cents DESC, l_partkey
+        """,
+        "min_cost_supplier": f"""
+            -- Q2 shape: per-part min offered price among one region's
+            -- suppliers, ties kept, winners enriched and tie-broken
+            -- (relational.min_cost_supplier); (partkey, suppkey) is
+            -- unique in the winner set so the ORDER BY is total
+            WITH supp AS (SELECT s_suppkey, s_name,
+                                 {_CENTS.format('s_acctbal')} AS s_acctbal_cents,
+                                 n_name
+                          FROM supplier
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+                          WHERE r_name = '{F_rel.MCS_REGION}'),
+            cost AS (SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                            CAST(l_suppkey AS BIGINT) AS s_suppkey,
+                            min({_CENTS.format('l_extendedprice')}) AS cost_cents
+                     FROM lineitem
+                     JOIN part ON l_partkey = p_partkey
+                     JOIN supp ON l_suppkey = s_suppkey
+                     WHERE p_type = '{F_rel.MCS_TYPE}'
+                       AND p_size <= {F_rel.MCS_MAX_SIZE}
+                     GROUP BY 1, 2),
+            mn AS (SELECT l_partkey, min(cost_cents) AS mc
+                   FROM cost GROUP BY 1)
+            SELECT s.s_acctbal_cents, s.s_name, s.n_name, c.l_partkey,
+                   c.s_suppkey, c.cost_cents
+            FROM cost c JOIN mn USING (l_partkey)
+            JOIN supp s ON c.s_suppkey = s.s_suppkey
+            WHERE c.cost_cents = mn.mc
+            ORDER BY s.s_acctbal_cents DESC, s.n_name, s.s_name,
+                     c.l_partkey
+            LIMIT {F_rel.MCS_TOPK}
         """,
         "knn_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -1188,12 +1188,69 @@ FUNNEL_STAGES = ("raw", "exact_dedup", "near_dup_keep_best",
                  "decontaminate", "quality_gate")
 
 
+class _FunnelCkpt:
+    """Per-stage parquet checkpoints for the cleaning funnel. Each
+    completed stage writes its SURVIVORS under ``{root}/{stage}/`` and
+    marks completion with a ``_SUCCESS`` file; a re-run loads the
+    newest completed prefix of stages and recomputes only what's
+    missing. The root lives at ``{output_path}/_ckpt`` — the ``_``
+    prefix keeps pyarrow dataset discovery (default ``ignore_prefixes
+    = ['.', '_']``) from mixing checkpoints into the cleaned corpus.
+
+    Checkpoints assume the RAW input is immutable between runs (the
+    standard contract for resumable batch jobs); stage row counts come
+    from the written parquet footers, never a re-scan.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def load(self, name: str):
+        """(survivor dataset, n_rows) for a completed stage, else
+        None. The dataset reads the checkpoint parquet — downstream
+        stages scan the (smaller) checkpoint, not the raw chain."""
+        import os
+
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        from .util import strip_schema_metadata
+
+        d = self._dir(name)
+        if not os.path.exists(f"{d}/_SUCCESS"):
+            return None
+        n = pads.dataset(d).count_rows()
+        return strip_schema_metadata(rd.read_parquet(d)), n
+
+    def save(self, name: str, stream):
+        """Write a stage's survivor stream, mark it complete, and
+        return (read-back dataset, n_rows from the footers). A stale
+        partial directory (crashed run, no marker) is cleared first so
+        the checkpoint never mixes two attempts."""
+        import os
+        import shutil
+
+        d = self._dir(name)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        stream.write_parquet(d)
+        with open(f"{d}/_SUCCESS", "w"):
+            pass
+        loaded = self.load(name)
+        assert loaded is not None
+        return loaded
+
+
 def corpus_clean_funnel(ds, n_docs: int | None = None,
                         dup_group_broadcast_max: int = FUNNEL_DUP_GROUP_BROADCAST_MAX,
                         broadcast_max_drops: int = SURVIVOR_BROADCAST_MAX,
                         broadcast_max_cluster_docs: int = KEEP_BEST_BROADCAST_MAX,
                         decontam_broadcast_max: int | None = None,
-                        output_path: str | None = None):
+                        output_path: str | None = None,
+                        checkpoint_stages: bool = False):
     """The end-to-end corpus-cleaning FUNNEL a training-data run ships
     as its headline report: raw -> exact dedup (keep-first by content
     fingerprint) -> near-dup keep-best -> benchmark decontamination ->
@@ -1233,9 +1290,15 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
     from .text import quality_gate_batch
     from .util import finish_grouped
 
+    ckpt = None
+    if checkpoint_stages:
+        if output_path is None:
+            raise ValueError("checkpoint_stages requires output_path")
+        ckpt = _FunnelCkpt(f"{output_path}/_ckpt")
+
     n_raw, n_exact, n_near, n_decon, _ds2, _ds3, ds4 = _funnel_chain(
         ds, n_docs, dup_group_broadcast_max, broadcast_max_drops,
-        broadcast_max_cluster_docs, decontam_broadcast_max)
+        broadcast_max_cluster_docs, decontam_broadcast_max, ckpt=ckpt)
 
     # ---- stage 4: quality gate (the funnel's terminus) ----
     if output_path is not None:
@@ -1243,14 +1306,25 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
         # parquet, one file per block) and count from the written
         # footers — one execution of the chain, resumable consumers
         # read the directory back with io.read_documents
+        import os
+
         import pyarrow.dataset as pads
 
         def quality_rows(batch: pa.Table) -> pa.Table:
             q = quality_gate_batch(batch)
             return batch.filter(pc.equal(q["keep"], 1))
 
-        ds4.map_batches(quality_rows, batch_format="pyarrow") \
-            .write_parquet(output_path)
+        # in checkpoint mode the terminus is itself resumable: a
+        # completed write (marker present) is counted from its footers
+        # and never recomputed (pads.dataset ignores the _-prefixed
+        # marker and the _ckpt stage dirs)
+        done = f"{output_path}/_SUCCESS"
+        if not (ckpt is not None and os.path.exists(done)):
+            ds4.map_batches(quality_rows, batch_format="pyarrow") \
+                .write_parquet(output_path)
+            if ckpt is not None:
+                with open(done, "w"):
+                    pass
         n_quality = sum(f.count_rows()
                         for f in pads.dataset(output_path).get_fragments())
     else:
@@ -1276,18 +1350,39 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
 
 def _funnel_chain(ds, n_docs, dup_group_broadcast_max,
                   broadcast_max_drops, broadcast_max_cluster_docs,
-                  decontam_broadcast_max):
+                  decontam_broadcast_max, ckpt=None):
     """Stages 1-3 of the cleaning funnel as LAZY survivor streams:
     returns ``(n_raw, n_exact, n_near, n_decon, ds2, ds3, ds4)``.
     Shared by ``corpus_clean_funnel`` (scalar report / production
     write) and ``corpus_clean_funnel_by_source`` (per-source
-    attribution) — the stage semantics live HERE once."""
+    attribution) — the stage semantics live HERE once.
+
+    ``ckpt`` (a ``_FunnelCkpt``): each stage's survivors persist as
+    parquet when the stage completes, a completed stage LOADS instead
+    of recomputing (its lazy upstream graph is simply discarded), and
+    downstream stages scan the smaller checkpoint instead of the
+    raw-corpus anti-filter chain. ``None`` keeps the lazy chained
+    behavior unchanged."""
     import ray
     from ray.data.aggregate import Count, Min
 
     from .text import DECONTAM_MODULUS, fingerprint_batch
 
     n_raw = ds.count() if n_docs is None else n_docs
+
+    hit1 = ckpt.load("stage1_exact") if ckpt is not None else None
+    hit2 = ckpt.load("stage2_keepbest") if ckpt is not None else None
+    hit3 = ckpt.load("stage3_decontam") if ckpt is not None else None
+
+    if hit1 is not None:
+        ds2, n_exact = hit1
+        ds3, n_near = _funnel_stage2(
+            ds2, n_exact, broadcast_max_cluster_docs, broadcast_max_drops,
+            ckpt, hit2)
+        ds4, n_decon = _funnel_stage3(
+            ds, ds3, n_near, decontam_broadcast_max, broadcast_max_drops,
+            ckpt, hit3 if hit2 is not None else None)
+        return n_raw, n_exact, n_near, n_decon, ds2, ds3, ds4
 
     # ---- stage 1: exact dedup (keep-first per fingerprint) ----
     hashed = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
@@ -1327,14 +1422,51 @@ def _funnel_chain(ds, n_docs, dup_group_broadcast_max,
     drops1 = drops1.materialize()
     n_exact = n_raw - drops1.count()
     ds2 = _rows_except(ds, drops1, broadcast_max_drops)
+    if ckpt is not None:
+        ds2, n_ck = ckpt.save("stage1_exact", ds2)
+        assert n_ck == n_exact, (n_ck, n_exact)
 
-    # ---- stage 2: near-dup keep-best over the exact survivors ----
+    # a checkpoint is honored only as part of a completed PREFIX of
+    # stages — stage 1 just recomputed, so 2/3 recompute too
+    ds3, n_near = _funnel_stage2(
+        ds2, n_exact, broadcast_max_cluster_docs, broadcast_max_drops,
+        ckpt, None)
+    ds4, n_decon = _funnel_stage3(
+        ds, ds3, n_near, decontam_broadcast_max, broadcast_max_drops,
+        ckpt, None)
+    return n_raw, n_exact, n_near, n_decon, ds2, ds3, ds4
+
+
+def _funnel_stage2(ds2, n_exact, broadcast_max_cluster_docs,
+                   broadcast_max_drops, ckpt, hit):
+    """Funnel stage 2 (near-dup keep-best over the exact survivors);
+    returns ``(ds3, n_near)``, loading / saving the checkpoint when
+    ``ckpt`` is set."""
+    if hit is not None:
+        return hit
     drops2 = _keep_best_drops(
         ds2, broadcast_max_cluster_docs, n_docs=n_exact).materialize()
     n_near = n_exact - drops2.count()
     ds3 = _rows_except(ds2, drops2, broadcast_max_drops)
+    if ckpt is not None:
+        ds3, n_ck = ckpt.save("stage2_keepbest", ds3)
+        assert n_ck == n_near, (n_ck, n_near)
+    return ds3, n_near
 
-    # ---- stage 3: decontaminate vs the RAW-corpus benchmark set ----
+
+def _funnel_stage3(ds, ds3, n_near, decontam_broadcast_max,
+                   broadcast_max_drops, ckpt, hit):
+    """Funnel stage 3 (decontaminate vs the RAW-corpus benchmark set —
+    ``ds`` is the raw corpus, the benchmark must not shrink with the
+    chain); returns ``(ds4, n_decon)``."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .text import DECONTAM_MODULUS, fingerprint_batch
+
+    if hit is not None:
+        return hit
+
     def bench_hashes(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         sel = batch.filter(pa.array(ids % DECONTAM_MODULUS == 0))
@@ -1356,8 +1488,8 @@ def _funnel_chain(ds, n_docs, dup_group_broadcast_max,
 
         def contaminated(batch: pa.Table) -> pa.Table:
             h = fingerprint_batch(batch)
-            hit = pc.is_in(h["text_hash"], value_set=ray.get(blref))
-            return pa.table({"drop_id": h.filter(hit)["doc_id"]})
+            hits = pc.is_in(h["text_hash"], value_set=ray.get(blref))
+            return pa.table({"drop_id": h.filter(hits)["doc_id"]})
 
         drops3 = ds3.map_batches(contaminated, batch_format="pyarrow")
     else:
@@ -1380,8 +1512,10 @@ def _funnel_chain(ds, n_docs, dup_group_broadcast_max,
     drops3 = drops3.materialize()
     n_decon = n_near - drops3.count()
     ds4 = _rows_except(ds3, drops3, broadcast_max_drops)
-
-    return n_raw, n_exact, n_near, n_decon, ds2, ds3, ds4
+    if ckpt is not None:
+        ds4, n_ck = ckpt.save("stage3_decontam", ds4)
+        assert n_ck == n_decon, (n_ck, n_decon)
+    return ds4, n_decon
 
 
 def dup_source_matrix(ds, n_docs: int | None = None,

@@ -2781,13 +2781,14 @@ def revenue_change(sf_dir: str, date_from: str = REVCHG_FROM,
 # ---------------------------------------------------------------------------
 
 
-def _semi_join_part_name(ds, sf_dir: str, name_token: str,
-                         broadcast_max_bytes: int,
-                         num_partitions: int | None, project):
-    """Keep only fact rows whose ``l_partkey`` belongs to a part whose
-    ``p_name`` contains ``name_token`` (substring, same semantics as
-    SQL ``LIKE '%token%'``). ``project(batch) -> pa.Table`` prepares
-    the fact columns (must include ``l_partkey``).
+def _semi_join_part(ds, sf_dir: str, pred_columns: list[str], part_pred,
+                    broadcast_max_bytes: int,
+                    num_partitions: int | None, project):
+    """Keep only fact rows whose ``l_partkey`` belongs to a part row
+    satisfying ``part_pred`` — an arbitrary predicate
+    ``part_pred(part_table) -> pyarrow boolean mask`` evaluated over
+    ``pred_columns`` (the only part columns read). ``project(batch) ->
+    pa.Table`` prepares the fact columns (must include ``l_partkey``).
 
     Below the byte gate the matching partkeys broadcast once as a
     sorted numpy array and every fact batch resolves membership with
@@ -2795,8 +2796,8 @@ def _semi_join_part_name(ds, sf_dir: str, name_token: str,
     hash-partitioned inner ``Dataset.join`` against the pre-filtered
     part dim (the dim shrinks to matching keys BEFORE the exchange).
     ``_attach_dim_value`` cannot express this (its ``allowed`` filter
-    is over int64 values, not a string predicate) — keep this helper
-    the single implementation of name-predicate semi-joins.
+    is over int64 values, not a row predicate) — keep this helper the
+    single implementation of predicate semi-joins on the part dim.
     """
     import os
     import ray
@@ -2809,10 +2810,9 @@ def _semi_join_part_name(ds, sf_dir: str, name_token: str,
 
     if part_bytes <= broadcast_max_bytes:
         part = pq.read_table(f"{sf_dir}/part.parquet",
-                             columns=["p_partkey", "p_name"])
-        match = np.sort(part.filter(
-            pc.match_substring(part["p_name"], name_token))
-            ["p_partkey"].to_numpy(zero_copy_only=False))
+                             columns=["p_partkey"] + pred_columns)
+        match = np.sort(part.filter(part_pred(part))
+                        ["p_partkey"].to_numpy(zero_copy_only=False))
         ref = ray.put(match)
 
         def attach(batch: pa.Table) -> pa.Table:
@@ -2836,10 +2836,10 @@ def _semi_join_part_name(ds, sf_dir: str, name_token: str,
                              max(2, -(-(part_bytes + li_bytes) // (128 << 20))))
 
     def dim_project(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.match_substring(t["p_name"], name_token))
+        t = t.filter(part_pred(t))
         return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64())})
 
-    part_ds = _read(sf_dir, "part", ["p_partkey", "p_name"]) \
+    part_ds = _read(sf_dir, "part", ["p_partkey"] + pred_columns) \
         .map_batches(dim_project, batch_format="pyarrow")
     j = ds.map_batches(project, batch_format="pyarrow") \
         .join(part_ds, "inner", num_partitions=num_partitions,
@@ -2850,6 +2850,17 @@ def _semi_join_part_name(ds, sf_dir: str, name_token: str,
         return t.drop_columns(drop) if drop else t
 
     return j.map_batches(cleanup, batch_format="pyarrow")
+
+
+def _semi_join_part_name(ds, sf_dir: str, name_token: str,
+                         broadcast_max_bytes: int,
+                         num_partitions: int | None, project):
+    """Name-predicate semi-join (SQL ``p_name LIKE '%token%'``) — the
+    thin wrapper over ``_semi_join_part`` the Q9/Q20 shapes share."""
+    return _semi_join_part(
+        ds, sf_dir, ["p_name"],
+        lambda t: pc.match_substring(t["p_name"], name_token),
+        broadcast_max_bytes, num_partitions, project)
 
 
 # ---------------------------------------------------------------------------
@@ -3246,3 +3257,366 @@ def excess_qty_suppliers(sf_dir: str, name_token: str = EXCESS_NAME_TOKEN,
             .reset_index(drop=True)
 
     return j.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: per-key aggregate gated by a share-of-global threshold
+# ---------------------------------------------------------------------------
+
+IMPORTANT_NATION = "NATION_15"
+# stock Q11's threshold FRACTION scales with SF (0.0001/SF); mirror
+# that: share_den = max(1, n_lineitem // IMPORTANT_ROWS_PER_DEN), read
+# from the parquet footer on BOTH the engine and the oracle side (the
+# oracle interpolates the same integer), keeping the survivor set a
+# meaningful slice at every scale instead of emptying as parts dilute
+IMPORTANT_ROWS_PER_DEN = 60
+# survivors are bounded by share_den - 1 (each holds > total/den); up
+# to this den the final ordering folds on the driver partition, above
+# it a distributed ds.sort orders the survivor stream
+IMPORTANT_DRIVER_SORT_MAX_DEN = 1_000_000
+IMPORTANT_ROWS_PER_BUCKET = 1_000_000
+IMPORTANT_SUPP_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def important_share_den(sf_dir: str) -> int:
+    """The SF-scaled Q11 threshold denominator (footer-only read)."""
+    from .util import parquet_num_rows
+
+    n = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    return max(1, n // IMPORTANT_ROWS_PER_DEN)
+
+
+def important_parts(sf_dir: str, nation: str = IMPORTANT_NATION,
+                    share_den: int | None = None,
+                    broadcast_max_bytes: int = IMPORTANT_SUPP_BROADCAST_MAX_BYTES,
+                    num_buckets: int | None = None,
+                    num_partitions: int | None = None,
+                    driver_sort_max_den: int = IMPORTANT_DRIVER_SORT_MAX_DEN):
+    """TPC-H Q11 shape (partsupp-free variant): per-part "stock value"
+    — discounted revenue cents over lineitems supplied by ONE nation's
+    suppliers — kept only where the part's value exceeds a fixed
+    fraction (1/``share_den``) of the global total. Output
+    (l_partkey, value_cents), value desc / partkey asc. Mirrors
+    ``ref:`` Q11's HAVING-over-scalar-subquery; value is revenue (the
+    testdata has no partsupp supply-cost column).
+
+    The threshold compare is exact integer arithmetic on both sides:
+    for positive ints, ``value * den > total  ⟺  value > total // den``
+    — no overflow (no multiply), bit-parity with DuckDB's ``//``.
+
+    Shape at scale: two fact passes, one exchange.
+
+    1. Global total: supplier membership attaches via the gated
+       ``_attach_dim_value`` semi-join (broadcast searchsorted below
+       the byte gate / hash join above); per-batch SCALAR cent sums
+       fold to one row — no exchange.
+    2. Per-part values: same membership filter, per-batch (partkey,
+       cents) Arrow partials hash into ~1M-row partkey buckets; each
+       bucket fold is ONE vectorized pandas groupby that applies the
+       broadcast threshold BEFORE emitting — at most ``share_den - 1``
+       rows leave the fold. The final ordering is gated on that bound:
+       driver-partition sort below ``driver_sort_max_den``, a
+       distributed ``ds.sort`` over the survivor stream above it
+       (survivors at scale are a meaningful slice of the part table,
+       never a constant).
+    """
+    import ray
+
+    from .util import bucket_count, bucket_hash, parquet_num_rows
+
+    if share_den is None:
+        share_den = important_share_den(sf_dir)
+    nationkey = _nation_key(sf_dir, nation)
+    allowed = np.array([nationkey], dtype=np.int64)
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100),
+                                      round_mode="half_towards_infinity"),
+                             pa.int64()),
+        })
+
+    def member_stream():
+        li = _read(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        return _attach_dim_value(
+            li, sf_dir, "supplier", "s_suppkey", "s_nationkey",
+            fact_key="l_suppkey", out_col=None,
+            broadcast_max_bytes=broadcast_max_bytes,
+            num_partitions=num_partitions or _default_partitions(sf_dir,
+                                                                 "lineitem"),
+            allowed=allowed, project=li_project)
+
+    # pass 1: exact global cent total (scalar partials, no exchange)
+    def total_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "total": pa.array(
+                             [pc.sum(batch["rev_c"]).as_py() or 0],
+                             pa.int64())})
+
+    tot_rows = _finish_grouped_sums(
+        member_stream().map_batches(total_partial, batch_format="pyarrow"),
+        ["k"]).take_all()
+    total = tot_rows[0]["total"] if tot_rows else 0
+    threshold = total // share_den  # survivors: value > threshold
+
+    # pass 2: bucketed per-part fold, threshold applied inside
+    n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_line, IMPORTANT_ROWS_PER_BUCKET)
+
+    def part_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch["l_partkey"],
+                      "rev_c": batch["rev_c"]}) \
+            .group_by("l_partkey").aggregate([("rev_c", "sum")]) \
+            .rename_columns(["l_partkey", "rev_c"])
+        b = bucket_hash(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        v = df.groupby("l_partkey", as_index=False)["rev_c"].sum() \
+            .rename(columns={"rev_c": "value_cents"})
+        return v[v["value_cents"] > threshold]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                                 "value_cents": pd.Series([], dtype="int64")})
+        return df.sort_values(["value_cents", "l_partkey"],
+                              ascending=[False, True]) \
+            .reset_index(drop=True) \
+            .astype({"l_partkey": "int64", "value_cents": "int64"})
+
+    surv = member_stream() \
+        .map_batches(part_partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("bucket").map_groups(bucket_fold, batch_format="pandas")
+    if share_den <= driver_sort_max_den:
+        return surv.repartition(1).map_batches(finish, batch_format="pandas",
+                                               batch_size=None)
+    # the survivor-count bound (share_den - 1) no longer fits one
+    # partition: distributed sort — (value desc, partkey asc) matches
+    # the driver arm block-for-block when concatenated in order
+    return surv.map_batches(
+        lambda t: pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "value_cents": pc.cast(t["value_cents"], pa.int64())}),
+        batch_format="pyarrow") \
+        .sort(["value_cents", "l_partkey"], descending=[True, False])
+
+
+def _nation_key(sf_dir: str, nation: str) -> int:
+    """nationkey for a nation name (bounded dim, driver read)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name"])
+    for k, nm in zip(t["n_nationkey"].to_pylist(), t["n_name"].to_pylist()):
+        if nm == nation:
+            return int(k)
+    raise KeyError(f"nation {nation!r} not in {sf_dir}/nation.parquet")
+
+
+def _default_partitions(sf_dir: str, *tables: str) -> int:
+    """Hash-join partition count sized DOWN by input bytes
+    (~128 MB/aggregator) and capped at cpus//2 — see CLAUDE.md."""
+    import os
+    import ray
+
+    nbytes = 0
+    for t in tables:
+        try:
+            nbytes += os.path.getsize(f"{sf_dir}/{t}.parquet")
+        except OSError:
+            pass
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return min(max(2, cpus // 2), max(2, -(-nbytes // (128 << 20))))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: per-part argmin over filtered suppliers, enriched winners
+# ---------------------------------------------------------------------------
+
+MCS_REGION = "EUROPE"
+MCS_TYPE = "ECONOMY"
+MCS_MAX_SIZE = 10
+MCS_TOPK = 100
+MCS_ROWS_PER_BUCKET = 1_000_000
+MCS_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def min_cost_supplier(sf_dir: str, region: str = MCS_REGION,
+                      p_type: str = MCS_TYPE, max_size: int = MCS_MAX_SIZE,
+                      k: int = MCS_TOPK,
+                      broadcast_max_bytes: int = MCS_BROADCAST_MAX_BYTES,
+                      num_buckets: int | None = None,
+                      num_partitions: int | None = None):
+    """TPC-H Q2 shape (partsupp-free variant): for every part of one
+    type with size <= ``max_size``, the supplier(s) in ``region``
+    offering the MINIMUM observed price — cost(part, supp) =
+    min lineitem ``l_extendedprice`` cents — ties kept, winners
+    enriched with supplier account balance / name / nation, global
+    top-``k`` by (s_acctbal desc, n_name, s_name, l_partkey). The
+    (partkey, suppkey) pair is unique within the winner set and
+    supplier names are unique, so the ordering is total and the LIMIT
+    deterministic. Mirrors stock Q2's correlated-min + detail join;
+    "supply cost" is the best offered price (no partsupp table).
+
+    Shape at scale: facts filter by TWO broadcast/gated semi-joins
+    (part predicate via ``_semi_join_part``, region suppliers via
+    ``_attach_dim_value`` on the nationkey enum) — the fact table
+    never shuffles for either dim. Per-batch (part, supp, min cents)
+    Arrow partials hash into ~1M-row partkey buckets; each bucket fold
+    finishes pair minima and per-part winners vectorized (one pandas
+    groupby + a transform-min mask). Winner enrichment is gated:
+    sorted-numpy searchsorted broadcast below the supplier byte gate,
+    hash join above. Per-block partial top-k bounds the final
+    ``repartition(1)`` merge at blocks x k rows.
+    """
+    import os
+    import ray
+    import pyarrow.parquet as pq
+
+    from .util import bucket_count, bucket_hash, parquet_num_rows
+
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_t = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {rk for rk, rn in zip(region_t["r_regionkey"].to_pylist(),
+                                  region_t["r_name"].to_pylist())
+             if rn == region}
+    nation_name = {int(nk): nm for nk, nm, rg in zip(
+        nation_t["n_nationkey"].to_pylist(), nation_t["n_name"].to_pylist(),
+        nation_t["n_regionkey"].to_pylist()) if rg in rkeys}
+    allowed_nations = np.array(sorted(nation_name), dtype=np.int64)
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": pc.cast(batch["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(batch["l_suppkey"], pa.int64()),
+            "price_c": pc.cast(pc.round(
+                pc.multiply(batch["l_extendedprice"], 100),
+                round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(sf_dir, "lineitem", "part")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"])
+    li = _semi_join_part(
+        li, sf_dir, ["p_type", "p_size"],
+        lambda t: pc.and_(pc.equal(t["p_type"], p_type),
+                          pc.less_equal(pc.cast(t["p_size"], pa.int64()),
+                                        max_size)),
+        broadcast_max_bytes, num_partitions, li_project)
+    li = _attach_dim_value(
+        li, sf_dir, "supplier", "s_suppkey", "s_nationkey",
+        fact_key="l_suppkey", out_col=None,
+        broadcast_max_bytes=broadcast_max_bytes,
+        num_partitions=num_partitions, allowed=allowed_nations)
+
+    n_line = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_line, MCS_ROWS_PER_BUCKET)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_partkey", "l_suppkey", "price_c"]) \
+            .group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("price_c", "min")]) \
+            .rename_columns(["l_partkey", "l_suppkey", "price_c"])
+        b = bucket_hash(t["l_partkey"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_winners(df: pd.DataFrame) -> pd.DataFrame:
+        pair = df.groupby(["l_partkey", "l_suppkey"],
+                          as_index=False)["price_c"].min()
+        mn = pair.groupby("l_partkey")["price_c"].transform("min")
+        out = pair[pair["price_c"] == mn] \
+            .rename(columns={"price_c": "cost_cents"})
+        return out.reset_index(drop=True)
+
+    winners = li \
+        .map_batches(pair_partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("bucket").map_groups(bucket_winners, batch_format="pandas")
+
+    # winner enrichment: supplier acctbal/name + nation name (gated)
+    try:
+        supp_bytes = os.path.getsize(f"{sf_dir}/supplier.parquet")
+    except OSError:
+        supp_bytes = 0
+    nname_ref = ray.put(nation_name)
+
+    def order_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["s_acctbal_cents", "s_name", "n_name", "l_partkey",
+                "s_suppkey", "cost_cents"]
+        if not len(df):
+            return pd.DataFrame({
+                "s_acctbal_cents": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+                "n_name": pd.Series([], dtype="object"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "cost_cents": pd.Series([], dtype="int64")})
+        out = df.sort_values(
+            ["s_acctbal_cents", "n_name", "s_name", "l_partkey"],
+            ascending=[False, True, True, True]).head(k)
+        return out[cols].reset_index(drop=True).astype(
+            {"s_acctbal_cents": "int64", "l_partkey": "int64",
+             "s_suppkey": "int64", "cost_cents": "int64"})
+
+    if supp_bytes <= broadcast_max_bytes:
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+        sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sk)
+        bal_c = pc.cast(pc.round(pc.multiply(supp["s_acctbal"], 100),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64()).to_numpy(zero_copy_only=False)[order]
+        snat = pc.cast(supp["s_nationkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)[order]
+        snames = supp["s_name"].to_numpy(zero_copy_only=False)[order]
+        ref = ray.put((sk[order], bal_c, snat, snames))
+
+        def enrich(df: pd.DataFrame) -> pd.DataFrame:
+            ks, bal, nat, nm = ray.get(ref)
+            names = ray.get(nname_ref)
+            fk = df["l_suppkey"].to_numpy()
+            pos = np.searchsorted(ks, fk)  # winners came FROM the dim:
+            out = df.rename(columns={"l_suppkey": "s_suppkey"}).copy()
+            out["s_acctbal_cents"] = bal[pos]
+            out["s_name"] = nm[pos]
+            out["n_name"] = [names[n] for n in nat[pos]]
+            return order_topk(out)
+
+        enriched = winners.map_batches(enrich, batch_format="pandas")
+    else:
+        supp_ds = _read(sf_dir, "supplier",
+                        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
+            .map_batches(lambda t: pa.table({
+                "sk": pc.cast(t["s_suppkey"], pa.int64()),
+                "s_name": t["s_name"],
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "s_acctbal_cents": pc.cast(
+                    pc.round(pc.multiply(t["s_acctbal"], 100),
+                             round_mode="half_towards_infinity"), pa.int64()),
+            }), batch_format="pyarrow")
+        j = winners.join(supp_ds, "inner", num_partitions=num_partitions,
+                         on=("l_suppkey",), right_on=("sk",))
+
+        def name_topk(df: pd.DataFrame) -> pd.DataFrame:
+            names = ray.get(nname_ref)
+            out = df.rename(columns={"l_suppkey": "s_suppkey"}).copy()
+            out["n_name"] = out["s_nationkey"].map(names)
+            return order_topk(out)
+
+        enriched = j.map_batches(name_topk, batch_format="pandas")
+
+    return enriched.repartition(1).map_batches(order_topk,
+                                               batch_format="pandas",
+                                               batch_size=None)

@@ -471,3 +471,53 @@ def test_read_predicate_pushdown_matches_batch_filter(ray_session):
     expect = pc.sum(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
                             pc.less(t["l_shipdate"], hi))).as_py()
     assert pushed == expect > 0
+
+
+def test_important_parts_paths_agree(ray_session):
+    """Q11: broadcast supplier-membership arm == forced-join arm; the
+    1/DEN threshold bounds survivors below DEN; ordering is (value
+    desc, partkey asc); every survivor strictly exceeds total//DEN of
+    the UNFILTERED per-part sum (recomputed here from the facts)."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        IMPORTANT_NATION, important_parts, important_share_den)
+
+    den = important_share_den(SF)
+    fast = important_parts(SF).to_pandas().reset_index(drop=True)
+    slow = important_parts(SF, broadcast_max_bytes=0).to_pandas() \
+        .reset_index(drop=True)
+    dist_sort = important_parts(SF, driver_sort_max_den=0).to_pandas() \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert fast.equals(dist_sort)
+    assert len(fast) < den
+    assert fast["value_cents"].is_monotonic_decreasing
+    # recompute total + per-part sums sequentially from parquet
+    import duckdb
+    total, = duckdb.sql(f"""
+        SELECT CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                             AS BIGINT)) AS BIGINT)
+        FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+        JOIN '{SF}/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = '{IMPORTANT_NATION}'""").fetchone()
+    assert (fast["value_cents"] > total // den).all()
+
+
+def test_min_cost_supplier_paths_agree(ray_session):
+    """Q2: broadcast part/supplier arms == forced-join arms; winner
+    (partkey, suppkey) pairs are unique; each winner's cost equals the
+    per-part minimum within the result's own pair set; ordering key is
+    (acctbal desc, n_name, s_name, partkey)."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        min_cost_supplier)
+
+    fast = min_cost_supplier(SF).to_pandas().reset_index(drop=True)
+    slow = min_cost_supplier(SF, broadcast_max_bytes=0).to_pandas() \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+    assert not fast.duplicated(["l_partkey", "s_suppkey"]).any()
+    per_part_min = fast.groupby("l_partkey")["cost_cents"].transform("min")
+    assert (fast["cost_cents"] == per_part_min).all()
+    key = list(zip(-fast["s_acctbal_cents"], fast["n_name"],
+                   fast["s_name"], fast["l_partkey"]))
+    assert key == sorted(key)

@@ -160,9 +160,49 @@ def check(reps: int) -> int:
             .sort_values("s_suppkey").reset_index(drop=True)
         return big.equals(expect), dt, len(big)
 
+    def check_important_parts():
+        # each replica's per-part values equal the base values and the
+        # global total is reps x the base total, so running with
+        # share_den = base_den * reps keeps the threshold EXACTLY the
+        # base threshold (floor(aT/aD) == floor(T/D)) — the survivor
+        # set is the base survivors, key-shifted per replica, re-ranked
+        base = R.important_parts(SF)
+        t0 = time.time()
+        big = R.important_parts(
+            OUT, share_den=R.important_share_den(SF) * reps) \
+            .to_pandas().reset_index(drop=True)
+        dt = time.time() - t0
+        expect = _expand(base.to_pandas(), "l_partkey", "partkey") \
+            .sort_values(["value_cents", "l_partkey"],
+                         ascending=[False, True]).reset_index(drop=True)
+        return big.equals(expect), dt, len(big)
+
+    def check_min_cost_supplier():
+        # winners are replica-local (parts don't cross replicas), so
+        # the global top-k re-ranks the expanded FULL base winner set
+        # (k=inf below the cut — a base row outside the base top-k can
+        # still re-enter when better rows' later replicas sort after
+        # it on the partkey tiebreak); both keys shift JOINTLY with
+        # the replica index
+        full = R.min_cost_supplier(SF, k=1 << 60).to_pandas()
+        sp, ss = _stride("partkey"), _stride("suppkey")
+        t0 = time.time()
+        big = R.min_cost_supplier(OUT).to_pandas().reset_index(drop=True)
+        dt = time.time() - t0
+        expect = pd.concat(
+            [full.assign(l_partkey=full["l_partkey"] + i * sp,
+                         s_suppkey=full["s_suppkey"] + i * ss)
+             for i in range(reps)], ignore_index=True) \
+            .sort_values(["s_acctbal_cents", "n_name", "s_name", "l_partkey"],
+                         ascending=[False, True, True, True]) \
+            .head(R.MCS_TOPK).reset_index(drop=True)
+        return big.equals(expect), dt, len(big)
+
     LISTING_OPS = {
         "returned_item_report": check_returned_item_report,
         "excess_qty_suppliers": check_excess_qty_suppliers,
+        "important_parts": check_important_parts,
+        "min_cost_supplier": check_min_cost_supplier,
     }
 
     only = os.environ.get("SOAK_ONLY", "")
