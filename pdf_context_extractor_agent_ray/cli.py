@@ -209,7 +209,9 @@ def cmd_clean(args: argparse.Namespace) -> int:
     docs = strip_schema_metadata(
         rd.read_parquet(f"{args.sf_dir}/documents.parquet"))
     n = parquet_num_rows(f"{args.sf_dir}/documents.parquet")
-    report = corpus_clean_funnel(docs, n_docs=n, output_path=args.output)
+    report = corpus_clean_funnel(
+        docs, n_docs=n, output_path=args.output,
+        checkpoint_stages=bool(getattr(args, "checkpoints", False)))
     print(json.dumps({
         "output": args.output,
         "funnel": {r["stage"]: int(r["n_docs"])
@@ -324,6 +326,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="directory holding documents.parquet")
     pc_.add_argument("--output", required=True,
                      help="directory for the cleaned corpus parquet")
+    pc_.add_argument("--checkpoints", action="store_true",
+                     help="persist each stage's survivors under "
+                          "<output>/_ckpt and resume completed stages "
+                          "on re-run")
     pc_.add_argument("--num-cpus", type=int)
     pc_.set_defaults(fn=cmd_clean)
 

@@ -1320,6 +1320,14 @@ def corpus_clean_funnel(ds, n_docs: int | None = None,
         # marker and the _ckpt stage dirs)
         done = f"{output_path}/_SUCCESS"
         if not (ckpt is not None and os.path.exists(done)):
+            if ckpt is not None and os.path.isdir(output_path):
+                # an UNMARKED terminus is a crashed/stale write:
+                # clear its fragments (never the _-prefixed
+                # checkpoint dirs/markers) or the rewrite would
+                # append alongside them and double-count
+                for f in os.listdir(output_path):
+                    if not f.startswith(("_", ".")):
+                        os.remove(f"{output_path}/{f}")
             ds4.map_batches(quality_rows, batch_format="pyarrow") \
                 .write_parquet(output_path)
             if ckpt is not None:

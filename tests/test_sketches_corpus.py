@@ -743,3 +743,78 @@ def test_embedding_quantize_recall_and_edge_cases(ray_session):
     # v=(1,-2,2)/2*127 -> (63.5,-127,127) -> round-half-away (64,-127,127)
     assert z.loc[2, "qsum"] == 64 - 127 + 127
     assert z.loc[2, "qnorm2"] == 64**2 + 127**2 + 127**2
+
+
+def test_corpus_clean_funnel_checkpoints(ray_session, tmp_path):
+    """Checkpointed production mode: (a) the report equals the
+    non-checkpointed run and the stage dirs + markers exist; (b) a
+    re-run resumes (proved by TAMPERING stage 1's checkpoint — the
+    resumed report reflects the tampered survivor set, so stages were
+    LOADED, not recomputed); (c) deleting stage 2+3 after the tamper
+    recomputes exactly those from the tampered stage 1 (completed
+    PREFIX rule); (d) the terminus parquet reads back ignoring the
+    _-prefixed checkpoint dirs."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray import io as dio
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        corpus_clean_funnel)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+    out = str(tmp_path / "cleaned")
+
+    plain = corpus_clean_funnel(docs(), n_docs=n)
+    first = corpus_clean_funnel(docs(), n_docs=n, output_path=out,
+                                checkpoint_stages=True)
+    assert first.equals(plain)
+    for stage in ("stage1_exact", "stage2_keepbest", "stage3_decontam"):
+        assert os.path.exists(f"{out}/_ckpt/{stage}/_SUCCESS")
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert dio.read_documents(out).count() == int(plain["n_docs"].iloc[-1])
+
+    # tamper stage 1: keep only even doc_ids of its survivors
+    s1 = f"{out}/_ckpt/stage1_exact"
+    t = pads.dataset(s1).to_table()
+    t = t.filter(pa.array(
+        (t["doc_id"].to_numpy(zero_copy_only=False) % 2) == 0))
+    shutil.rmtree(s1)
+    os.makedirs(s1)
+    pq.write_table(t, f"{s1}/part.parquet")
+    open(f"{s1}/_SUCCESS", "w").close()
+
+    # resume with stages 2/3 + terminus still marked: everything loads,
+    # so the report's stage-1 count is UNCHANGED from its checkpoint's
+    # row count only where recomputed — stage 1 count now reflects the
+    # tampered file, later counts still come from their own checkpoints
+    resumed = corpus_clean_funnel(docs(), n_docs=n, output_path=out,
+                                  checkpoint_stages=True)
+    assert int(resumed["n_docs"].iloc[1]) == len(t)
+    assert int(resumed["n_docs"].iloc[2]) == int(plain["n_docs"].iloc[2])
+
+    # drop stages 2/3 and the terminus: they recompute FROM the
+    # tampered stage 1 (prefix rule) and the funnel stays monotone
+    shutil.rmtree(f"{out}/_ckpt/stage2_keepbest")
+    shutil.rmtree(f"{out}/_ckpt/stage3_decontam")
+    os.remove(f"{out}/_SUCCESS")
+    redone = corpus_clean_funnel(docs(), n_docs=n, output_path=out,
+                                 checkpoint_stages=True)
+    counts = redone["n_docs"].tolist()
+    assert counts[1] == len(t)
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[2] <= len(t)
+
+    # checkpoint_stages without an output_path is a loud error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        corpus_clean_funnel(docs(), n_docs=n, checkpoint_stages=True)
