@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # region suppliers, winners enriched + tie-broken top-100)
         "important_parts": F_rel.important_parts,
         "min_cost_supplier": F_rel.min_cost_supplier,
+        # new in late r4: exact sliding-window COUNT DISTINCT (hopping
+        # grid shared with events_hopping, user-hash bucket dedup) and
+        # the largest-remainder token-budget apportionment planner
+        "active_users_window": F_stream.active_users_window,
+        "token_budget_plan": lambda sf: F_text.token_budget_plan(_docs(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1473,6 +1478,53 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ORDER BY s.s_acctbal_cents DESC, s.n_name, s.s_name,
                      c.l_partkey
             LIMIT {F_rel.MCS_TOPK}
+        """,
+        "active_users_window": f"""
+            -- exact sliding-window distinct users: 1-hour windows
+            -- every 15 min, same hop expansion as events_hopping
+            -- (streamops.active_users_window)
+            WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, user_id
+                       FROM events),
+            x AS (SELECT ((tus // {F_rel.HOP_US}) * {F_rel.HOP_US})
+                         - k * {F_rel.HOP_US} AS window_start_us,
+                         user_id
+                  FROM e, unnest(range(0, {F_rel.HOP_WINDOW_US // F_rel.HOP_US})) AS u(k))
+            SELECT window_start_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+            FROM x GROUP BY 1
+        """,
+        "token_budget_plan": f"""
+            -- largest-remainder apportionment of a fixed token budget
+            -- across sources by mixture weight; allocations sum to the
+            -- budget EXACTLY, all integer arithmetic
+            -- (text.token_budget_plan)
+            WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(len(string_split({_NORM}, ' ')))
+                                   AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY 1),
+            w AS (SELECT *, CAST(('0x' || substr(md5(source), 1, 16))::UBIGINT
+                                 % {F_text.MIX_WEIGHT_MOD}
+                                 + {F_text.MIX_WEIGHT_MIN} AS BIGINT)
+                                AS weight_permille
+                  FROM t),
+            f AS (SELECT *,
+                         ({F_text.TOKEN_BUDGET} * weight_permille)
+                             // (SELECT sum(weight_permille) FROM w) AS fl,
+                         ({F_text.TOKEN_BUDGET} * weight_permille)
+                             % (SELECT sum(weight_permille) FROM w) AS rem
+                  FROM w),
+            r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+                                AS rk
+                  FROM f)
+            SELECT source, n_docs, n_tokens, weight_permille,
+                   CAST(fl + CASE WHEN rk <= {F_text.TOKEN_BUDGET}
+                                            - (SELECT sum(fl) FROM f)
+                             THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+                   CAST((fl + CASE WHEN rk <= {F_text.TOKEN_BUDGET}
+                                             - (SELECT sum(fl) FROM f)
+                              THEN 1 ELSE 0 END) * 1000000 // n_tokens
+                        AS BIGINT) AS repeat_e6
+            FROM r ORDER BY source
         """,
         "knn_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

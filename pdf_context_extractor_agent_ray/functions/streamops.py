@@ -375,3 +375,58 @@ def event_user_overlap(sf_dir: str, num_buckets: int | None = None):
 
     return summed.map_batches(attach_totals, batch_format="pandas",
                               batch_size=None)
+
+
+def active_users_window(sf_dir: str, num_buckets: int | None = None):
+    """Sliding-window EXACT distinct-user counts over the events log:
+    1-hour windows hopping every 15 minutes (the same window grid as
+    ``relational.events_hopping``) — (window_start_us,
+    n_active_users). The exact COUNT DISTINCT a telemetry dashboard
+    reports per overlapping window; ``events_hopping`` counts EVENTS,
+    this counts USERS once each.
+
+    Shape at scale: a user's events land in ONE user-hash bucket
+    (``_events_bucketed``), so per-bucket distinct (window, user)
+    pairs are globally distinct and per-window bucket counts are
+    mergeable partial sums. Each batch expands to the hop grid with a
+    numpy repeat and immediately dedups (window, user) Arrow-side, so
+    the exchange moves at most window/hop x deduped rows; the bucket
+    fold is ONE drop_duplicates + groupby size; the finish sums
+    bounded keys (windows grow with TIME, not corpus size).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import HOP_US, HOP_WINDOW_US
+    from .util import finish_grouped
+
+    k = HOP_WINDOW_US // HOP_US
+    ds = _events_bucketed(sf_dir, num_buckets, columns=["ts", "user_id"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tus = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        bkt = batch["bucket"].to_numpy(zero_copy_only=False)
+        base = (tus // HOP_US) * HOP_US
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * HOP_US, len(base))
+        t = pa.table({
+            "bucket": pa.array(np.repeat(bkt, k), pa.int64()),
+            "window_start_us": pa.array(starts, pa.int64()),
+            "user_id": pa.array(np.repeat(uid, k), pa.int64()),
+        })
+        # batch-local dedup shrinks the exchange; the bucket fold
+        # finishes the global dedup (users never cross buckets)
+        return t.group_by(["bucket", "window_start_us", "user_id"]) \
+            .aggregate([]).select(["bucket", "window_start_us", "user_id"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["window_start_us", "user_id"]].drop_duplicates() \
+            .groupby("window_start_us", as_index=False).size() \
+            .rename(columns={"size": "n_active_users"})
+        out["n_active_users"] = out["n_active_users"].astype("int64")
+        return out
+
+    return finish_grouped(
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["window_start_us"])

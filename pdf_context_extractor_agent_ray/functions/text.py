@@ -1656,3 +1656,72 @@ def doc_novelty(ds, n_docs: int | None = None,
         batch_format="pandas", batch_size=None)
     return ta.union(na).groupby("bucket") \
         .map_groups(merge_fold, batch_format="pandas")
+
+
+TOKEN_BUDGET = 10_000_000  # tokens the planned training run will consume
+
+
+def token_budget_plan(ds, budget: int = TOKEN_BUDGET):
+    """Token-budget apportionment (the data-constrained training-mix
+    planner): split a fixed token ``budget`` across sources in
+    proportion to their mixture weights using LARGEST-REMAINDER
+    rounding — allocations are integers, sum EXACTLY to the budget,
+    and every step is integer arithmetic (floor quota + ranked
+    remainders, ties broken by source name), so the DuckDB twin
+    matches bit-for-bit. ``repeat_e6`` = floor(alloc * 1e6 /
+    n_tokens): how many epochs of the source's token mass the
+    allocation implies (the Muennighoff-style repeat factor).
+
+    Output: (source, n_docs, n_tokens, weight_permille, alloc_tokens,
+    repeat_e6), source asc.
+
+    Shape at scale: per-batch (source, docs, tokens) partials over
+    BOUNDED keys fold once (``finish_grouped``); the apportionment
+    itself is O(#sources) on the coalesced block — never a second
+    corpus pass. Token semantics match ``source_mix`` (collapsed
+    single-space split on the normalized text).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .util import finish_grouped, table_from_pandas
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = norm_expr(batch["text"])
+        toks = pc.add(pc.count_substring(norm, " "), 1)
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "n_tokens": toks.to_numpy(zero_copy_only=False).astype("int64")})
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        return table_from_pandas(agg)
+
+    folded = finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                            ["source"])
+
+    def apportion(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["source", "n_docs", "n_tokens", "weight_permille",
+                "alloc_tokens", "repeat_e6"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="object" if c == "source" else "int64")
+                for c in cols})
+        out = df.sort_values("source").reset_index(drop=True)
+        w = out["source"].map(source_weight_permille).astype("int64")
+        sw = int(w.sum())
+        quota = budget * w  # <= budget * 1000: no int64 overflow risk
+        floor_alloc = quota // sw
+        rem = quota % sw
+        extra = budget - int(floor_alloc.sum())
+        # rank remainders desc, source asc — the first `extra` get +1
+        order = np.lexsort((out["source"].to_numpy(), -rem.to_numpy()))
+        bump = np.zeros(len(out), dtype=np.int64)
+        bump[order[:extra]] = 1
+        out["weight_permille"] = w
+        out["alloc_tokens"] = floor_alloc + bump
+        out["repeat_e6"] = (out["alloc_tokens"] * 1_000_000) \
+            // out["n_tokens"]
+        return out[cols].astype({c: "int64" for c in cols[1:]})
+
+    return folded.map_batches(apportion, batch_format="pandas",
+                              batch_size=None)

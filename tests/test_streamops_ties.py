@@ -135,3 +135,27 @@ def test_retention_cohorts_offsets(ray_session, tmp_path):
                for r in retention_cohorts(str(tmp_path), num_buckets=nb).take_all()}
         assert got == {(base, 0): 2, (base, 2): 1,
                        (base + 1, 0): 1, (base + 1, 1): 1}
+
+
+def test_active_users_window_bucket_invariance_and_bounds(ray_session):
+    """Sliding distinct-user counts are invariant to the bucket count
+    (users never cross buckets) and bounded by events_hopping's event
+    counts per window (a user counts once, an event every time)."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        events_hopping)
+    from pdf_context_extractor_agent_ray.functions.streamops import (
+        active_users_window)
+
+    sf = "/root/testdata/sf0.01"
+    base = active_users_window(sf).to_pandas().reset_index(drop=True)
+    one = active_users_window(sf, num_buckets=1).to_pandas() \
+        .reset_index(drop=True)
+    many = active_users_window(sf, num_buckets=17).to_pandas() \
+        .reset_index(drop=True)
+    assert len(base) and base.equals(one) and base.equals(many)
+    ev = events_hopping(sf).to_pandas() \
+        .groupby("window_start_us")["n_events"].sum()
+    merged = base.set_index("window_start_us")["n_active_users"]
+    assert set(merged.index) == set(ev.index)
+    assert (merged <= ev.loc[merged.index]).all()
+    assert (merged >= 1).all()

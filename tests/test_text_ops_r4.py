@@ -335,3 +335,32 @@ def test_source_quality_gate_matches_per_doc_recompute(ray_session):
     # the gate keeps at least (100 - q)% of every source by definition
     assert (out["n_kept"] * 100 >= out["n_docs"]
             * (100 - QUALITY_GATE_Q_NUM)).all()
+
+
+def test_token_budget_plan_sums_exactly(ray_session):
+    """Largest-remainder apportionment: allocations are integers that
+    sum EXACTLY to the budget for budgets that do and do not divide
+    evenly; each source's allocation is within 1 unit of its exact
+    proportional quota; repeat_e6 floors alloc*1e6/n_tokens."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import (
+        source_weight_permille, token_budget_plan)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        strip_schema_metadata)
+
+    docs = strip_schema_metadata(
+        rd.read_parquet(f"{SF}/documents.parquet"))
+    for budget in (10_000_000, 9_999_997, 101):
+        plan = token_budget_plan(docs, budget=budget).to_pandas()
+        assert len(plan) > 1
+        assert int(plan["alloc_tokens"].sum()) == budget
+        w = plan["source"].map(source_weight_permille)
+        assert (plan["weight_permille"] == w).all()
+        sw = int(w.sum())
+        exact_lo = (budget * w) // sw
+        assert ((plan["alloc_tokens"] - exact_lo).isin([0, 1])).all()
+        assert (plan["repeat_e6"] ==
+                (plan["alloc_tokens"] * 1_000_000) // plan["n_tokens"]).all()
+        assert list(plan["source"]) == sorted(plan["source"])
+        docs = strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))

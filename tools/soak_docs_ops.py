@@ -131,6 +131,31 @@ def check(reps: int) -> int:
             failures += 1
             print("expected:\n", expect, "\ngot:\n", big)
 
+    if want("token_budget_plan"):
+        from pdf_context_extractor_agent_ray.functions.text import (
+            token_budget_plan)
+        base = token_budget_plan(docs(SF)).to_pandas() \
+            .reset_index(drop=True)
+        t0 = time.time()
+        big = token_budget_plan(docs(OUT)).to_pandas() \
+            .reset_index(drop=True)
+        dt = time.time() - t0
+        # allocations depend only on weights + budget, so they are
+        # replica-INVARIANT; corpus masses scale x reps and the repeat
+        # factor refloors against the bigger mass
+        expect = base.copy()
+        for c in ("n_docs", "n_tokens"):
+            expect[c] = expect[c] * reps
+        expect["repeat_e6"] = (expect["alloc_tokens"] * 1_000_000) \
+            // expect["n_tokens"]
+        ok = big.equals(expect)
+        print(f"token_budget_plan: {dt:6.1f} s  rows={len(big)}  "
+              f"{'EXACT (invariant allocs, x' + str(reps) + ' masses)' if ok else 'MISMATCH'}",
+              flush=True)
+        if not ok:
+            failures += 1
+            print("expected:\n", expect, "\ngot:\n", big)
+
     if want("lsh_recall_report"):
         t0 = time.time()
         rep = lsh_recall_report(docs(OUT), n_docs=n_big)

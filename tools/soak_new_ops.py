@@ -111,6 +111,10 @@ def check(reps: int) -> int:
         "market_share": (R.market_share, ["o_year"]),
         "brand_qty_revenue": (R.brand_qty_revenue, ["p_brand"]),
         "event_user_overlap": (S.event_user_overlap, ["type_a", "type_b"]),
+        # distinct users per window: every replica contributes its own
+        # shifted users to the SAME time windows
+        "active_users_window": (S.active_users_window,
+                                ["window_start_us"]),
         # the Q6 scalar and Q9 rollup replicate uniformly too
         "revenue_change": (R.revenue_change, []),
         "product_type_profit": (R.product_type_profit,
