@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the largest-remainder token-budget apportionment planner
         "active_users_window": F_stream.active_users_window,
         "token_budget_plan": lambda sf: F_text.token_budget_plan(_docs(sf)),
+        # new in late r4: CDC-style recrawl delta over two derived
+        # crawl snapshots (unchanged/changed/added/deleted per source)
+        "recrawl_delta": lambda sf: F_text.recrawl_delta(
+            F_text.snapshot_old(_docs(sf)), F_text.snapshot_new(_docs(sf)),
+            n_docs=_n_docs(sf)),
         "knn_self_join": F_sim.knn_self_join,
         "embedding_near_dup": F_sim.embedding_near_dup,
         # new in r4: cross-table docs x embeddings enrichment audit
@@ -1525,6 +1530,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                               THEN 1 ELSE 0 END) * 1000000 // n_tokens
                         AS BIGINT) AS repeat_e6
             FROM r ORDER BY source
+        """,
+        "recrawl_delta": f"""
+            -- CDC recrawl delta: fingerprints of two derived crawl
+            -- snapshots full-outer-joined on doc_id, classified and
+            -- rolled up per source (text.recrawl_delta; the old
+            -- snapshot PREPENDS the marker so the change lands inside
+            -- the fingerprint prefix)
+            WITH oh AS (SELECT doc_id, source,
+                               md5(substr({_NORM.replace("text", f"CASE WHEN doc_id % {F_text.SNAP_MOD} = {F_text.SNAP_CHANGED_RESIDUE} THEN '{F_text.SNAP_OLD_MARKER} ' || text ELSE text END", 1)},
+                                          1, {F_text.FINGERPRINT_PREFIX})) AS h
+                        FROM documents
+                        WHERE doc_id % {F_text.SNAP_MOD}
+                              != {F_text.SNAP_ADDED_RESIDUE}),
+            nh AS (SELECT doc_id, source,
+                          md5(substr({_NORM}, 1, {F_text.FINGERPRINT_PREFIX})) AS h
+                   FROM documents
+                   WHERE doc_id % {F_text.SNAP_MOD}
+                         != {F_text.SNAP_DELETED_RESIDUE}),
+            j AS (SELECT coalesce(n.source, o.source) AS source,
+                         CASE WHEN o.doc_id IS NULL THEN 'a'
+                              WHEN n.doc_id IS NULL THEN 'd'
+                              WHEN o.h = n.h THEN 'u' ELSE 'c' END AS cls
+                  FROM oh o FULL OUTER JOIN nh n ON o.doc_id = n.doc_id)
+            SELECT source,
+                   CAST(sum(CASE WHEN cls = 'u' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unchanged,
+                   CAST(sum(CASE WHEN cls = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_changed,
+                   CAST(sum(CASE WHEN cls = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_added,
+                   CAST(sum(CASE WHEN cls = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_deleted
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "knn_topk": f"""
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

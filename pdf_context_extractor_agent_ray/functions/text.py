@@ -1725,3 +1725,151 @@ def token_budget_plan(ds, budget: int = TOKEN_BUDGET):
 
     return folded.map_batches(apportion, batch_format="pandas",
                               batch_size=None)
+
+
+# --- recrawl snapshot delta (CDC-style corpus management) -----------------
+# demo snapshot derivation: residues of doc_id % SNAP_MOD simulate the
+# three change classes a recrawl produces (the same
+# derive-from-the-corpus trick decontaminate uses for its benchmark)
+SNAP_MOD = 11
+SNAP_CHANGED_RESIDUE = 1   # in both crawls, text changed
+SNAP_ADDED_RESIDUE = 2     # absent from the OLD crawl (newly found)
+SNAP_DELETED_RESIDUE = 3   # absent from the NEW crawl (page gone)
+SNAP_OLD_MARKER = "v0"     # PREPENDED to changed docs' old text (must
+                           # land inside the fingerprint prefix)
+SNAP_BROADCAST_MAX_DOCS = 200_000
+SNAP_ROWS_PER_BUCKET = 1_000_000
+
+
+def snapshot_old(ds):
+    """The simulated PREVIOUS crawl: drops the 'added' residue class
+    and prepends ``SNAP_OLD_MARKER`` to the 'changed' class's text."""
+    import numpy as np
+
+    def old_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % SNAP_MOD != SNAP_ADDED_RESIDUE))
+        ids2 = t["doc_id"].to_numpy(zero_copy_only=False)
+        mark = np.where(ids2 % SNAP_MOD == SNAP_CHANGED_RESIDUE,
+                        SNAP_OLD_MARKER + " ", "")
+        text = pc.binary_join_element_wise(
+            pa.array(mark, pa.string()), t["text"], pa.scalar(""))
+        return pa.table({"doc_id": t["doc_id"], "text": text,
+                         "source": t["source"]})
+
+    return ds.map_batches(old_batch, batch_format="pyarrow")
+
+
+def snapshot_new(ds):
+    """The simulated CURRENT crawl: drops the 'deleted' residue class,
+    text as-is."""
+    def new_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % SNAP_MOD != SNAP_DELETED_RESIDUE))
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "source": t["source"]})
+
+    return ds.map_batches(new_batch, batch_format="pyarrow")
+
+
+def recrawl_delta(old_ds, new_ds, n_docs: int | None = None,
+                  broadcast_max_docs: int = SNAP_BROADCAST_MAX_DOCS,
+                  num_buckets: int | None = None):
+    """CDC-style recrawl delta: classify every doc_id across two crawl
+    snapshots as unchanged / changed (content fingerprint differs) /
+    added (new crawl only) / deleted (old crawl only), rolled up per
+    source — (source, n_unchanged, n_changed, n_added, n_deleted),
+    source asc. The report an incremental-ingest pipeline reads to
+    decide what to re-process. Fingerprints are
+    ``fingerprint_batch``'s (the exact-dedup hash — ONE content-hash
+    definition engine-wide); source attribution prefers the NEW side
+    (coalesce(new.source, old.source)).
+
+    Shape at scale: both sides project to fixed-width (doc_id, hash,
+    source, side) rows. Below ``broadcast_max_docs`` (raw-corpus doc
+    count) both projections fold on the driver with one outer merge;
+    above it the sides UNION and hash into doc_id buckets
+    (``util.bucket_hash`` — both sides byte-identical by
+    construction), each bucket classifying its ids with one vectorized
+    pandas merge and emitting per-source partial counts; the finish
+    sums bounded source keys. The exchange moves hash rows, never
+    text.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .util import bucket_count, bucket_hash, finish_grouped, \
+        table_from_pandas
+
+    def project(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = fingerprint_batch(batch)
+            return pa.table({
+                "doc_id": pc.cast(h["doc_id"], pa.int64()),
+                "text_hash": h["text_hash"],
+                "source": batch["source"],
+                "side": pa.array(np.full(len(h), side, np.int64)),
+            })
+        return fn
+
+    cols = ["source", "n_unchanged", "n_changed", "n_added", "n_deleted"]
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        n = df[df["side"] == 1]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+        src = m["source_n"].fillna(m["source_o"])
+        added = m["text_hash_o"].isna()
+        deleted = m["text_hash_n"].isna()
+        changed = ~added & ~deleted & (m["text_hash_o"] != m["text_hash_n"])
+        unchanged = ~added & ~deleted & ~changed
+        out = pd.DataFrame({
+            "source": src,
+            "n_unchanged": unchanged.astype("int64"),
+            "n_changed": changed.astype("int64"),
+            "n_added": added.astype("int64"),
+            "n_deleted": deleted.astype("int64"),
+        }).groupby("source", as_index=False).sum()
+        return out
+
+    if n_docs is not None and n_docs <= broadcast_max_docs:
+        rows = []
+        for side, ds in ((0, old_ds), (1, new_ds)):
+            rows.extend(ds.map_batches(project(side),
+                                       batch_format="pyarrow").take_all())
+        df = pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"doc_id": [], "text_hash": [], "source": [], "side": []})
+        out = classify(df).sort_values("source").reset_index(drop=True)
+        return out.astype({c: "int64" for c in cols[1:]})
+
+    if num_buckets is None:
+        num_buckets = bucket_count(n_docs or SNAP_ROWS_PER_BUCKET,
+                                   SNAP_ROWS_PER_BUCKET)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = bucket_hash(t["doc_id"].to_numpy(zero_copy_only=False),
+                        num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    both = old_ds.map_batches(project(0), batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow") \
+        .union(new_ds.map_batches(project(1), batch_format="pyarrow")
+               .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return classify(df)
+
+    folded = finish_grouped(
+        both.groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["source"])
+
+    def order(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(
+                [], dtype="object" if c == "source" else "int64")
+                for c in cols})
+        return df[cols].sort_values("source").reset_index(drop=True) \
+            .astype({c: "int64" for c in cols[1:]})
+
+    return folded.map_batches(order, batch_format="pandas",
+                              batch_size=None)

@@ -364,3 +364,41 @@ def test_token_budget_plan_sums_exactly(ray_session):
         assert list(plan["source"]) == sorted(plan["source"])
         docs = strip_schema_metadata(
             rd.read_parquet(f"{SF}/documents.parquet"))
+
+
+def test_recrawl_delta_paths_and_residue_counts(ray_session):
+    """Broadcast driver fold == forced co-bucketed union fold; the
+    class totals equal the residue-class cardinalities by construction
+    (every changed-residue id fingerprints differently because the
+    marker is PREPENDED inside the fingerprint prefix)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import (
+        SNAP_ADDED_RESIDUE, SNAP_CHANGED_RESIDUE, SNAP_DELETED_RESIDUE,
+        SNAP_MOD, recrawl_delta, snapshot_new, snapshot_old)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+    fast = recrawl_delta(snapshot_old(docs()), snapshot_new(docs()),
+                         n_docs=n)
+    slow = recrawl_delta(snapshot_old(docs()), snapshot_new(docs()),
+                         n_docs=n, broadcast_max_docs=0).to_pandas() \
+        .reset_index(drop=True)
+    assert len(fast) and fast.equals(slow)
+
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"] \
+        .to_numpy(zero_copy_only=False)
+    r = ids % SNAP_MOD
+    assert int(fast["n_changed"].sum()) == int((r == SNAP_CHANGED_RESIDUE).sum())
+    assert int(fast["n_added"].sum()) == int((r == SNAP_ADDED_RESIDUE).sum())
+    assert int(fast["n_deleted"].sum()) == int((r == SNAP_DELETED_RESIDUE).sum())
+    assert int(fast["n_unchanged"].sum()) == int(
+        (~np.isin(r, [SNAP_CHANGED_RESIDUE, SNAP_ADDED_RESIDUE,
+                      SNAP_DELETED_RESIDUE])).sum())

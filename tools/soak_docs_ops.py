@@ -43,13 +43,18 @@ OUT = "/tmp/graft_soak_docs"  # suffixed per --reps in main()
 
 
 def _stride() -> int:
-    from pdf_context_extractor_agent_ray.functions.text import DECONTAM_MODULUS
+    import math
+
+    from pdf_context_extractor_agent_ray.functions.text import (
+        DECONTAM_MODULUS, SNAP_MOD)
     max_id = int(pc.max(pq.read_table(
         f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"]).as_py())
     raw = max_id + 1
-    # round UP to a multiple of the decontam modulus so
-    # (id + i*stride) % MOD == id % MOD for every replica
-    return -(-raw // DECONTAM_MODULUS) * DECONTAM_MODULUS
+    # round UP to a multiple of BOTH residue moduli (decontam benchmark
+    # and recrawl snapshot classes) so (id + i*stride) % MOD ==
+    # id % MOD for every replica under either modulus
+    mod = math.lcm(DECONTAM_MODULUS, SNAP_MOD)
+    return -(-raw // mod) * mod
 
 
 def build(reps: int) -> None:
@@ -152,6 +157,33 @@ def check(reps: int) -> int:
         print(f"token_budget_plan: {dt:6.1f} s  rows={len(big)}  "
               f"{'EXACT (invariant allocs, x' + str(reps) + ' masses)' if ok else 'MISMATCH'}",
               flush=True)
+        if not ok:
+            failures += 1
+            print("expected:\n", expect, "\ngot:\n", big)
+
+    if want("recrawl_delta"):
+        from pdf_context_extractor_agent_ray.functions.text import (
+            recrawl_delta, snapshot_new, snapshot_old)
+        import pandas as pd
+
+        def _df(x):
+            return (x if isinstance(x, pd.DataFrame) else x.to_pandas()) \
+                .reset_index(drop=True)
+
+        base = _df(recrawl_delta(snapshot_old(docs(SF)),
+                                 snapshot_new(docs(SF)), n_docs=n_base))
+        t0 = time.time()
+        big = _df(recrawl_delta(snapshot_old(docs(OUT)),
+                                snapshot_new(docs(OUT)), n_docs=n_big))
+        dt = time.time() - t0
+        # stride is a SNAP_MOD multiple, so residue classes (and hence
+        # per-source class counts) replicate exactly x reps
+        expect = base.copy()
+        for c in ("n_unchanged", "n_changed", "n_added", "n_deleted"):
+            expect[c] = expect[c] * reps
+        ok = big.equals(expect)
+        print(f"recrawl_delta: {dt:6.1f} s  rows={len(big)}  "
+              f"{'EXACT x' + str(reps) if ok else 'MISMATCH'}", flush=True)
         if not ok:
             failures += 1
             print("expected:\n", expect, "\ngot:\n", big)
