@@ -180,21 +180,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and re-verified every pytest run by test_driver_contract's
         # full oracle sweep) sits at the tail.
         #
-        # flagship extraction (oracle: DuckDB summary over the
-        # sequential-oracle extraction artifact — span-for-span md5)
-        "extract_summary": _extract_summary,
         # new in late r4 (pricing_summary rotated to the tail — r02+r03
         # driver-green and unchanged — to keep these inside the window)
         "revenue_change": F_rel.revenue_change,
         "product_type_profit": F_rel.product_type_profit,
         # relational primitives (past the 50-entry window in r3)
-        "top_customers": F_rel.top_customers,
-        "events_windowed": F_rel.events_windowed,
         "events_hopping": F_rel.events_hopping,
-        "filter_sort_topk": F_rel.filter_sort_topk,
-        "order_revenue_topk": F_rel.order_revenue_topk,
-        "region_rollup": F_rel.region_rollup,
-        "segment_stats": F_rel.segment_stats,
         "top_orders_per_segment": F_rel.top_orders_per_segment,
         "customer_distribution": F_rel.customer_distribution,
         # new in r4: window fn / anti-join / pivot / multi-way join /
@@ -265,10 +256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
         "knn_ivf": F_sim.ivf_knn,
-        # new in late r4, placed just past the 50-entry window so the
-        # knn artifact oracles (new r4, punch item 4) keep their first
-        # driver rows; these two are hash-verified every pytest run by
-        # test_driver_contract like the rest of the tail
+        # rotated INTO the window for r4's driver run (never driver-
+        # checked before; the 7 r03-green entries they displace —
+        # extract_summary, top_customers, events_windowed,
+        # filter_sort_topk, order_revenue_topk, region_rollup,
+        # segment_stats — moved to the pytest-gated tail)
         "source_quality_gate": lambda sf: F_text.source_quality_gate(_docs(sf)),
         "lsh_recall_report": lambda sf: F_dedup.lsh_recall_report(
             _docs(sf), n_docs=_n_docs(sf)),
@@ -280,6 +272,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             F_dedup.corpus_clean_funnel_by_source(
                 _docs(sf), n_docs=_n_docs(sf)),
         "embedding_quantize": lambda sf: F_sim.embedding_quantize(_emb(sf)),
+        # int8 MIPS rerank over the quantized corpus: de-scaled integer
+        # dot (qdot * maxabs_e9) is a monotone image of v.u/m_q, so the
+        # quantized-ANN ranking itself is hash-exact (the r4 handoff's
+        # last named quantization gap; quantized COSINE stays a pytest
+        # recall audit because its sqrt norms are not oracle-safe)
+        "knn_int8": lambda sf: F_sim.knn_int8(
+            _emb(sf), F_sim.load_query_vectors(sf)),
         # new in late r4: the last two expressible TPC-H shapes — Q11
         # (per-part value gated by a share-of-global threshold; the
         # 1/DEN threshold bounds survivors at DEN-1 rows, so the final
@@ -367,6 +366,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text_q(F_text.token_stats_batch),
         "token_chunks": text_q(F_text.token_chunks_batch),
         "pricing_summary": F_rel.pricing_summary,
+        # r03 driver-green, unchanged since — rotated here so the
+        # never-checked r4 ops get their first driver rows; all seven
+        # stay hash-verified every pytest run by test_driver_contract
+        "extract_summary": _extract_summary,
+        "top_customers": F_rel.top_customers,
+        "events_windowed": F_rel.events_windowed,
+        "filter_sort_topk": F_rel.filter_sort_topk,
+        "order_revenue_topk": F_rel.order_revenue_topk,
+        "region_rollup": F_rel.region_rollup,
+        "segment_stats": F_rel.segment_stats,
     }
 
 
@@ -1429,6 +1438,41 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS qsum,
                    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qnorm2
             FROM t
+        """,
+        "knn_int8": f"""
+            -- int8 MIPS top-k (simsearch.knn_int8): quantize exactly
+            -- as embedding_quantize, then rank by the de-scaled
+            -- integer dot qdot * maxabs_e9 — BIGINT end to end, ties
+            -- (score desc, vec_id asc), query ids (vec_id < 5, the
+            -- load_query_vectors set) excluded as in knn_topk
+            WITH base AS (SELECT vec_id,
+                                 CAST(embedding AS DOUBLE[]) AS e,
+                                 list_max(list_transform(
+                                     CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS m
+                          FROM embeddings),
+            qz AS (SELECT vec_id,
+                          CASE WHEN m > 0
+                               THEN list_transform(e, x ->
+                                    CAST(round({F_sim.QUANT_LEVELS}.0 * x / m) AS BIGINT))
+                               ELSE list_transform(e, x -> CAST(0 AS BIGINT))
+                          END AS qv,
+                          CAST(round(m * 1000000000.0) AS BIGINT) AS m_e9
+                   FROM base),
+            q AS (SELECT vec_id AS qid, qv AS qq FROM qz WHERE vec_id < 5),
+            c AS (SELECT vec_id, qv, m_e9 FROM qz WHERE vec_id >= 5),
+            s AS (SELECT q.qid AS query_id, c.vec_id,
+                         CAST(list_sum(list_transform(
+                             list_zip(c.qv, q.qq), x -> x[1] * x[2]))
+                              AS BIGINT) * c.m_e9 AS qdot_scaled
+                  FROM q, c),
+            r AS (SELECT *, row_number() OVER
+                           (PARTITION BY query_id
+                            ORDER BY qdot_scaled DESC, vec_id ASC) AS rnk
+                  FROM s)
+            SELECT query_id, vec_id, qdot_scaled,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= {F_sim.DEFAULT_K}
         """,
         "important_parts": f"""
             -- Q11 shape: per-part value over one nation's suppliers,

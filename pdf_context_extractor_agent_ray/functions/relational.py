@@ -24,27 +24,271 @@ import pyarrow.compute as pc
 from .util import table_from_pandas
 
 
-def _read(sf_dir: str, table: str, columns=None, predicate=None):
+def _read(sf_dir: str, table: str, columns=None, predicate=None,
+          window=None):
     """Column- and (optionally) row-pruned parquet read. ``predicate``
     is a ``pyarrow.dataset`` expression pushed into the fragment scan —
     at scale it skips whole row groups via min/max statistics before
     any byte leaves storage. Callers KEEP their in-batch filters with
     the same bounds: the pushdown is purely an optimization and the
     batch filter remains the semantic guard (so an oracle never
-    depends on scan-level behavior)."""
+    depends on scan-level behavior).
+
+    ``window=(col, lo, hi)`` (either bound may be None) declares the
+    predicate's bounding box. It builds the ``lo <= col < hi``
+    predicate when ``predicate`` is not given, and — critically — it
+    lets the read detect from footer statistics ALONE that every row
+    group is pruned. A fully-pruned scan yields ZERO read tasks, so
+    zero blocks reach any downstream hash shuffle; Ray's join
+    aggregators then never receive their schema-broadcast empty shard
+    and acero dies with "No match ... for key field" on a schemaless
+    empty partition (seen on the date-windowed Q-shapes at sf0.001,
+    whose windows hold no rows). In that case return ONE explicit
+    0-row, schema-carrying block, MARKED known-empty
+    (``util.mark_known_empty``) so join call sites (``_inner_join``)
+    and the gated semi-join helpers can short-circuit driver-side.
+    The check is conservative (missing stats => the row group
+    survives), so it can only ever SKIP work, never change results."""
+    import pyarrow.parquet as pq
     import ray.data as rd
-    from .util import strip_schema_metadata
+    from .util import (mark_known_empty, set_seed_schema,
+                       strip_schema_metadata)
+
+    path = f"{sf_dir}/{table}.parquet"
+    schema = pq.read_schema(path)
+    names = columns if columns is not None else schema.names
+    seed = pa.schema([schema.field(c).remove_metadata()
+                      for c in names]).empty_table()
+    if window is not None:
+        col, lo, hi = window
+        if predicate is None:
+            import pyarrow.dataset as pds
+            expr = None
+            if lo is not None:
+                expr = pds.field(col) >= lo
+            if hi is not None:
+                e2 = pds.field(col) < hi
+                expr = e2 if expr is None else expr & e2
+            predicate = expr
+        if not _window_survives(path, col, lo, hi):
+            return mark_known_empty(rd.from_arrow(seed), seed)
     # metadata-free blocks keep downstream groupby/join reduces on the
-    # hashable-schema fast path (util.strip_schema_metadata)
+    # hashable-schema fast path (util.strip_schema_metadata); the seed
+    # schema rides along for the join anchors (util.set_seed_schema)
     kw = {"filter": predicate} if predicate is not None else {}
-    return strip_schema_metadata(
-        rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw))
+    return set_seed_schema(
+        strip_schema_metadata(
+            rd.read_parquet(path, columns=columns, **kw)),
+        seed)
+
+
+def _window_survives(path: str, col: str, lo, hi) -> bool:
+    """True if any row group MAY hold rows with lo <= col < hi per
+    footer min/max statistics — a pure metadata read, no data pages.
+    Inclusive on both ends of the stats compare, so strict-bound
+    callers (e.g. ``col > lo``) get a conservative answer."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    try:
+        j = pf.schema_arrow.names.index(col)
+    except ValueError:
+        return True
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(j).statistics
+        if st is None or not st.has_min_max:
+            return True
+        mn, mx = st.min, st.max
+        if isinstance(lo, np.datetime64) or isinstance(hi, np.datetime64):
+            mn, mx = np.datetime64(mn), np.datetime64(mx)
+        if (lo is None or mx >= lo) and (hi is None or mn < hi):
+            return True
+    return False
 
 
 def _between(col: str, lo, hi):
     """``lo <= col < hi`` as a pushdown-able dataset expression."""
     import pyarrow.dataset as pds
     return (pds.field(col) >= lo) & (pds.field(col) < hi)
+
+
+def _map_pa(ds, fn, **kw):
+    """``ds.map_batches(fn, batch_format="pyarrow")`` that PROPAGATES
+    the seed schema and the known-empty mark: ``map_batches`` returns a
+    new Dataset object so the attributes would be lost; re-derive the
+    post-map schema by applying ``fn`` to the 0-row seed table
+    driver-side (the same fn the workers run, so the schemas cannot
+    diverge). Use this instead of raw ``map_batches`` on every stage
+    that feeds a join side (see ``_sentinel_anchor``)."""
+    from .util import (known_empty_table, mark_known_empty,
+                       seed_schema_table, set_seed_schema)
+
+    out = ds.map_batches(fn, batch_format="pyarrow", **kw)
+    seed = seed_schema_table(ds)
+    if seed is not None:
+        mapped = fn(seed)
+        set_seed_schema(out, mapped)
+        if known_empty_table(ds) is not None:
+            mark_known_empty(out, mapped)
+    return out
+
+
+# Reserved join-key range for schema-anchor sentinel rows. Engine join
+# keys are non-negative ids, so values this deep in the negatives can
+# never collide with real data (the contract every join helper below
+# documents).
+_SENT_FLOOR = -(2 ** 61)
+_SENT_LEFT = -(2 ** 62) - 11
+_SENT_RIGHT = -(2 ** 62) - 13
+
+
+def _sentinel_anchor(side, key_cols, sentinel):
+    """Union a ONE-ROW schema-anchor into a join side. Ray drops 0-row
+    blocks at every layer (reads whose pushed filter matches nothing
+    emit no block; map operators skip empty outputs even mid-fused
+    chain; the hash shuffle returns before the join schema broadcast at
+    ``num_rows == 0`` and only ever attempts that broadcast on the
+    FIRST block of a side) — so a side that filters to zero rows
+    presents ZERO blocks, some aggregator partition stays schemaless,
+    and acero raises "No match ... for key field". One guaranteed
+    non-empty block per side keeps the schema broadcast alive; the
+    anchor row carries an impossible key (int64 far below any real id;
+    left and right use DIFFERENT reserved keys) so inner-join semantics
+    drop it from the output.
+
+    The anchor's schema comes from the side's statically-propagated
+    seed (``util.seed_schema_table``, attached by ``_read`` and chained
+    by ``_map_pa``), falling back to Ray's schema resolution for sides
+    without one (e.g. groupby outputs — those have data in every
+    supported scenario). Returns the side unchanged when no schema can
+    be resolved or a key column is not int64."""
+    import ray.data as rd
+    from .util import seed_schema_table
+
+    seed = seed_schema_table(side)
+    schema = seed.schema if seed is not None else _schema_of(side)
+    if schema is None or any(
+            n not in schema.names or not pa.types.is_int64(schema.field(n).type)
+            for n in key_cols):
+        return side
+    row = [pa.array([sentinel], pa.int64()) if f.name in set(key_cols)
+           else pa.nulls(1, f.type) for f in schema]
+    return side.union(rd.from_arrow(
+        pa.Table.from_arrays(row, schema=schema)))
+
+
+def _strip_sentinels(key_cols):
+    """Drop schema-anchor rows after an outer join (their key is the
+    reserved value; inner joins never emit them). Also drops null-key
+    rows — fine for this engine, whose join keys are non-null ids."""
+    key_cols = tuple(key_cols)
+
+    def strip(t: pa.Table) -> pa.Table:
+        for k in key_cols:
+            if pa.types.is_int64(t.schema.field(k).type):
+                t = t.filter(pc.greater(
+                    t[k], pa.scalar(_SENT_FLOOR, pa.int64())))
+        return t
+
+    return strip
+
+
+def _joined_seed(ls: "pa.Schema", rs: "pa.Schema", r_on) -> pa.Table:
+    """Pyarrow's joined schema as a 0-row table: left columns + right
+    columns minus right keys."""
+    fields = list(ls) + [rs.field(n) for n in rs.names
+                         if n not in set(r_on)]
+    return pa.schema(fields).empty_table()
+
+
+def _inner_join(left, right, num_partitions, on, right_on=None):
+    """Empty-safe ``Dataset.join``. Two layers:
+
+    1. PLAN-TIME empty (a fully-pruned windowed read carrying the
+       ``util.mark_known_empty`` tag): skip the join entirely and
+       return a 0-row table with the joined schema, re-marked for
+       chaining.
+    2. RUNTIME empty (a filter that matched nothing — footer stats
+       cannot see it): a one-row schema-anchor sentinel unioned into
+       each side (``_sentinel_anchor``) keeps the join aggregators'
+       schema broadcast alive; inner-join semantics drop the anchors.
+
+    The join output carries a propagated seed schema when both sides'
+    schemas are statically known, so chained joins stay anchored."""
+    import ray.data as rd
+    from .util import (known_empty_table, mark_known_empty,
+                       seed_schema_table, set_seed_schema)
+
+    on = tuple(on)
+    r_on = tuple(right_on) if right_on is not None else on
+    lt, rt = known_empty_table(left), known_empty_table(right)
+    lseed, rseed = seed_schema_table(left), seed_schema_table(right)
+    if lt is not None or rt is not None:
+        ls = lt.schema if lt is not None else \
+            (lseed.schema if lseed is not None else _schema_of(left))
+        rs = rt.schema if rt is not None else \
+            (rseed.schema if rseed is not None else _schema_of(right))
+        if ls is not None and rs is not None:
+            t = _joined_seed(ls, rs, r_on)
+            return mark_known_empty(rd.from_arrow(t), t)
+        # cannot resolve the live side's schema: fall through to the
+        # real (anchored) join
+    l2 = _sentinel_anchor(left, on, _SENT_LEFT)
+    r2 = _sentinel_anchor(right, r_on, _SENT_RIGHT)
+    j = l2.join(r2, "inner", num_partitions=num_partitions,
+                on=on, right_on=right_on)
+    if lseed is not None and rseed is not None:
+        set_seed_schema(j, _joined_seed(lseed.schema, rseed.schema, r_on))
+    return j
+
+
+def _left_outer_join(left, right, num_partitions, on, right_on=None):
+    """Empty-safe left-outer join (the anti-join building block).
+    Schema anchors go in on both sides; the LEFT anchor survives a
+    left-outer join as an unmatched row, so the output strips reserved
+    keys (``_strip_sentinels``). A plan-time-empty RIGHT side
+    short-circuits to null-widened left rows (the anti-join keeps
+    everything); a plan-time-empty LEFT side is the empty result."""
+    import ray.data as rd
+    from .util import known_empty_table, mark_known_empty, seed_schema_table
+
+    on = tuple(on)
+    r_on = tuple(right_on) if right_on is not None else on
+    lt, rt = known_empty_table(left), known_empty_table(right)
+    if lt is not None:
+        rseed = seed_schema_table(right)
+        rs = rt.schema if rt is not None else \
+            (rseed.schema if rseed is not None else _schema_of(right))
+        if rs is not None:
+            t = _joined_seed(lt.schema, rs, r_on)
+            return mark_known_empty(rd.from_arrow(t), t)
+    elif rt is not None:
+        add = [rt.schema.field(n) for n in rt.schema.names
+               if n not in set(r_on)]
+
+        def widen(t: pa.Table) -> pa.Table:
+            for f in add:
+                t = t.append_column(f.name, pa.nulls(len(t), f.type))
+            return t
+
+        return _map_pa(left, widen)
+    l2 = _sentinel_anchor(left, on, _SENT_LEFT)
+    r2 = _sentinel_anchor(right, r_on, _SENT_RIGHT)
+    j = l2.join(r2, "left_outer", num_partitions=num_partitions,
+                on=on, right_on=right_on)
+    return j.map_batches(_strip_sentinels(on), batch_format="pyarrow")
+
+
+def _schema_of(ds):
+    """Arrow schema of a live Dataset side (executes at most one block
+    of the plan), or None when Ray cannot resolve one (a runtime-empty
+    stream has no block to infer from) or the side holds pandas blocks
+    (whose PandasBlockSchema cannot type a sentinel row)."""
+    s = ds.schema(fetch_if_missing=True)
+    if s is None or not isinstance(s.base_schema, pa.Schema):
+        return None
+    return s.base_schema
 
 
 def _finish_grouped_sums(partials, keys: list[str]):
@@ -73,14 +317,27 @@ def _attach_dim_value(ds, sf_dir: str, dim_table: str, dim_key: str,
     import os
     import ray
     import pyarrow.parquet as pq
+    import ray.data as rd
+    from .util import known_empty_table, mark_known_empty
+
+    if project is None:
+        def project(batch):
+            return batch
+
+    seed = known_empty_table(ds)
+    if seed is not None:
+        # plan-time-empty fact: the attach result is empty with the
+        # projected schema (+ the int64 out_col) — skip both arms so no
+        # all-empty side ever reaches a hash join (see _inner_join)
+        t = project(seed)
+        if out_col is not None:
+            t = t.append_column(out_col, pa.array([], pa.int64()))
+        return mark_known_empty(rd.from_arrow(t), t)
 
     try:
         dim_bytes = os.path.getsize(f"{sf_dir}/{dim_table}.parquet")
     except OSError:
         dim_bytes = 0
-    if project is None:
-        def project(batch):
-            return batch
 
     if dim_bytes <= broadcast_max_bytes:
         dim = pq.read_table(f"{sf_dir}/{dim_table}.parquet",
@@ -107,7 +364,7 @@ def _attach_dim_value(ds, sf_dir: str, dim_table: str, dim_key: str,
             return t.append_column(out_col, pa.array(vs[pos_c[hit]],
                                                      pa.int64()))
 
-        return ds.map_batches(attach, batch_format="pyarrow")
+        return _map_pa(ds, attach)
 
     vname = out_col or f"_{val_col}_drop"
 
@@ -120,11 +377,10 @@ def _attach_dim_value(ds, sf_dir: str, dim_table: str, dim_key: str,
                 vals64, value_set=pa.array(allowed, pa.int64())))
         return out
 
-    dim_ds = _read(sf_dir, dim_table, [dim_key, val_col]) \
-        .map_batches(dim_project, batch_format="pyarrow")
-    j = ds.map_batches(project, batch_format="pyarrow") \
-        .join(dim_ds, "inner", num_partitions=num_partitions,
-              on=(fact_key,), right_on=(dim_key,))
+    dim_ds = _map_pa(_read(sf_dir, dim_table, [dim_key, val_col]),
+                     dim_project)
+    j = _inner_join(_map_pa(ds, project), dim_ds,
+                    num_partitions, (fact_key,), (dim_key,))
 
     def cleanup(t: pa.Table) -> pa.Table:
         # schema parity with the broadcast arm: fact columns (+ out_col)
@@ -132,7 +388,7 @@ def _attach_dim_value(ds, sf_dir: str, dim_table: str, dim_key: str,
                 if c and c != fact_key and c in t.column_names]
         return t.drop_columns(drop) if drop else t
 
-    return j.map_batches(cleanup, batch_format="pyarrow")
+    return _map_pa(j, cleanup)
 
 
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
@@ -195,9 +451,15 @@ def top_customers(sf_dir: str, k: int = 10,
             [("price_c", "sum"), ("price_c", "count")]) \
             .rename_columns(["o_custkey", "revenue_cents", "n_orders"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_custkey").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
-                                        Sum("n_orders", alias_name="n_orders"))
+    from .util import set_seed_schema
+    agg = set_seed_schema(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders")),
+        pa.schema([("o_custkey", pa.int64()),
+                   ("revenue_cents", pa.int64()),
+                   ("n_orders", pa.int64())]).empty_table())
 
     try:
         dim_bytes = os.path.getsize(f"{sf_dir}/customer.parquet")
@@ -245,8 +507,8 @@ def top_customers(sf_dir: str, k: int = 10,
                          max(2, -(-dim_bytes // (128 << 20))))
     cust_ds = _read(sf_dir, "customer",
                     ["c_custkey", "c_name", "c_mktsegment"])
-    j = agg.join(cust_ds, "inner", num_partitions=num_partitions,
-                 on=("o_custkey",), right_on=("c_custkey",))
+    j = _inner_join(agg, cust_ds, num_partitions,
+                    ("o_custkey",), ("c_custkey",))
 
     def project_rank(df: pd.DataFrame) -> pd.DataFrame:
         return rank(df)[["o_custkey", "revenue_cents", "n_orders",
@@ -359,10 +621,10 @@ def order_revenue_topk(sf_dir: str, k: int = 10, segment: str = "BUILDING",
                                       round_mode="half_towards_infinity"), pa.int64()),
         })
 
-    o = orders.map_batches(filter_orders, batch_format="pyarrow")
-    l = lineitem.map_batches(filter_lineitem, batch_format="pyarrow")
-    joined = l.join(o, "inner", num_partitions=num_partitions,
-                    on=("l_orderkey",), right_on=("o_orderkey",))
+    o = _map_pa(orders, filter_orders)
+    l = _map_pa(lineitem, filter_lineitem)
+    joined = _inner_join(l, o, num_partitions,
+                         ("l_orderkey",), ("o_orderkey",))
 
     from ray.data.aggregate import Sum
     agg = joined.groupby(["l_orderkey", "o_orderdate_us"]).aggregate(
@@ -502,9 +764,8 @@ def top_orders_per_segment(sf_dir: str, k: int = TOP_ORDERS_PER_SEGMENT_K,
                          round_mode="half_towards_infinity"), pa.int64()),
         })
 
-    j = ds.map_batches(price_cents, batch_format="pyarrow") \
-        .join(dim, "inner", num_partitions=max(2, cpus // 2),
-              on=("o_custkey",), right_on=("c_custkey",))
+    j = _inner_join(_map_pa(ds, price_cents), dim, max(2, cpus // 2),
+                    ("o_custkey",), ("c_custkey",))
 
     def partial_joined(df: pd.DataFrame) -> pd.DataFrame:
         df = df.rename(columns={"c_mktsegment": "segment"})
@@ -763,22 +1024,33 @@ def idle_customers(sf_dir: str, cutoff: str = IDLE_CUTOFF,
     # side, groupby dedups globally, then a hash-partitioned left_outer
     # join marks matches and the filter keeps the nulls (anti-join)
     from ray.data.aggregate import Count
-    import pyarrow.dataset as pds
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
-                   predicate=pds.field("o_orderdate")
-                   >= np.datetime64(cutoff, "us"))
+                   window=("o_orderdate", np.datetime64(cutoff, "us"),
+                           None))
+    from .util import known_empty_table
+    if known_empty_table(orders) is not None:
+        # nobody ordered since the cutoff: the anti-join keeps every
+        # rich customer (a 0-row right side would starve the left_outer
+        # join's aggregators of schema — see _inner_join)
+        return rollup(rich.map_batches(
+            lambda t: t.select(["n_nationkey", "bal_cents"]),
+            batch_format="pyarrow"))
     have_ds = orders.map_batches(
         lambda t: pa.table({"o_custkey": pc.unique(
             t.filter(pc.greater_equal(t["o_orderdate"], cutoff_ts))
             ["o_custkey"].combine_chunks())}),
         batch_format="pyarrow").groupby("o_custkey").aggregate(
             Count(alias_name="n_orders"))
+    from .util import set_seed_schema
+    set_seed_schema(have_ds, pa.schema(
+        [("o_custkey", pa.int64()),
+         ("n_orders", pa.int64())]).empty_table())
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_partitions = min(max(2, cpus // 2),
                              max(2, -(-orders_bytes // (128 << 20))))
-    j = rich.join(have_ds, "left_outer", num_partitions=num_partitions,
-                  on=("c_custkey",), right_on=("o_custkey",))
+    j = _left_outer_join(rich, have_ds, num_partitions,
+                         ("c_custkey",), ("o_custkey",))
 
     def keep_nulls(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["n_orders"].isna()][["n_nationkey", "bal_cents"]]
@@ -869,7 +1141,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                              max(2, -(-nbytes // (128 << 20))))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
-                   predicate=_between("o_orderdate",
+                   window=("o_orderdate",
                                       np.datetime64(date_from, "us"),
                                       np.datetime64(date_to, "us")))
 
@@ -880,7 +1152,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         return pa.table({"o_orderkey": batch["o_orderkey"],
                          "o_custkey": batch["o_custkey"]})
 
-    o = orders.map_batches(in_window, batch_format="pyarrow")
+    o = _map_pa(orders, in_window)
 
     try:
         cust_bytes = os.path.getsize(f"{sf_dir}/customer.parquet")
@@ -907,7 +1179,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                 "c_nationkey": pa.array(nk[keep].astype(np.int64), pa.int64()),
             })
 
-        o = o.map_batches(attach_cnation, batch_format="pyarrow")
+        o = _map_pa(o, attach_cnation)
     else:
         cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
@@ -918,11 +1190,10 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                 t["c_nationkey"],
                 value_set=pa.array(sorted(nation_in), pa.int64())))
 
-        o = o.join(cust_ds.map_batches(cust_in_region, batch_format="pyarrow"),
-                   "inner", num_partitions=num_partitions,
-                   on=("o_custkey",), right_on=("c_custkey",))
-        o = o.map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
-                          batch_format="pyarrow")
+        o = _inner_join(
+            o, _map_pa(cust_ds, cust_in_region),
+            num_partitions, ("o_custkey",), ("c_custkey",))
+        o = _map_pa(o, lambda t: t.select(["o_orderkey", "c_nationkey"]))
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
@@ -938,9 +1209,9 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                              pa.int64()),
         })
 
-    li = lineitem.map_batches(li_project, batch_format="pyarrow")
-    j = li.join(o, "inner", num_partitions=num_partitions,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    li = _map_pa(lineitem, li_project)
+    j = _inner_join(li, o, num_partitions,
+                    ("l_orderkey",), ("o_orderkey",))
 
     try:
         supp_bytes = os.path.getsize(f"{sf_dir}/supplier.parquet")
@@ -984,11 +1255,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         return finish_names(j.map_batches(local_only, batch_format="pyarrow"))
 
     supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    j2 = j.join(supp_ds.map_batches(
+    j2 = _inner_join(j, _map_pa(
+        supp_ds,
         lambda t: pa.table({"s_suppkey": t["s_suppkey"],
-                            "s_nationkey": pc.cast(t["s_nationkey"], pa.int64())}),
-        batch_format="pyarrow"), "inner", num_partitions=num_partitions,
-        on=("l_suppkey",), right_on=("s_suppkey",))
+                            "s_nationkey": pc.cast(t["s_nationkey"], pa.int64())})),
+        num_partitions, ("l_suppkey",), ("s_suppkey",))
 
     def local_filter(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch["c_nationkey"],
@@ -2174,14 +2445,14 @@ def promo_revenue(sf_dir: str, promo_type: str = PROMO_TYPE,
                          "ship_month": month_col(batch["l_shipdate"]),
                          "rev_c": rev_col(batch)})
 
-    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+    part_ds = _map_pa(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
         lambda t: pa.table({
             "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
-            "is_promo": pc.equal(t["p_type"], promo_type)}),
-        batch_format="pyarrow")
-    j = lineitem.map_batches(li_project, batch_format="pyarrow") \
-        .join(part_ds, "inner", num_partitions=num_partitions,
-              on=("l_partkey",), right_on=("p_partkey",))
+            "is_promo": pc.equal(t["p_type"], promo_type)}))
+    j = _inner_join(_map_pa(lineitem, li_project),
+                    part_ds, num_partitions,
+                    ("l_partkey",), ("p_partkey",))
 
     def partial_joined(batch: pa.Table) -> pa.Table:
         return fold_partial(batch["ship_month"], batch["rev_c"],
@@ -2290,13 +2561,17 @@ def late_shipment_priority(sf_dir: str, date_from: str = LATE_FROM,
         return out.groupby("o_orderpriority", as_index=False).sum()
 
     import pyarrow.dataset as pds
+    # strict > stays the scan predicate; the window check is inclusive
+    # on lo, i.e. conservative for this bound
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"],
                predicate=pds.field("l_shipdate")
-               > np.datetime64(lo_us + grace_us, "us")) \
+               > np.datetime64(lo_us + grace_us, "us"),
+               window=("l_shipdate", np.datetime64(lo_us + grace_us, "us"),
+                       None)) \
         .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     o = _read(sf_dir, "orders",
               ["o_orderkey", "o_orderdate", "o_orderpriority"],
-              predicate=_between("o_orderdate",
+              window=("o_orderdate",
                                  np.datetime64(date_from, "us"),
                                  np.datetime64(date_to, "us"))) \
         .map_batches(order_rows, batch_format="pyarrow", batch_size=None)
@@ -2380,7 +2655,7 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
         _read(sf_dir, "lineitem",
               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
                "l_shipdate"],
-              predicate=_between("l_shipdate",
+              window=("l_shipdate",
                                  np.datetime64(date_from, "us"),
                                  np.datetime64(date_to, "us"))),
         sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey", "s_nat",
@@ -2399,8 +2674,8 @@ def nation_trade_volume(sf_dir: str, nation_a: str = TRADE_NATION_A,
         broadcast_max_bytes, num_partitions, allowed=allowed,
         project=o_project)
 
-    j = li.join(o, "inner", num_partitions=num_partitions,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = _inner_join(li, o, num_partitions,
+                    ("l_orderkey",), ("o_orderkey",))
     name_ref = ray.put(dict(names))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2528,17 +2803,16 @@ def market_share(sf_dir: str, region: str = MKT_REGION,
             hit = (ks[pos] == fk) if len(ks) else np.zeros(len(fk), bool)
             return t.filter(pa.array(hit))
 
-        li = li_raw.map_batches(part_semi, batch_format="pyarrow")
+        li = _map_pa(li_raw, part_semi)
     else:
-        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]) \
-            .map_batches(
-                lambda t: pa.table({
-                    "p_partkey": pc.cast(t["p_partkey"], pa.int64())})
-                .filter(pc.equal(t["p_type"], part_type)),
-                batch_format="pyarrow")
-        li = li_raw.map_batches(li_project, batch_format="pyarrow") \
-            .join(part_ds, "inner", num_partitions=num_partitions,
-                  on=("l_partkey",), right_on=("p_partkey",))
+        part_ds = _map_pa(
+            _read(sf_dir, "part", ["p_partkey", "p_type"]),
+            lambda t: pa.table({
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64())})
+            .filter(pc.equal(t["p_type"], part_type)))
+        li = _inner_join(
+            _map_pa(li_raw, li_project),
+            part_ds, num_partitions, ("l_partkey",), ("p_partkey",))
 
     li = _attach_dim_value(
         li, sf_dir, "supplier", "s_suppkey", "s_nationkey", "l_suppkey",
@@ -2556,15 +2830,15 @@ def market_share(sf_dir: str, region: str = MKT_REGION,
 
     o = _attach_dim_value(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
-              predicate=_between("o_orderdate",
+              window=("o_orderdate",
                                  np.datetime64(date_from, "us"),
                                  np.datetime64(date_to, "us"))),
         sf_dir, "customer", "c_custkey", "c_nationkey", "o_custkey", None,
         broadcast_max_bytes, num_partitions, allowed=region_nations,
         project=o_project)
 
-    j = li.join(o, "inner", num_partitions=num_partitions,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = _inner_join(li, o, num_partitions,
+                    ("l_orderkey",), ("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         is_t = pc.equal(batch["s_nat"], pa.scalar(target_key, pa.int64()))
@@ -2696,11 +2970,12 @@ def brand_qty_revenue(sf_dir: str, rules=BRAND_QTY_RULES,
             "rev_c": pa.array(rev_col(batch), pa.int64()),
         })
 
-    part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
-        .map_batches(dim_project, batch_format="pyarrow")
-    j = lineitem.map_batches(li_project, batch_format="pyarrow") \
-        .join(part_ds, "inner", num_partitions=num_partitions,
-              on=("l_partkey",), right_on=("p_partkey",))
+    part_ds = _map_pa(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]),
+        dim_project)
+    j = _inner_join(_map_pa(lineitem, li_project),
+                    part_ds, num_partitions,
+                    ("l_partkey",), ("p_partkey",))
 
     def partial_joined(batch: pa.Table) -> pd.DataFrame:
         return fold_partial(
@@ -2746,7 +3021,7 @@ def revenue_change(sf_dir: str, date_from: str = REVCHG_FROM,
 
     ds = _read(sf_dir, "lineitem",
                ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
-               predicate=_between("l_shipdate", np.datetime64(date_from, "us"),
+               window=("l_shipdate", np.datetime64(date_from, "us"),
                                   np.datetime64(date_to, "us")))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2802,6 +3077,16 @@ def _semi_join_part(ds, sf_dir: str, pred_columns: list[str], part_pred,
     import os
     import ray
     import pyarrow.parquet as pq
+    import ray.data as rd
+    from .util import known_empty_table, mark_known_empty
+
+    seed = known_empty_table(ds)
+    if seed is not None:
+        # plan-time-empty fact (fully-pruned windowed read): the
+        # semi-join keeps nothing — short-circuit with the projected
+        # empty schema, marked for downstream _inner_join call sites
+        t = project(seed)
+        return mark_known_empty(rd.from_arrow(t), t)
 
     try:
         part_bytes = os.path.getsize(f"{sf_dir}/part.parquet")
@@ -2824,7 +3109,7 @@ def _semi_join_part(ds, sf_dir: str, pred_columns: list[str], part_pred,
             hit = (ks[pos_c] == fk) if len(ks) else np.zeros(len(fk), bool)
             return t.filter(pa.array(hit))
 
-        return ds.map_batches(attach, batch_format="pyarrow")
+        return _map_pa(ds, attach)
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -2839,17 +3124,16 @@ def _semi_join_part(ds, sf_dir: str, pred_columns: list[str], part_pred,
         t = t.filter(part_pred(t))
         return pa.table({"p_partkey": pc.cast(t["p_partkey"], pa.int64())})
 
-    part_ds = _read(sf_dir, "part", ["p_partkey"] + pred_columns) \
-        .map_batches(dim_project, batch_format="pyarrow")
-    j = ds.map_batches(project, batch_format="pyarrow") \
-        .join(part_ds, "inner", num_partitions=num_partitions,
-              on=("l_partkey",), right_on=("p_partkey",))
+    part_ds = _map_pa(_read(sf_dir, "part", ["p_partkey"] + pred_columns),
+                      dim_project)
+    j = _inner_join(_map_pa(ds, project), part_ds, num_partitions,
+                    ("l_partkey",), ("p_partkey",))
 
     def cleanup(t: pa.Table) -> pa.Table:
         drop = [c for c in ("p_partkey",) if c in t.column_names]
         return t.drop_columns(drop) if drop else t
 
-    return j.map_batches(cleanup, batch_format="pyarrow")
+    return _map_pa(j, cleanup)
 
 
 def _semi_join_part_name(ds, sf_dir: str, name_token: str,
@@ -3060,15 +3344,16 @@ def returned_item_report(sf_dir: str, date_from: str = RETURNED_FROM,
                 "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
                 "o_custkey": pc.cast(t["o_custkey"], pa.int64())})
 
-        o_ds = _read(sf_dir, "orders",
-                     ["o_orderkey", "o_custkey", "o_orderdate"],
-                     predicate=_between("o_orderdate",
-                                        np.datetime64(date_from, "us"),
-                                        np.datetime64(date_to, "us"))) \
-            .map_batches(o_project, batch_format="pyarrow")
-        joined = li.map_batches(li_project, batch_format="pyarrow") \
-            .join(o_ds, "inner", num_partitions=num_partitions,
-                  on=("l_orderkey",), right_on=("o_orderkey",))
+        o_ds = _map_pa(
+            _read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate"],
+                  window=("o_orderdate",
+                          np.datetime64(date_from, "us"),
+                          np.datetime64(date_to, "us"))),
+            o_project)
+        joined = _inner_join(
+            _map_pa(li, li_project), o_ds,
+            num_partitions, ("l_orderkey",), ("o_orderkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
         return pa.table({"o_custkey": batch["o_custkey"],
@@ -3191,11 +3476,19 @@ def excess_qty_suppliers(sf_dir: str, name_token: str = EXCESS_NAME_TOKEN,
     li = _semi_join_part_name(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
-              predicate=_between("l_shipdate",
+              window=("l_shipdate",
                                  np.datetime64(date_from, "us"),
                                  np.datetime64(date_to, "us"))),
         sf_dir, name_token, broadcast_max_bytes, num_partitions,
         project=li_project)
+
+    from .util import known_empty_table
+    if known_empty_table(li) is not None:
+        # fully-pruned ship-date window: no pair can clear the
+        # threshold — the empty report, without feeding a plan-time
+        # empty side into the groupby/join chain (see _inner_join)
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object")})
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         return pa.table({"l_suppkey": batch["l_suppkey"],
@@ -3245,12 +3538,16 @@ def excess_qty_suppliers(sf_dir: str, name_token: str = EXCESS_NAME_TOKEN,
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_partitions = min(max(2, cpus // 2),
                              max(2, -(-supp_bytes // (128 << 20))))
-    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
-        .map_batches(lambda t: pa.table({
+    supp_ds = _map_pa(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"]),
+        lambda t: pa.table({
             "sk": pc.cast(t["s_suppkey"], pa.int64()),
-            "s_name": t["s_name"]}), batch_format="pyarrow")
-    j = supps.join(supp_ds, "inner", num_partitions=num_partitions,
-                   on=("s_suppkey",), right_on=("sk",))
+            "s_name": t["s_name"]}))
+    from .util import set_seed_schema
+    set_seed_schema(supps, pa.schema(
+        [("s_suppkey", pa.int64())]).empty_table())
+    j = _inner_join(supps, supp_ds, num_partitions,
+                    ("s_suppkey",), ("sk",))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return df[["s_suppkey", "s_name"]].sort_values("s_suppkey") \
@@ -3596,18 +3893,19 @@ def min_cost_supplier(sf_dir: str, region: str = MCS_REGION,
 
         enriched = winners.map_batches(enrich, batch_format="pandas")
     else:
-        supp_ds = _read(sf_dir, "supplier",
-                        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]) \
-            .map_batches(lambda t: pa.table({
+        supp_ds = _map_pa(
+            _read(sf_dir, "supplier",
+                  ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+            lambda t: pa.table({
                 "sk": pc.cast(t["s_suppkey"], pa.int64()),
                 "s_name": t["s_name"],
                 "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
                 "s_acctbal_cents": pc.cast(
                     pc.round(pc.multiply(t["s_acctbal"], 100),
                              round_mode="half_towards_infinity"), pa.int64()),
-            }), batch_format="pyarrow")
-        j = winners.join(supp_ds, "inner", num_partitions=num_partitions,
-                         on=("l_suppkey",), right_on=("sk",))
+            }))
+        j = _inner_join(winners, supp_ds, num_partitions,
+                        ("l_suppkey",), ("sk",))
 
         def name_topk(df: pd.DataFrame) -> pd.DataFrame:
             names = ray.get(nname_ref)

@@ -30,8 +30,8 @@ def _matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(batch), -1)
 
 
-def _finish_topk(partials, k: int):
-    """Shared exact top-k finisher: per query (sim_e6 desc, vec_id asc)
+def _finish_topk(partials, k: int, score_col: str = "sim_e6"):
+    """Shared exact top-k finisher: per query (score desc, vec_id asc)
     tie-break + 1-based rank — ONE definition so the exact and
     approximate paths cannot silently diverge on the ordering
     contract. Queries are a bounded set and partials carry <= k rows
@@ -41,7 +41,7 @@ def _finish_topk(partials, k: int):
     def final(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return df.assign(rank=pd.Series(dtype="int64"))
-        df = df.sort_values(["query_id", "sim_e6", "vec_id"],
+        df = df.sort_values(["query_id", score_col, "vec_id"],
                             ascending=[True, False, True])
         df = df.groupby("query_id", group_keys=False).head(k).copy()
         df["rank"] = df.groupby("query_id").cumcount().to_numpy() + 1
@@ -769,6 +769,21 @@ def doc_label_mix(sf_dir: str,
 QUANT_LEVELS = 127  # int8 symmetric quantization range
 
 
+def _quantize_rows(M: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """THE int8 symmetric quantization rule (one definition —
+    embedding_quantize, quantized_knn_topk and knn_int8 all call it so
+    the quantization contract cannot fork): per-vector scale
+    ``m = max|v|`` in float64, ``q_i = round_half_away((127.0*v_i)/m)``
+    with the same IEEE op order as the DuckDB ``round(127.0*x/m)``;
+    zero vectors quantize to all-zero. Returns (q int64 matrix, m)."""
+    m = np.abs(M).max(axis=1)
+    safe = np.where(m > 0, m, 1.0)
+    q = round_half_away_e((QUANT_LEVELS * M) / safe[:, None],
+                          scale=1.0).astype(np.int64)
+    q[m == 0] = 0
+    return q, m
+
+
 def embedding_quantize(ds):
     """Symmetric per-vector int8 quantization — the storage/compute
     shrink trick for billion-vector ANN (4x smaller than float32, int
@@ -792,11 +807,7 @@ def embedding_quantize(ds):
     """
     def partial(batch: pa.Table) -> pa.Table:
         M = _matrix(batch)                      # (n, d) float64
-        m = np.abs(M).max(axis=1)               # per-vector scale
-        safe = np.where(m > 0, m, 1.0)
-        q = round_half_away_e((QUANT_LEVELS * M) / safe[:, None],
-                              scale=1.0).astype(np.int64)
-        q[m == 0] = 0
+        q, m = _quantize_rows(M)
         return pa.table({
             "vec_id": batch["vec_id"],
             "n_dims": pa.array(np.full(len(M), M.shape[1], np.int64)),
@@ -823,12 +834,7 @@ def quantized_knn_topk(ds, query_vectors: dict[int, list[float]],
     import ray
 
     def quant(M: np.ndarray) -> np.ndarray:
-        m = np.abs(M).max(axis=1)
-        safe = np.where(m > 0, m, 1.0)
-        q = round_half_away_e((QUANT_LEVELS * M) / safe[:, None],
-                              scale=1.0)
-        q[m == 0] = 0
-        return q
+        return _quantize_rows(M)[0].astype(np.float64)
 
     qids = np.array(sorted(query_vectors), np.int64)
     QM = quant(np.stack([np.asarray(query_vectors[q], np.float64)
@@ -862,3 +868,77 @@ def quantized_knn_topk(ds, query_vectors: dict[int, list[float]],
     return _finish_topk(
         strip_schema_metadata(ds).map_batches(partial,
                                               batch_format="pyarrow"), k)
+
+
+# de-scaled int8 dot scores stay exact in int64 only while
+# |qdot| * maxabs_e9 < 2^63: with d dims the dot is bounded by
+# d * 127^2, so maxabs must stay under 2^63 / (d * 127^2 * 1e9)
+# (~0.57 at d=1000). Unit-ish embedding spaces are far inside; a
+# corpus that is not fails LOUD, not wrong.
+INT8_MAXABS_LIMIT = float(2**63)
+
+
+def knn_int8(ds, query_vectors: dict[int, list[float]],
+             k: int = DEFAULT_K):
+    """int8 MIPS top-k — the production shape for billion-vector
+    retrieval over a QUANTIZED corpus (4x smaller, integer SIMD dots):
+    corpus and query vectors quantize per ``_quantize_rows`` and each
+    candidate scores ``qdot_scaled = (q_c . q_q) * maxabs_e9(c)`` — the
+    integer dot DE-SCALED by the stored corpus scale, i.e. a monotone
+    integer image of the inner product ``v . u / m_q`` (the query scale
+    is constant within a query, so it cancels in the per-query
+    ranking). ALL-INTEGER, so unlike quantized_knn_topk's float-sqrt
+    cosine this ranking has an exact DuckDB twin (VERDICT r3 #4 family;
+    the r4 handoff named this the remaining quantized-ANN gap).
+
+    Output: query_id, vec_id, qdot_scaled, rank — ties (qdot_scaled
+    desc, vec_id asc), query ids excluded from candidates, same
+    contract as knn_topk.
+
+    At scale: the quantized query matrix ships via ``ray.put`` once;
+    each batch is one int64 matmul + per-query partial top-k, no
+    exchange until the tiny (queries x k) finish."""
+    import ray
+
+    qids = sorted(query_vectors)
+    Qq, _ = _quantize_rows(np.array([query_vectors[q] for q in qids],
+                                    dtype=np.float64))
+    ref = ray.put((np.array(qids, np.int64), Qq))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, qm = ray.get(ref)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ~np.isin(vec_ids, ids)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "qdot_scaled": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        vec_ids = vec_ids[keep]
+        C, m = _quantize_rows(_matrix(batch)[keep])
+        m_e9 = round_half_away_e(m * 1e9, scale=1.0).astype(np.int64)
+        dim = C.shape[1]
+        limit = INT8_MAXABS_LIMIT / (dim * QUANT_LEVELS ** 2)
+        if m_e9.size and float(m_e9.max()) >= limit:
+            raise ValueError(
+                f"knn_int8: maxabs_e9 {m_e9.max()} overflows the int64 "
+                f"de-scaled dot at d={dim} (limit {limit:.3g}) — "
+                "rescale the embedding space or drop to the float path")
+        scores = (C @ qm.T) * m_e9[:, None]     # int64 exact
+        out_q, out_v, out_s = [], [], []
+        top = min(k, len(vec_ids))
+        for j, qid in enumerate(ids):
+            col = scores[:, j]
+            idx = np.lexsort((vec_ids, -col))[:top]
+            out_q += [int(qid)] * len(idx)
+            out_v += vec_ids[idx].tolist()
+            out_s += col[idx].tolist()
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "qdot_scaled": pa.array(out_s, pa.int64())})
+
+    return _finish_topk(
+        strip_schema_metadata(ds).map_batches(partial,
+                                              batch_format="pyarrow"),
+        k, score_col="qdot_scaled")

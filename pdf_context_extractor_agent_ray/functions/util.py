@@ -39,6 +39,47 @@ def strip_schema_metadata(ds):
                           batch_format="pyarrow", batch_size=None)
 
 
+def set_seed_schema(ds, empty_table):
+    """Attach a 0-row Arrow table carrying THIS dataset's schema, known
+    statically (parquet footer for reads; the map fn applied to the
+    upstream seed for chained stages — see ``relational._map_pa``).
+
+    Why: Ray silently SKIPS 0-row blocks everywhere — read tasks emit
+    no block when the pushed filter matches nothing, map operators drop
+    empty outputs even mid-fused-chain, and the hash shuffle returns
+    before the join schema broadcast at ``block.num_rows == 0``. So a
+    join side that filters to zero rows presents ZERO blocks and acero
+    dies on a schemaless partition ("No match ... for key field").
+    The seed lets ``relational._inner_join`` union a 1-row
+    schema-anchor sentinel into each side so the broadcast always
+    happens. The attribute lives on THIS object only —
+    ``map_batches`` returns a new Dataset, so chains must re-seed."""
+    ds._graft_seed_table = empty_table
+    return ds
+
+
+def seed_schema_table(ds):
+    """The statically-known 0-row schema table of a Dataset (see
+    ``set_seed_schema``), or None when none was attached."""
+    return getattr(ds, "_graft_seed_table", None)
+
+
+def mark_known_empty(ds, empty_table):
+    """Tag a Dataset as KNOWN empty at plan time (a fully-pruned
+    windowed read): join helpers short-circuit driver-side instead of
+    executing any exchange. Implies ``set_seed_schema``."""
+    ds._graft_known_empty = True
+    return set_seed_schema(ds, empty_table)
+
+
+def known_empty_table(ds):
+    """The 0-row schema table of a plan-time-known-empty Dataset (see
+    ``mark_known_empty``), or None for a normal Dataset."""
+    if getattr(ds, "_graft_known_empty", False):
+        return getattr(ds, "_graft_seed_table", None)
+    return None
+
+
 def table_from_pandas(df):
     """``pa.Table.from_pandas(df, preserve_index=False)`` minus the
     ``b'pandas'`` schema-metadata blob it attaches — the blob makes the

@@ -471,6 +471,86 @@ def test_read_predicate_pushdown_matches_batch_filter(ray_session):
     expect = pc.sum(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
                             pc.less(t["l_shipdate"], hi))).as_py()
     assert pushed == expect > 0
+    # the window= spelling (what the Q-shape callers use) agrees
+    windowed = _read(SF, "lineitem", ["l_shipdate"],
+                     window=("l_shipdate", lo, hi)).count()
+    assert windowed == expect
+
+
+def test_read_all_pruned_window_seeds_schema(ray_session):
+    """A window that prunes EVERY row group must still yield a
+    schema-carrying (0-row) block — a zero-block read starves Ray's
+    hash-join aggregators of their schema broadcast and acero fails
+    with a schemaless empty partition (seen at sf0.001, whose
+    Q7/Q8-shape date windows hold no rows)."""
+    from pdf_context_extractor_agent_ray.functions.relational import _read
+
+    ds = _read(SF, "lineitem", ["l_orderkey", "l_shipdate"],
+               window=("l_shipdate", np.datetime64("2190-01-01", "us"),
+                       np.datetime64("2191-01-01", "us")))
+    assert ds.count() == 0
+    assert [f.name for f in ds.schema().base_schema] == \
+        ["l_orderkey", "l_shipdate"]
+
+
+def test_windowed_join_queries_run_on_empty_window(ray_session):
+    """Regression: the fact-fact joins must survive a scale where the
+    date window holds zero rows (sf0.001) — they previously crashed in
+    HashShuffleAggregator.finalize (Ray drops 0-row blocks before the
+    join schema broadcast). The empty result must also agree with
+    DuckDB."""
+    import duckdb
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    qs, oss = e.queries(), e.oracle_sql()
+    for name in ("nation_trade_volume", "market_share"):
+        got = qs[name](sf).to_pandas()
+        want = con.execute(oss[name]).fetchdf()
+        assert len(got) == len(want), (name, len(got), len(want))
+
+
+def test_windowed_queries_forced_empty_window_and_join_arm(ray_session):
+    """Every date-windowed query must survive a window that prunes the
+    whole table, ON THE HASH-JOIN ARM (broadcast gate forced to 0) —
+    the shape a 100 TB run hits when one partition's date range holds
+    no data. Expected: empty results (idle_customers: every rich
+    customer survives the anti-join, same as the broadcast arm)."""
+    from pdf_context_extractor_agent_ray.functions import relational as R
+
+    far = ("2190-01-01", "2191-01-01")
+    empties = [
+        lambda: R.nation_trade_volume(SF, date_from=far[0], date_to=far[1],
+                                      broadcast_max_bytes=0),
+        lambda: R.market_share(SF, date_from=far[0], date_to=far[1],
+                               broadcast_max_bytes=0),
+        lambda: R.local_supplier_volume(SF, date_from=far[0], date_to=far[1],
+                                        broadcast_max_bytes=0),
+        lambda: R.returned_item_report(SF, date_from=far[0], date_to=far[1],
+                                       broadcast_max_bytes=0),
+        lambda: R.excess_qty_suppliers(SF, date_from=far[0], date_to=far[1],
+                                       broadcast_max_bytes=0),
+        lambda: R.revenue_change(SF, date_from=far[0], date_to=far[1]),
+    ]
+    for fn in empties:
+        out = fn()
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(df) <= 1, df  # revenue_change is a 1-row scalar
+
+    # idle_customers: empty window => all rich customers kept; the
+    # forced-join arm must agree with the broadcast arm
+    a = R.idle_customers(SF, cutoff=far[0]).to_pandas()
+    b = R.idle_customers(SF, cutoff=far[0],
+                         broadcast_max_bytes=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(a.columns.tolist()).reset_index(drop=True),
+        b.sort_values(b.columns.tolist()).reset_index(drop=True))
+    assert len(a) > 0
 
 
 def test_important_parts_paths_agree(ray_session):

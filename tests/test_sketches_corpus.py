@@ -745,6 +745,48 @@ def test_embedding_quantize_recall_and_edge_cases(ray_session):
     assert z.loc[2, "qnorm2"] == 64**2 + 127**2 + 127**2
 
 
+def test_knn_int8_mips_recall_and_overflow_guard(ray_session):
+    """knn_int8's integer de-scaled-dot ranking recovers the exact
+    float INNER-PRODUCT top-k (it approximates MIPS, not cosine), and
+    an embedding space whose scale would overflow the int64 score
+    fails loud, not wrong."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.simsearch import (
+        DEFAULT_K, knn_int8, load_query_vectors)
+
+    qv = load_query_vectors(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), np.float64)
+    qids = sorted(qv)
+    Q = np.stack([np.asarray(qv[q], np.float64) for q in qids])
+    cand = ~np.isin(ids, np.asarray(qids))
+    dots = M[cand] @ Q.T
+    cids = ids[cand]
+    exact = {q: set(cids[np.lexsort((cids, -dots[:, j]))[:DEFAULT_K]])
+             for j, q in enumerate(qids)}
+
+    approx = {}
+    for r in knn_int8(rd.read_parquet(f"{SF}/embeddings.parquet"),
+                      qv).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    big = rd.from_arrow(pa.table({
+        "vec_id": pa.array([10, 11], pa.int64()),
+        "embedding": pa.array([[1e6, 0.0, 0.0], [0.0, 1e6, 0.0]],
+                              pa.list_(pa.float32()))}))
+    with pytest.raises(Exception, match="overflows the int64"):
+        knn_int8(big, {0: [1.0, 0.0, 0.0]}).to_pandas()
+
+
 def test_corpus_clean_funnel_checkpoints(ray_session, tmp_path):
     """Checkpointed production mode: (a) the report equals the
     non-checkpointed run and the stage dirs + markers exist; (b) a
