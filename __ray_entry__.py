@@ -379,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_qty_revenue": F_rel.brand_qty_revenue,
         "event_user_overlap": F_stream.event_user_overlap,
         "returned_item_report": F_rel.returned_item_report,
+        # new in r4 session 5 (window already full of first-check ops,
+        # so these start life pytest-hash-gated like the late-r4 tail)
+        "returnflag_priority": F_rel.returnflag_priority,
+        "heavy_hitters": lambda sf: F_text.heavy_hitters(_docs(sf)),
     }
 
 
@@ -1363,6 +1367,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT ngram, count(*) AS n FROM bi
             GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT {F_text.TOP_NGRAMS_K}
         """,
+        "heavy_hitters": f"""
+            -- exact heavy hitters: tokens strictly above 1/K of the
+            -- corpus token stream (text.heavy_hitters; the engine's
+            -- candidate+verify twin is partitioning-independent)
+            WITH t AS (SELECT unnest(string_split({_NORM}, ' ')) AS tok
+                       FROM documents),
+            tot AS (SELECT count(*) AS n FROM t),
+            c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1)
+            SELECT tok AS token, CAST(cnt AS BIGINT) AS n_occurrences
+            FROM c, tot WHERE cnt * {F_text.HH_K} > n
+            ORDER BY n_occurrences DESC, token ASC
+        """,
         "length_quantiles": """
             SELECT source, count(*) AS n,
                    CAST(quantile_disc(length(text), 0.5) AS BIGINT) AS p50,
@@ -2041,6 +2057,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                                           + INTERVAL {F_rel.LATE_GRACE_DAYS} DAY
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_late
             FROM o LEFT JOIN m ON m.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "returnflag_priority": f"""
+            -- Q12 CASE-pivot shape (relational.returnflag_priority):
+            -- per return flag, lines on HIGH vs other priority orders
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('{F_rel.RFP_HIGH[0]}', '{F_rel.RFP_HIGH[1]}')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('{F_rel.RFP_HIGH[0]}', '{F_rel.RFP_HIGH[1]}')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_returnflag IN ('{F_rel.RFP_FLAGS[0]}', '{F_rel.RFP_FLAGS[1]}')
+              AND l.l_shipdate >= TIMESTAMP '{F_rel.RFP_FROM} 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '{F_rel.RFP_TO} 00:00:00'
             GROUP BY 1
         """,
         "nation_trade_volume": f"""

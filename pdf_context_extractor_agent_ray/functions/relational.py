@@ -2464,6 +2464,118 @@ def promo_revenue(sf_dir: str, promo_type: str = PROMO_TYPE,
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q12 shape: priority-class line counts per lineitem flag
+# ---------------------------------------------------------------------------
+
+RFP_FLAGS = ("R", "A")
+RFP_HIGH = ("1-URGENT", "2-HIGH")
+RFP_FROM = "1996-01-01"
+RFP_TO = "1997-01-01"
+RFP_ROWS_PER_BUCKET = 1_000_000
+
+
+def returnflag_priority(sf_dir: str, flags=RFP_FLAGS, high=RFP_HIGH,
+                        date_from: str = RFP_FROM, date_to: str = RFP_TO,
+                        num_buckets: int | None = None):
+    """TPC-H Q12 shape (shipmode -> l_returnflag: the synthetic
+    lineitem has no shipmode/commitdate columns): per return flag in
+    ``flags``, how many lineitems shipped in [date_from, date_to)
+    belong to HIGH-priority orders (o_orderpriority in ``high``) vs
+    all others. Output: (l_returnflag, high_line_count,
+    low_line_count) sorted by flag — the CASE-pivot join shape of
+    ref Q12 (reference has no SQL engine; shape from the TPC-H spec).
+
+    Shape at scale: the lineitem side folds to per-batch
+    (orderkey, flag, n) count partials with the shipdate window
+    pushed into the scan; the orders side ships (orderkey, is_high)
+    — one bit of payload per row, no text, no wide columns. Both
+    co-bucket on the orderkey hash, each bucket joins vectorized and
+    emits <= |flags| partial rows, and the finish sums a bounded key
+    set driver-side. The only exchange carries fixed-width ints.
+    """
+    from .util import bucket_count, bucket_hash, parquet_num_rows
+
+    lo_us = int(np.datetime64(date_from, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_to, "us").astype(np.int64))
+
+    n_orders = parquet_num_rows(f"{sf_dir}/orders.parquet")
+    if num_buckets is None:
+        num_buckets = bucket_count(n_orders, RFP_ROWS_PER_BUCKET)
+
+    def _bucket(key: np.ndarray) -> pa.Array:
+        return pa.array(bucket_hash(key, num_buckets), pa.int64())
+
+    # union schema: bucket, kind (0 = lineitem count partial,
+    # 1 = order row), o_orderkey, l_returnflag, n, is_high
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch["l_shipdate"], pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(sd, pa.scalar(lo_us)),
+                    pc.less(sd, pa.scalar(hi_us))),
+            pc.is_in(batch["l_returnflag"],
+                     value_set=pa.array(list(flags), pa.string())))
+        t = pa.table({"o_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                      "l_returnflag": batch["l_returnflag"]}).filter(mask)
+        t = t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+        t = t.group_by(["o_orderkey", "l_returnflag"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["o_orderkey", "l_returnflag", "n"])
+        k = len(t)
+        return pa.table({
+            "bucket": _bucket(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.zeros(k, np.int64), pa.int64()),
+            "o_orderkey": t["o_orderkey"],
+            "l_returnflag": t["l_returnflag"],
+            "n": t["n"],
+            "is_high": pa.array(np.zeros(k, np.int64), pa.int64()),
+        })
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ok = pc.cast(batch["o_orderkey"], pa.int64())
+        ish = pc.cast(pc.is_in(batch["o_orderpriority"],
+                               value_set=pa.array(list(high), pa.string())),
+                      pa.int64())
+        k = len(batch)
+        return pa.table({
+            "bucket": _bucket(ok.to_numpy(zero_copy_only=False)),
+            "kind": pa.array(np.ones(k, np.int64), pa.int64()),
+            "o_orderkey": ok,
+            "l_returnflag": pa.array([""] * k, pa.string()),
+            "n": pa.array(np.zeros(k, np.int64), pa.int64()),
+            "is_high": ish,
+        })
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        li = df[df["kind"] == 0]
+        if not len(li):
+            return pd.DataFrame({
+                "l_returnflag": pd.Series([], dtype=object),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")})
+        hi = df[df["kind"] == 1].set_index("o_orderkey")["is_high"]
+        # every lineitem has its order in the same bucket (FK); the
+        # fillna only guards a malformed corpus
+        got = li["o_orderkey"].map(hi).fillna(0).to_numpy(dtype=np.int64)
+        n = li["n"].to_numpy(dtype=np.int64)
+        out = pd.DataFrame({
+            "l_returnflag": li["l_returnflag"].to_numpy(),
+            "high_line_count": np.where(got == 1, n, 0).astype(np.int64),
+            "low_line_count": np.where(got == 1, 0, n).astype(np.int64)})
+        return out.groupby("l_returnflag", as_index=False).sum()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"],
+               window=("l_shipdate", np.datetime64(date_from, "us"),
+                       np.datetime64(date_to, "us"))) \
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(order_rows, batch_format="pyarrow", batch_size=None)
+    return _finish_grouped_sums(
+        li.union(o).groupby("bucket").map_groups(fold, batch_format="pandas"),
+        ["l_returnflag"])
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q4 shape: EXISTS semi-join — orders with a late lineitem
 # ---------------------------------------------------------------------------
 

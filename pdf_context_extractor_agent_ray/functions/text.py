@@ -693,6 +693,89 @@ def top_ngrams(ds, k: int = TOP_NGRAMS_K):
         .repartition(1).map_batches(final, batch_format="pandas")
 
 
+HH_K = 30  # heavy-hitter bar: global token frequency > 1/HH_K
+
+
+def _hh_tokens(batch: pa.Table) -> pa.Array:
+    """The flat Arrow token stream of a batch (norm + single-space
+    split), chunk-combined so value_counts sees one array."""
+    toks = pc.list_flatten(pc.split_pattern(norm_expr(batch["text"]), " "))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
+
+def heavy_hitters(ds, k: int = HH_K):
+    """EXACT corpus heavy hitters — tokens whose global count clears
+    ``count * k > n_tokens`` (frequency strictly above 1/k) — via the
+    two-pass candidate-generation + verify pattern, the exact-result
+    counterpart of the lossy-counting degradation ``top_ngrams``
+    documents for vocabularies that overwhelm a distinct-key exchange.
+
+    Pass 1 (pigeonhole candidates): a token with global count > n/k
+    must have batch count > n_b/k in at least one batch (else summing
+    the per-batch bound gives count <= n/k), so each batch's LOCAL
+    heavy hitters — at most k-1 tokens, since counts above n_b/k sum
+    to <= n_b — form a superset of the true answer regardless of how
+    rows landed in blocks. Each batch ships its candidates plus one
+    token-total row: <= k rows per block, never the vocabulary.
+
+    Pass 2 (exact verify): the bounded candidate union broadcasts
+    once (``ray.put``), every batch recounts ONLY candidate tokens
+    (Arrow ``is_in`` + ``value_counts``), and the bounded-key finish
+    sums <= k rows per block. False candidates die on the exact
+    integer filter, so the output is partitioning-independent and
+    hash-exact against the SQL oracle. Output: (token,
+    n_occurrences), sorted (count desc, token asc)."""
+    import ray
+
+    from .util import finish_grouped
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        toks = _hh_tokens(batch)
+        n_b = len(toks)
+        vc = toks.value_counts()
+        cnts = pc.cast(vc.field("counts"), pa.int64())
+        cand = vc.field("values").filter(
+            pc.greater(pc.multiply(cnts, pa.scalar(k, pa.int64())),
+                       pa.scalar(n_b, pa.int64())))
+        return pa.table({
+            "token": pa.concat_arrays([cand, pa.array([""], pa.string())]),
+            "cnt": pa.array([0] * len(cand) + [n_b], pa.int64()),
+            "kind": pa.array([0] * len(cand) + [1], pa.int64()),
+        })
+
+    # bounded driver fold: <= k rows per BLOCK (not per row), the same
+    # budget class as finish_grouped's single tiny partition
+    head = ds.map_batches(pass1, batch_format="pyarrow").take_all()
+    n_total = sum(r["cnt"] for r in head if r["kind"] == 1)
+    cand_tokens = sorted({r["token"] for r in head if r["kind"] == 0})
+    cand_ref = ray.put(pa.array(cand_tokens, pa.string()))
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        toks = _hh_tokens(batch)
+        toks = toks.filter(pc.is_in(toks, value_set=cand))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "n_occurrences": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = finish_grouped(
+        ds.map_batches(pass2, batch_format="pyarrow"), ["token"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_occurrences"] * k > n_total]
+        return df.sort_values(["n_occurrences", "token"],
+                              ascending=[False, True]).reset_index(drop=True)
+
+    return counts.map_batches(final, batch_format="pandas",
+                              batch_size=None)
+
+
 CHUNK_TOKENS = 64  # tokens per training/RAG context chunk
 
 

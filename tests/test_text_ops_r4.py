@@ -402,3 +402,39 @@ def test_recrawl_delta_paths_and_residue_counts(ray_session):
     assert int(fast["n_unchanged"].sum()) == int(
         (~np.isin(r, [SNAP_CHANGED_RESIDUE, SNAP_ADDED_RESIDUE,
                       SNAP_DELETED_RESIDUE])).sum())
+
+
+def test_heavy_hitters_partitioning_independent_and_exact(ray_session):
+    """The candidate+verify result is identical under 1 block and
+    under an adversarial 37-way repartition (pigeonhole candidates
+    differ per partitioning; the exact verify must erase that), equals
+    a driver-side exact recount, and the 1/K bar actually bites (the
+    corpus has sub-threshold tokens)."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.text import (
+        HH_K, heavy_hitters, norm_expr)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    one = heavy_hitters(docs().repartition(1)).to_pandas()
+    many = heavy_hitters(docs().repartition(37)).to_pandas()
+    assert len(one) and one.equals(many)
+
+    # driver-side exact recount (plain Counter over the same norm)
+    from collections import Counter
+    texts = docs().map_batches(
+        lambda b: {"t": norm_expr(b["text"]).to_pylist()},
+        batch_format="pyarrow").to_pandas()["t"]
+    c = Counter()
+    for s in texts:
+        c.update(s.split(" "))
+    n = sum(c.values())
+    truth = sorted(((tok, cnt) for tok, cnt in c.items() if cnt * HH_K > n),
+                   key=lambda kv: (-kv[1], kv[0]))
+    assert list(map(tuple, one[["token", "n_occurrences"]].to_numpy())) \
+        == truth
+    assert len(truth) < len(c)  # the bar excludes part of the vocab

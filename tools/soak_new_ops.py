@@ -106,6 +106,7 @@ def check(reps: int) -> int:
         "promo_revenue": (R.promo_revenue, ["ship_month"]),
         "late_shipment_priority": (R.late_shipment_priority,
                                    ["o_orderpriority"]),
+        "returnflag_priority": (R.returnflag_priority, ["l_returnflag"]),
         "nation_trade_volume": (R.nation_trade_volume,
                                 ["supp_nation", "cust_nation", "l_year"]),
         "market_share": (R.market_share, ["o_year"]),
