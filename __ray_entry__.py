@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so these start life pytest-hash-gated like the late-r4 tail)
         "returnflag_priority": F_rel.returnflag_priority,
         "heavy_hitters": lambda sf: F_text.heavy_hitters(_docs(sf)),
+        "key_skew_report": F_rel.key_skew_report,
     }
 
 
@@ -1366,6 +1367,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    FROM toks, unnest(range(1, greatest(len(tk), 1))) AS u(i))
             SELECT ngram, count(*) AS n FROM bi
             GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT {F_text.TOP_NGRAMS_K}
+        """,
+        "key_skew_report": f"""
+            -- shuffle-key fanout diagnostics per key domain
+            -- (relational.key_skew_report): distinct keys, rows, max
+            -- fanout, exact discrete fanout percentiles
+            WITH u AS (
+              SELECT 'events_user' AS domain, user_id AS k FROM events
+              UNION ALL
+              SELECT 'lineitem_partkey', l_partkey FROM lineitem
+              UNION ALL
+              SELECT 'lineitem_suppkey', l_suppkey FROM lineitem
+              UNION ALL
+              SELECT 'orders_custkey', o_custkey FROM orders),
+            c AS (SELECT domain, k, count(*) AS n FROM u GROUP BY 1, 2)
+            SELECT domain,
+                   count(*) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_per_key,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n)
+                        AS BIGINT) AS p50,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n)
+                        AS BIGINT) AS p90,
+                   CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n)
+                        AS BIGINT) AS p99
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "heavy_hitters": f"""
             -- exact heavy hitters: tokens strictly above 1/K of the

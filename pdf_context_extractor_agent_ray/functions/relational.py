@@ -4030,3 +4030,121 @@ def min_cost_supplier(sf_dir: str, region: str = MCS_REGION,
     return enriched.repartition(1).map_batches(order_topk,
                                                batch_format="pandas",
                                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostics: per-key-domain fanout distribution
+# ---------------------------------------------------------------------------
+
+# (domain label, table, key column) — the join/groupby keys every
+# pipeline in this repo partitions by; the report says whether each is
+# safe to hash-shuffle at scale (n_keys, max fanout, fanout quantiles)
+SKEW_DOMAINS = (
+    ("events_user", "events", "user_id"),
+    ("lineitem_partkey", "lineitem", "l_partkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey"),
+    ("orders_custkey", "orders", "o_custkey"),
+)
+SKEW_QUANTILES = ((50, "p50"), (90, "p90"), (99, "p99"))
+SKEW_ROWS_PER_BUCKET = 1_000_000
+
+
+def key_skew_report(sf_dir: str, num_buckets: int | None = None):
+    """Per-key-domain skew report for the engine's shuffle keys: how
+    many distinct keys, total rows, the heaviest key's fanout, and
+    exact discrete fanout percentiles. This is the planning primitive
+    behind every 'is this groupby key safe / does this hot key need
+    salting' decision CLAUDE.md's invariants call out. Output: one row
+    per domain — (domain, n_keys, n_rows, max_per_key, p50, p90, p99),
+    all counts int64, sorted by domain.
+
+    Shape at scale: per-batch (key, n) count partials hash into
+    domain-pure buckets (bucket id = domain_idx * B + key hash — ONE
+    exchange for all domains, and lineitem contributes both of its
+    domains from a single scan). Each bucket finishes its keys' sums
+    and emits a fanout HISTOGRAM partial (per_key_n, n_keys) — fanout
+    values are Zipf-bounded, so the histogram stays tiny no matter the
+    corpus. The bounded-key finish folds the histograms once and takes
+    each percentile with the verified ceil-rank rule
+    ((n*q + 99) // 100, searchsorted on the cumulative histogram) —
+    exactly ``segment_acctbal_quantiles``'s DuckDB-verified
+    percentile_disc arithmetic. No global sort, no per-key exchange
+    wider than (key, n)."""
+    from .util import bucket_count, bucket_hash, finish_grouped, \
+        parquet_num_rows
+
+    if num_buckets is None:
+        rows = max(parquet_num_rows(f"{sf_dir}/{t}.parquet")
+                   for _, t, _ in SKEW_DOMAINS)
+        num_buckets = bucket_count(rows, SKEW_ROWS_PER_BUCKET)
+    dom_idx = {d: i for i, (d, _, _) in enumerate(SKEW_DOMAINS)}
+
+    def partial_for(domain: str, col: str):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({"key": pc.cast(batch[col], pa.int64())})
+            t = t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+            t = t.group_by("key").aggregate([("n", "sum")]) \
+                .rename_columns(["key", "n"])
+            b = bucket_hash(t["key"].to_numpy(zero_copy_only=False),
+                            num_buckets) + dom_idx[domain] * num_buckets
+            return pa.table({
+                "domain": pa.array([domain] * len(t), pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+                "key": t["key"],
+                "n": t["n"],
+            })
+        return partial
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        # one lineitem scan feeds both of its key domains
+        return pa.concat_tables([
+            partial_for("lineitem_partkey", "l_partkey")(batch),
+            partial_for("lineitem_suppkey", "l_suppkey")(batch)])
+
+    streams = [
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            partial_for("events_user", "user_id"),
+            batch_format="pyarrow", batch_size=None),
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            li_partial, batch_format="pyarrow", batch_size=None),
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            partial_for("orders_custkey", "o_custkey"),
+            batch_format="pyarrow", batch_size=None),
+    ]
+    u = streams[0].union(*streams[1:])
+
+    def hist_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # buckets are domain-pure by construction
+        per_key = df.groupby("key")["n"].sum()
+        vc = per_key.value_counts()
+        return pd.DataFrame({
+            "domain": [df["domain"].iat[0]] * len(vc),
+            "per_key_n": vc.index.to_numpy(dtype=np.int64),
+            "n_keys": vc.to_numpy(dtype=np.int64)})
+
+    hist = finish_grouped(
+        u.groupby("bucket").map_groups(hist_fold, batch_format="pandas"),
+        ["domain", "per_key_n"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for dom, g in df.sort_values(["domain", "per_key_n"]) \
+                         .groupby("domain", sort=True):
+            fan = g["per_key_n"].to_numpy(dtype=np.int64)
+            cnt = g["n_keys"].to_numpy(dtype=np.int64)
+            n = int(cnt.sum())
+            cum = cnt.cumsum()
+            row = {"domain": dom, "n_keys": n,
+                   "n_rows": int((fan * cnt).sum()),
+                   "max_per_key": int(fan[-1])}
+            for q_num, name in SKEW_QUANTILES:
+                pos = (n * q_num + 99) // 100
+                row[name] = int(fan[np.searchsorted(cum, pos, side="left")])
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            if c != "domain":
+                out[c] = out[c].astype("int64")
+        return out
+
+    return hist.map_batches(final, batch_format="pandas", batch_size=None)

@@ -747,7 +747,8 @@ def heavy_hitters(ds, k: int = HH_K):
 
     # bounded driver fold: <= k rows per BLOCK (not per row), the same
     # budget class as finish_grouped's single tiny partition
-    head = ds.map_batches(pass1, batch_format="pyarrow").take_all()
+    head = ds.map_batches(pass1, batch_format="pyarrow",
+                          batch_size=None).take_all()
     n_total = sum(r["cnt"] for r in head if r["kind"] == 1)
     cand_tokens = sorted({r["token"] for r in head if r["kind"] == 0})
     cand_ref = ray.put(pa.array(cand_tokens, pa.string()))
@@ -765,7 +766,8 @@ def heavy_hitters(ds, k: int = HH_K):
         })
 
     counts = finish_grouped(
-        ds.map_batches(pass2, batch_format="pyarrow"), ["token"])
+        ds.map_batches(pass2, batch_format="pyarrow", batch_size=None),
+        ["token"])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["n_occurrences"] * k > n_total]

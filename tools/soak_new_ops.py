@@ -203,7 +203,23 @@ def check(reps: int) -> int:
             .head(R.MCS_TOPK).reset_index(drop=True)
         return big.equals(expect), dt, len(big)
 
+    def check_key_skew_report():
+        # each replica repeats the base fanout distribution with fresh
+        # keys: n_keys/n_rows scale x reps; max fanout is unchanged
+        # and the ceil-rank percentiles are provably invariant under
+        # uniform replication ((100n*q + 99)//100 lands on the same
+        # histogram value — the source_quality_gate threshold argument)
+        base = R.key_skew_report(SF).to_pandas()
+        t0 = time.time()
+        big = R.key_skew_report(OUT).to_pandas().reset_index(drop=True)
+        dt = time.time() - t0
+        expect = base.copy()
+        expect["n_keys"] = expect["n_keys"] * reps
+        expect["n_rows"] = expect["n_rows"] * reps
+        return big.equals(expect.reset_index(drop=True)), dt, len(big)
+
     LISTING_OPS = {
+        "key_skew_report": check_key_skew_report,
         "returned_item_report": check_returned_item_report,
         "excess_qty_suppliers": check_excess_qty_suppliers,
         "important_parts": check_important_parts,
