@@ -601,3 +601,29 @@ def test_min_cost_supplier_paths_agree(ray_session):
     key = list(zip(-fast["s_acctbal_cents"], fast["n_name"],
                    fast["s_name"], fast["l_partkey"]))
     assert key == sorted(key)
+
+
+def test_key_skew_report_bucket_invariance(ray_session):
+    """The fanout report is identical under a degenerate single-bucket
+    layout and a 64-way layout (the histogram partials must merge
+    exactly), and its totals recount: n_rows == the table row counts,
+    bounded by n_keys * max_per_key."""
+    from pdf_context_extractor_agent_ray.functions.relational import (
+        key_skew_report)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        parquet_num_rows)
+
+    one = key_skew_report(SF, num_buckets=1).to_pandas()
+    many = key_skew_report(SF, num_buckets=64).to_pandas()
+    assert len(one) == 4 and one.equals(many)
+
+    rows = {t: parquet_num_rows(f"{SF}/{t}.parquet")
+            for t in ("events", "lineitem", "orders")}
+    got = one.set_index("domain")["n_rows"]
+    assert got["events_user"] == rows["events"]
+    assert got["lineitem_partkey"] == rows["lineitem"]
+    assert got["lineitem_suppkey"] == rows["lineitem"]
+    assert got["orders_custkey"] == rows["orders"]
+    assert (one["n_keys"] * one["max_per_key"] >= one["n_rows"]).all()
+    assert (one["p50"] <= one["p90"]).all() and (one["p90"] <= one["p99"]).all()
+    assert (one["p99"] <= one["max_per_key"]).all()
