@@ -23,6 +23,7 @@ from typing import Any
 import pyarrow as pa
 
 from pdf_context_extractor_agent_ray.functions import dedup as F_dedup
+from pdf_context_extractor_agent_ray.functions import graph as F_graph
 from pdf_context_extractor_agent_ray.functions import jsonops as F_json
 from pdf_context_extractor_agent_ray.functions import relational as F_rel
 from pdf_context_extractor_agent_ray.functions import scoring as F_score
@@ -384,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_priority": F_rel.returnflag_priority,
         "heavy_hitters": lambda sf: F_text.heavy_hitters(_docs(sf)),
         "key_skew_report": F_rel.key_skew_report,
+        "part_rank": F_graph.part_rank,
     }
 
 
@@ -518,6 +520,43 @@ def _dup_cluster_ctes(src: str) -> str:
 _DUP_CLUSTERS_SQL = f"""
             WITH RECURSIVE {_dup_cluster_ctes('documents')}
             SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        """
+
+
+def _part_rank_sql() -> str:
+    """Chained-CTE twin of graph.part_rank: one CTE per PageRank
+    iteration (the count is FIXED, so no recursion is needed), every
+    step in the engine's exact integer arithmetic (DuckDB ``//`` on
+    positives == numpy floor division; sums widen to HUGEINT, which
+    matches because the engine guards the int64 headroom loudly)."""
+    num, den = F_graph.PART_RANK_DAMP_NUM, F_graph.PART_RANK_DAMP_DEN
+    ctes = [f"""
+            dl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM dl a JOIN dl b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey <> b.l_partkey
+                  GROUP BY 1, 2),
+            wo AS (SELECT u, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+            r0 AS (SELECT u AS n, CAST({F_graph.PART_RANK_SCALE} AS BIGINT) AS r
+                   FROM wo)"""]
+    for t in range(1, F_graph.PART_RANK_ITERS + 1):
+        ctes.append(f"""
+            r{t} AS (SELECT e.v AS n,
+                            {F_graph.PART_RANK_BASE}
+                            + sum(({num} * p.r * e.w) // ({den} * wo.wout)) AS r
+                     FROM e JOIN r{t - 1} p ON p.n = e.u
+                            JOIN wo ON wo.u = e.u
+                     GROUP BY 1)""")
+    last = F_graph.PART_RANK_ITERS
+    return f"""
+            -- integer PageRank over the part co-purchase graph
+            -- (graph.part_rank): fixed {last} iterations, all-integer
+            WITH {','.join(ctes)}
+            SELECT n AS l_partkey, CAST(r AS BIGINT) AS rank_score
+            FROM r{last}
+            ORDER BY rank_score DESC, l_partkey ASC
+            LIMIT {F_graph.PART_RANK_TOPK}
         """
 
 
@@ -1368,6 +1407,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             SELECT ngram, count(*) AS n FROM bi
             GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT {F_text.TOP_NGRAMS_K}
         """,
+        "part_rank": _part_rank_sql(),
         "key_skew_report": f"""
             -- shuffle-key fanout diagnostics per key domain
             -- (relational.key_skew_report): distinct keys, rows, max

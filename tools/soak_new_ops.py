@@ -32,7 +32,10 @@ if _REPO not in sys.path:
 os.environ.setdefault("PYTHONPATH", _REPO)
 
 SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = "/tmp/graft_soak_r2"
+# SOAK_OUT: alternate replica dir for reduced-replication runs (ops
+# whose spill footprint exceeds this box's disk at 100x, e.g.
+# part_rank's 4 edge exchanges — see SCALE.md)
+OUT = os.environ.get("SOAK_OUT", "/tmp/graft_soak_r2")
 
 # table -> columns that shift per replica -> the key DOMAIN they
 # belong to (one stride per domain keeps cross-table references
@@ -96,6 +99,7 @@ def check(reps: int) -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    from pdf_context_extractor_agent_ray.functions import graph as G
     from pdf_context_extractor_agent_ray.functions import relational as R
     from pdf_context_extractor_agent_ray.functions import streamops as S
 
@@ -218,7 +222,29 @@ def check(reps: int) -> int:
         expect["n_rows"] = expect["n_rows"] * reps
         return big.equals(expect.reset_index(drop=True)), dt, len(big)
 
+    def check_part_rank():
+        # replicas are edge-disjoint graphs (orderkeys and partkeys
+        # both shift), so every replica reproduces the base ranks on
+        # shifted nodes; the global top-k re-ranks the expanded FULL
+        # base rank table (k=inf — ties interleave across replicas on
+        # the partkey tiebreak). The 60M-line corpus also forces the
+        # DISTRIBUTED fixpoint path (driver gate is 5M lines).
+        full = G.part_rank(SF, k=1 << 60)
+        full = full.to_pandas() if hasattr(full, "to_pandas") else full
+        sp = _stride("partkey")
+        t0 = time.time()
+        big = G.part_rank(OUT).to_pandas().reset_index(drop=True)
+        dt = time.time() - t0
+        expect = pd.concat(
+            [full.assign(l_partkey=full["l_partkey"] + i * sp)
+             for i in range(reps)], ignore_index=True) \
+            .sort_values(["rank_score", "l_partkey"],
+                         ascending=[False, True]) \
+            .head(G.PART_RANK_TOPK).reset_index(drop=True)
+        return big.equals(expect), dt, len(big)
+
     LISTING_OPS = {
+        "part_rank": check_part_rank,
         "key_skew_report": check_key_skew_report,
         "returned_item_report": check_returned_item_report,
         "excess_qty_suppliers": check_excess_qty_suppliers,
