@@ -745,12 +745,17 @@ def heavy_hitters(ds, k: int = HH_K):
             "kind": pa.array([0] * len(cand) + [1], pa.int64()),
         })
 
-    # bounded driver fold: <= k rows per BLOCK (not per row), the same
-    # budget class as finish_grouped's single tiny partition
-    head = ds.map_batches(pass1, batch_format="pyarrow",
-                          batch_size=None).take_all()
-    n_total = sum(r["cnt"] for r in head if r["kind"] == 1)
-    cand_tokens = sorted({r["token"] for r in head if r["kind"] == 0})
+    # bounded driver fold: <= k rows per BLOCK (not per row). The
+    # finish_grouped fold first collapses the per-block rows to
+    # (distinct candidate tokens + one total row) in ONE vectorized
+    # partition, so take_all hands the driver a tiny folded table —
+    # never block-count x k Python dicts (at a million blocks that
+    # union is ~30M rows; the fold output stays vocabulary-bounded)
+    folded = finish_grouped(
+        ds.map_batches(pass1, batch_format="pyarrow", batch_size=None),
+        ["token", "kind"]).take_all()
+    n_total = sum(r["cnt"] for r in folded if r["kind"] == 1)
+    cand_tokens = sorted(r["token"] for r in folded if r["kind"] == 0)
     cand_ref = ray.put(pa.array(cand_tokens, pa.string()))
 
     def pass2(batch: pa.Table) -> pa.Table:
