@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": lambda sf: F_text.heavy_hitters(_docs(sf)),
         "key_skew_report": F_rel.key_skew_report,
         "part_rank": F_graph.part_rank,
+        "activity_streaks": F_stream.activity_streaks,
     }
 
 
@@ -1941,6 +1942,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                   FROM d JOIN f USING (user_id))
             SELECT cohort_day, offset_days, count(*) AS n_users
             FROM u GROUP BY 1, 2
+        """,
+        "activity_streaks": f"""
+            -- gaps-and-islands: longest consecutive-active-day run
+            -- per user, as a streak-length histogram
+            -- (streamops.activity_streaks)
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) // {F_stream.US_PER_DAY} AS day
+                       FROM events),
+            i AS (SELECT user_id, day,
+                         day - row_number() OVER
+                               (PARTITION BY user_id ORDER BY day) AS isl
+                  FROM d),
+            s AS (SELECT user_id, count(*) AS len FROM i GROUP BY user_id, isl),
+            m AS (SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak
+                  FROM s GROUP BY 1)
+            SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1
         """,
         "events_funnel": """
             -- ordered funnel: stage i reached at min ts STRICTLY after

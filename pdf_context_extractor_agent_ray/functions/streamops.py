@@ -229,6 +229,44 @@ def retention_cohorts(sf_dir: str, num_buckets: int | None = None):
         ["cohort_day", "offset_days"])
 
 
+def activity_streaks(sf_dir: str, num_buckets: int | None = None):
+    """Longest consecutive-active-day streak per user, reported as the
+    integer histogram (max_streak, n_users) — the gaps-and-islands
+    retention primitive (different lens from ``retention_cohorts``'s
+    offset matrix and ``relational.interorder_gaps``'s lag histogram:
+    islands measure RUNS, not pairwise gaps).
+
+    At-scale shape: a user's whole event history lands in one
+    user-hash bucket, so each bucket folds vectorized — distinct
+    (user, epoch-day), one cumcount per user, island id =
+    day - run_index (constant within a run of consecutive days),
+    max island length per user, then a value-count histogram. The
+    exchange is bounded by the distinct streak LENGTHS seen (<= the
+    corpus date span in days), never by users or events.
+    """
+    from .util import finish_grouped
+
+    ds = _events_bucketed(sf_dir, num_buckets, columns=["user_id", "ts"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "u": df["user_id"].to_numpy(dtype=np.int64),
+            "day": df["ts"].to_numpy(dtype=np.int64) // US_PER_DAY,
+        }).drop_duplicates().sort_values(["u", "day"], kind="mergesort")
+        isl = d["day"].to_numpy() - d.groupby("u").cumcount().to_numpy()
+        runs = pd.DataFrame({"u": d["u"].to_numpy(), "isl": isl}) \
+            .groupby(["u", "isl"]).size()
+        mx = runs.groupby("u").max()
+        vc = mx.value_counts()
+        return pd.DataFrame({
+            "max_streak": vc.index.to_numpy(dtype=np.int64),
+            "n_users": vc.to_numpy(dtype=np.int64)})
+
+    return finish_grouped(
+        ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
+        ["max_streak"])
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 

@@ -159,3 +159,34 @@ def test_active_users_window_bucket_invariance_and_bounds(ray_session):
     assert set(merged.index) == set(ev.index)
     assert (merged <= ev.loc[merged.index]).all()
     assert (merged >= 1).all()
+
+
+def test_activity_streaks_bucket_invariance_and_recount(ray_session):
+    """Histogram is identical under 1 bucket and 64 buckets, user
+    totals recount to the distinct-user population, and a direct
+    pandas gaps-and-islands recompute agrees row for row."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pdf_context_extractor_agent_ray.functions.streamops import (
+        US_PER_DAY, activity_streaks)
+
+    sf = "/root/testdata/sf0.01"
+    one = activity_streaks(sf, num_buckets=1).to_pandas()
+    many = activity_streaks(sf, num_buckets=64).to_pandas()
+    assert len(one) and one.equals(many)
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    d = pd.DataFrame({
+        "u": ev["user_id"].to_numpy(np.int64),
+        "day": ev["ts"].astype("int64").to_numpy() // US_PER_DAY,
+    }).drop_duplicates().sort_values(["u", "day"])
+    isl = d["day"].to_numpy() - d.groupby("u").cumcount().to_numpy()
+    mx = pd.DataFrame({"u": d["u"].to_numpy(), "isl": isl}) \
+        .groupby(["u", "isl"]).size().groupby("u").max()
+    vc = mx.value_counts().sort_index()
+    assert list(one["max_streak"]) == list(vc.index)
+    assert list(one["n_users"]) == list(vc.values)
+    assert int(one["n_users"].sum()) == ev["user_id"].nunique()

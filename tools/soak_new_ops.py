@@ -120,6 +120,9 @@ def check(reps: int) -> int:
         # shifted users to the SAME time windows
         "active_users_window": (S.active_users_window,
                                 ["window_start_us"]),
+        # every replica repeats the base per-user day sets on fresh
+        # users, so the streak histogram scales x reps exactly
+        "activity_streaks": (S.activity_streaks, ["max_streak"]),
         # the Q6 scalar and Q9 rollup replicate uniformly too
         "revenue_change": (R.revenue_change, []),
         "product_type_profit": (R.product_type_profit,
