@@ -38,15 +38,37 @@ PART_RANK_ROWS_PER_BUCKET = 1_000_000
 _COLS = ("bucket", "u", "v", "w", "wout", "kind", "val")
 
 
-def _check_headroom(r_max: int, w_max: int) -> None:
-    """Loud overflow guard: the contribution product must fit int64 on
-    every path (numpy wraps silently; DuckDB would widen to HUGEINT
-    and silently diverge from a wrapped engine value)."""
+def _check_headroom(r_max: int, w_max: int,
+                    wout_max: int | None = None) -> None:
+    """Loud overflow guard: the contribution product AND the
+    denominator product must fit int64 on every path (numpy wraps
+    silently; DuckDB would widen to HUGEINT and silently diverge from
+    a wrapped engine value)."""
     if PART_RANK_DAMP_NUM * int(r_max) * int(w_max) >= 2 ** 63:
         raise ValueError(
             f"part_rank int64 overflow: max rank {r_max} x max weight "
             f"{w_max} exceeds the 2^63 contribution headroom — shrink "
             f"PART_RANK_SCALE or split the graph")
+    if wout_max is not None \
+            and PART_RANK_DAMP_DEN * int(wout_max) >= 2 ** 63:
+        raise ValueError(
+            f"part_rank int64 overflow: max out-weight {wout_max} "
+            f"exceeds the 2^63 denominator headroom")
+
+
+def _check_mass(n_nodes_upper: int, iters: int) -> None:
+    """Loud accumulation guard: every rank and every per-node partial
+    sum is bounded by the TOTAL mass, and (damping < 1) the mass after
+    t iterations is at most n * (SCALE + BASE * t) — all contributions
+    are positive, so if that bound fits int64, no ``np.add.at`` /
+    pandas sum can wrap. Checked a priori from a node-count UPPER
+    bound (lineitem rows bound the node count), so the guard needs no
+    pass over the data."""
+    if n_nodes_upper * (PART_RANK_SCALE + PART_RANK_BASE * iters) >= 2 ** 63:
+        raise ValueError(
+            f"part_rank int64 overflow: {n_nodes_upper} potential nodes "
+            f"x (SCALE + BASE * {iters}) exceeds the 2^63 total-mass "
+            f"headroom — shrink PART_RANK_SCALE or split the graph")
 
 
 def _pairs_frame(df: pd.DataFrame) -> pd.DataFrame:
@@ -73,9 +95,11 @@ def _rank_numpy(u: np.ndarray, v: np.ndarray, w: np.ndarray,
     vi = np.searchsorted(nodes, v)
     wout = np.zeros(len(nodes), np.int64)
     np.add.at(wout, ui, w)
+    _check_mass(len(nodes), iters)
     r = np.full(len(nodes), PART_RANK_SCALE, np.int64)
     for _ in range(iters):
-        _check_headroom(int(r.max(initial=0)), int(w.max(initial=0)))
+        _check_headroom(int(r.max(initial=0)), int(w.max(initial=0)),
+                        int(wout.max(initial=0)))
         contrib = (PART_RANK_DAMP_NUM * r[ui] * w) \
             // (PART_RANK_DAMP_DEN * wout[ui])
         nxt = np.full(len(nodes), PART_RANK_BASE, np.int64)
@@ -134,6 +158,9 @@ def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
     from .util import bucket_count, bucket_hash, parquet_num_rows
 
     n_lines = parquet_num_rows(f"{sf_dir}/lineitem.parquet")
+    # node count is bounded by distinct parts <= lineitem rows, so the
+    # accumulation guard holds for BOTH paths before any data moves
+    _check_mass(n_lines, iters)
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     if n_lines <= driver_max_lines:
@@ -202,7 +229,8 @@ def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
         e = df[df["kind"] == 0]
         r = e["u"].map(rsum).to_numpy(np.int64)  # loud on any miss
         w = e["w"].to_numpy(np.int64)
-        _check_headroom(int(r.max(initial=0)), int(w.max(initial=0)))
+        _check_headroom(int(r.max(initial=0)), int(w.max(initial=0)),
+                        int(e["wout"].max()) if len(e) else 0)
         contrib = (PART_RANK_DAMP_NUM * r * w) \
             // (PART_RANK_DAMP_DEN * e["wout"].to_numpy(np.int64))
         out = pd.DataFrame({"u": e["v"].to_numpy(np.int64),

@@ -1590,16 +1590,17 @@ def segment_acctbal_quantiles(sf_dir: str):
                             ["c_mktsegment", "cents"])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        from .util import disc_percentiles
         rows = []
         for seg, g in df.sort_values(["c_mktsegment", "cents"]) \
                          .groupby("c_mktsegment", sort=True):
-            n = int(g["n"].sum())
-            cum = g["n"].to_numpy(dtype=np.int64).cumsum()
-            vals = g["cents"].to_numpy(dtype=np.int64)
-            row = {"c_mktsegment": seg, "n_customers": n}
-            for q_num, name in ACCTBAL_QUANTILES:
-                pos = (n * q_num + 99) // 100
-                row[name] = int(vals[np.searchsorted(cum, pos, side="left")])
+            row = {"c_mktsegment": seg,
+                   "n_customers": int(g["n"].sum())}
+            ps = disc_percentiles(g["cents"].to_numpy(dtype=np.int64),
+                                  g["n"].to_numpy(dtype=np.int64),
+                                  [q for q, _ in ACCTBAL_QUANTILES])
+            row.update({name: p for (_, name), p
+                        in zip(ACCTBAL_QUANTILES, ps)})
             rows.append(row)
         out = pd.DataFrame(rows)
         for c in out.columns:
@@ -4127,19 +4128,19 @@ def key_skew_report(sf_dir: str, num_buckets: int | None = None):
         ["domain", "per_key_n"])
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
+        from .util import disc_percentiles
         rows = []
         for dom, g in df.sort_values(["domain", "per_key_n"]) \
                          .groupby("domain", sort=True):
             fan = g["per_key_n"].to_numpy(dtype=np.int64)
             cnt = g["n_keys"].to_numpy(dtype=np.int64)
-            n = int(cnt.sum())
-            cum = cnt.cumsum()
-            row = {"domain": dom, "n_keys": n,
+            row = {"domain": dom, "n_keys": int(cnt.sum()),
                    "n_rows": int((fan * cnt).sum()),
                    "max_per_key": int(fan[-1])}
-            for q_num, name in SKEW_QUANTILES:
-                pos = (n * q_num + 99) // 100
-                row[name] = int(fan[np.searchsorted(cum, pos, side="left")])
+            ps = disc_percentiles(fan, cnt,
+                                  [q for q, _ in SKEW_QUANTILES])
+            row.update({name: p for (_, name), p
+                        in zip(SKEW_QUANTILES, ps)})
             rows.append(row)
         out = pd.DataFrame(rows)
         for c in out.columns:

@@ -162,6 +162,28 @@ def bucket_hash(key, num_buckets: int):
     return b.astype(np.int64)
 
 
+def disc_percentiles(values, counts, q_nums):
+    """THE DuckDB ``percentile_disc`` twin on an ASC-sorted value/count
+    histogram: for each q (percent numerator, e.g. 50 for 0.5) the
+    smallest value whose cumulative count >= ceil(q*n/100), computed
+    in exact integer arithmetic (``(n * q + 99) // 100``) — verified
+    against DuckDB for n = 1..300 at every q the repo uses. Every
+    discrete-percentile fold must call this helper, never an inline
+    copy (a side= or rounding tweak in one copy silently diverges the
+    other from the oracle)."""
+    import numpy as np
+
+    counts = np.asarray(counts, dtype=np.int64)
+    values = np.asarray(values, dtype=np.int64)
+    n = int(counts.sum())
+    cum = counts.cumsum()
+    out = []
+    for q in q_nums:
+        pos = (n * q + 99) // 100
+        out.append(int(values[np.searchsorted(cum, pos, side="left")]))
+    return out
+
+
 def bucket_count(n_rows: int, rows_per_bucket: int,
                  parallelism: int | None = None) -> int:
     """Bucket count for hash-bucketed ``groupby(bucket).map_groups``

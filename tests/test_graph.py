@@ -40,3 +40,16 @@ def test_part_rank_overflow_guard():
     nodes, r = _rank_numpy(u, v, w)
     assert list(nodes) == [1, 2, 3]
     assert len(set(r.tolist())) == 1  # symmetry => identical ranks
+
+
+def test_part_rank_mass_guard():
+    """The a-priori accumulation bound trips loudly for node counts
+    whose total mass cannot fit int64."""
+    import pytest
+
+    from pdf_context_extractor_agent_ray.functions.graph import (
+        PART_RANK_ITERS, _check_mass)
+
+    _check_mass(6_000_000_000, PART_RANK_ITERS)  # 100-TB scale: fits
+    with pytest.raises(ValueError, match="total-mass"):
+        _check_mass(10 ** 10, PART_RANK_ITERS)

@@ -74,3 +74,35 @@ def test_quality_gate_rule_precedence():
     assert got == {1: "too_short", 2: "pass", 3: "repetitive", 4: "pass"}
     keeps = dict(zip(out["doc_id"], out["keep"]))
     assert keeps == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_disc_percentiles_matches_duckdb_exhaustive():
+    """The shared ceil-rank helper == DuckDB percentile_disc on
+    deterministic pseudo-random histograms, every q the repo uses,
+    n swept over 1..150 rows."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from pdf_context_extractor_agent_ray.functions.util import disc_percentiles
+
+    con = duckdb.connect()
+    qs = (25, 50, 75, 90, 99)
+    for trial in range(1, 151):
+        h = hashlib.md5(f"disc{trial}".encode()).digest()
+        k = h[0] % 7 + 1                      # distinct values
+        values = np.sort(np.array(
+            [int.from_bytes(h[i:i + 2], "big") % 1000 - 500
+             for i in range(1, 1 + k)], dtype=np.int64))
+        values = np.unique(values)
+        counts = np.array([h[8 + i] % 5 + 1 for i in range(len(values))],
+                          dtype=np.int64)
+        expanded = np.repeat(values, counts).tolist()
+        got = disc_percentiles(values, counts, qs)
+        want = [con.execute(
+            "SELECT percentile_disc(?) WITHIN GROUP (ORDER BY v) "
+            "FROM (SELECT unnest(?) AS v)", [q / 100, expanded]
+        ).fetchone()[0] for q in qs]
+        assert got == want, (trial, values.tolist(), counts.tolist(),
+                             got, want)
