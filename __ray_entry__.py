@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": F_rel.key_skew_report,
         "part_rank": F_graph.part_rank,
         "activity_streaks": F_stream.activity_streaks,
+        "segment_acctbal_mad": F_rel.segment_acctbal_mad,
     }
 
 
@@ -1191,6 +1192,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    percentile_disc(0.9) WITHIN GROUP
                      (ORDER BY {_CENTS.format('c_acctbal')}) AS p90_cents
             FROM customer GROUP BY 1
+        """,
+        "segment_acctbal_mad": f"""
+            -- robust location/scale: discrete median + median
+            -- absolute deviation in integer cents
+            -- (relational.segment_acctbal_mad)
+            WITH c AS (SELECT c_mktsegment,
+                              {_CENTS.format('c_acctbal')} AS cents
+                       FROM customer),
+            m AS (SELECT c_mktsegment,
+                         percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY cents) AS med
+                  FROM c GROUP BY 1)
+            SELECT c.c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(any_value(m.med) AS BIGINT) AS median_cents,
+                   CAST(percentile_disc(0.5) WITHIN GROUP
+                          (ORDER BY abs(c.cents - m.med)) AS BIGINT)
+                       AS mad_cents
+            FROM c JOIN m USING (c_mktsegment)
+            GROUP BY 1
         """,
         "small_qty_revenue": f"""
             -- Q17 shape; the 0.2*avg threshold is the engine's exact

@@ -1553,6 +1553,72 @@ ACCTBAL_QUANTILES = ((25, "p25_cents"), (50, "p50_cents"),
                      (75, "p75_cents"), (90, "p90_cents"))
 
 
+def _acctbal_hist(sf_dir: str):
+    """Per-(segment, integer-cents) value-count histogram of customer
+    balances — the SHARED bounded-domain sufficient statistic for
+    every per-segment distribution operator (quantiles, MAD): acctbal
+    has ~1.1M distinct cents, so the histogram converges regardless
+    of corpus size and any robust statistic folds from it driver-side."""
+    from .util import finish_grouped
+
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["c_acctbal"], 100),
+                     round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"c_mktsegment": batch["c_mktsegment"],
+                         "cents": cents}) \
+            .group_by(["c_mktsegment", "cents"]) \
+            .aggregate([("cents", "count")]) \
+            .rename_columns(["c_mktsegment", "cents", "n"])
+
+    return finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["c_mktsegment", "cents"])
+
+
+def segment_acctbal_mad(sf_dir: str):
+    """Per-segment robust location/scale: exact discrete median and
+    MEDIAN ABSOLUTE DEVIATION of account balances in integer cents —
+    the outlier-insensitive twin of mean/stddev (value_moments).
+    Output: c_mktsegment, n_customers, median_cents, mad_cents.
+
+    Shape at scale: one corpus scan builds the shared bounded
+    (segment, cents) histogram (``_acctbal_hist``); the final fold
+    takes the ceil-rank median, rewrites the histogram to
+    |cents - median| (combining symmetric collisions), and takes the
+    ceil-rank median again — both via ``util.disc_percentiles``, so
+    the SQL twin (percentile_disc over the same derived column) is
+    hash-exact. No second scan, no per-value exchange."""
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        from .util import disc_percentiles
+        rows = []
+        for seg, g in df.sort_values(["c_mktsegment", "cents"]) \
+                         .groupby("c_mktsegment", sort=True):
+            vals = g["cents"].to_numpy(dtype=np.int64)
+            cnts = g["n"].to_numpy(dtype=np.int64)
+            med = disc_percentiles(vals, cnts, [50])[0]
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            dv = pd.DataFrame({"d": dev[order], "n": cnts[order]}) \
+                .groupby("d", as_index=False)["n"].sum()
+            mad = disc_percentiles(dv["d"].to_numpy(dtype=np.int64),
+                                   dv["n"].to_numpy(dtype=np.int64),
+                                   [50])[0]
+            rows.append({"c_mktsegment": seg,
+                         "n_customers": int(cnts.sum()),
+                         "median_cents": med, "mad_cents": mad})
+        out = pd.DataFrame(rows)
+        for c in out.columns:
+            if c != "c_mktsegment":
+                out[c] = out[c].astype("int64")
+        return out
+
+    return _acctbal_hist(sf_dir).map_batches(final, batch_format="pandas",
+                                             batch_size=None)
+
+
 def segment_acctbal_quantiles(sf_dir: str):
     """Exact per-segment account-balance percentiles (discrete) via a
     bounded-domain value-count histogram.
@@ -1572,22 +1638,7 @@ def segment_acctbal_quantiles(sf_dir: str):
     table once and selects each quantile with one cumsum +
     searchsorted per segment — no global sort, no per-value exchange.
     """
-    from .util import finish_grouped
-
-    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.round(pc.multiply(batch["c_acctbal"], 100),
-                     round_mode="half_towards_infinity"), pa.int64())
-        return pa.table({"c_mktsegment": batch["c_mktsegment"],
-                         "cents": cents}) \
-            .group_by(["c_mktsegment", "cents"]) \
-            .aggregate([("cents", "count")]) \
-            .rename_columns(["c_mktsegment", "cents", "n"])
-
-    folded = finish_grouped(ds.map_batches(partial, batch_format="pyarrow"),
-                            ["c_mktsegment", "cents"])
+    folded = _acctbal_hist(sf_dir)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         from .util import disc_percentiles

@@ -246,7 +246,21 @@ def check(reps: int) -> int:
             .head(G.PART_RANK_TOPK).reset_index(drop=True)
         return big.equals(expect), dt, len(big)
 
+    def check_segment_acctbal_mad():
+        # uniform replication preserves every ceil-rank percentile
+        # (the key_skew_report argument), and |cents - med| derives
+        # from invariant med — so median AND MAD are invariant while
+        # the population scales x reps
+        base = R.segment_acctbal_mad(SF).to_pandas()
+        t0 = time.time()
+        big = R.segment_acctbal_mad(OUT).to_pandas().reset_index(drop=True)
+        dt = time.time() - t0
+        expect = base.copy()
+        expect["n_customers"] = expect["n_customers"] * reps
+        return big.equals(expect.reset_index(drop=True)), dt, len(big)
+
     LISTING_OPS = {
+        "segment_acctbal_mad": check_segment_acctbal_mad,
         "part_rank": check_part_rank,
         "key_skew_report": check_key_skew_report,
         "returned_item_report": check_returned_item_report,
