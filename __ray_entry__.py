@@ -175,133 +175,112 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ORDERING CONTRACT: the driver's correctness gate checks only
         # the FIRST 50 entries, so entries needing fresh driver-green
-        # evidence go first (flagship, anything changed this round, the
-        # relational family that fell past the r3 window) and the
-        # longest-stable block (media/pages/tokenize, hash-green r1-r3
-        # and re-verified every pytest run by test_driver_contract's
-        # full oracle sweep) sits at the tail.
+        # evidence go first and the longest-stable block (hash-green in
+        # prior rounds and re-verified every pytest run by
+        # test_driver_contract's full oracle sweep) sits at the tail.
         #
-        # new in late r4 (pricing_summary rotated to the tail — r02+r03
-        # driver-green and unchanged — to keep these inside the window)
+        # r5 window: the 19 queries the r4 VERDICT computed as "never
+        # had a driver CORRECTNESS row in any round" (late-r4 TPC-H
+        # shapes Q17/Q18/Q15/Q16/Q21/Q14/Q4/Q7/Q8/Q19/Q12/Q10, the
+        # bitmask audience overlap, the lag() gap histogram,
+        # heavy_hitters, key_skew_report, part_rank, activity_streaks,
+        # segment_acctbal_mad) go FIRST; then every family touched in
+        # r5 (ANN assembly vectorization, the bounded lsh_recall_report,
+        # the incremental funnel / recrawl chain); then recent-r4 ops.
+        # The 50 entries displaced (all hash-green in CORRECTNESS_r04)
+        # rotate to the pytest-gated tail.
+        "interorder_gaps": F_rel.interorder_gaps,
+        "small_qty_revenue": F_rel.small_qty_revenue,
+        "large_orders": F_rel.large_orders,
+        "top_supplier": F_rel.top_supplier,
+        "part_supplier_counts": F_rel.part_supplier_counts,
+        "order_laggards": F_rel.order_laggards,
+        "promo_revenue": F_rel.promo_revenue,
+        "late_shipment_priority": F_rel.late_shipment_priority,
+        "nation_trade_volume": F_rel.nation_trade_volume,
+        "market_share": F_rel.market_share,
+        "brand_qty_revenue": F_rel.brand_qty_revenue,
+        "event_user_overlap": F_stream.event_user_overlap,
+        "returned_item_report": F_rel.returned_item_report,
+        "returnflag_priority": F_rel.returnflag_priority,
+        "heavy_hitters": lambda sf: F_text.heavy_hitters(_docs(sf)),
+        "key_skew_report": F_rel.key_skew_report,
+        "part_rank": F_graph.part_rank,
+        "activity_streaks": F_stream.activity_streaks,
+        "segment_acctbal_mad": F_rel.segment_acctbal_mad,
+        # r5-touched families: ANN result-assembly vectorization
+        # (VERDICT item 4) and the bounded recall report / incremental
+        # funnel (items 3 and 6) — fresh driver rows wanted post-change
+        "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
+        "knn_self_join": F_sim.knn_self_join,
+        "embedding_near_dup": F_sim.embedding_near_dup,
+        "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
+        "knn_ivf": F_sim.ivf_knn,
+        "knn_int8": lambda sf: F_sim.knn_int8(
+            _emb(sf), F_sim.load_query_vectors(sf)),
+        "lsh_recall_report": lambda sf: F_dedup.lsh_recall_report(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "corpus_clean_funnel": lambda sf: F_dedup.corpus_clean_funnel(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "corpus_clean_funnel_by_source": lambda sf:
+            F_dedup.corpus_clean_funnel_by_source(
+                _docs(sf), n_docs=_n_docs(sf)),
+        "recrawl_delta": lambda sf: F_text.recrawl_delta(
+            F_text.snapshot_old(_docs(sf)), F_text.snapshot_new(_docs(sf)),
+            n_docs=_n_docs(sf)),
+        "dup_source_matrix": lambda sf: F_dedup.dup_source_matrix(
+            _docs(sf), n_docs=_n_docs(sf)),
+        # recent-r4 ops filling the rest of the window (all r4-green;
+        # slots here are the first to yield when r5 adds new queries)
+        "source_quality_gate": lambda sf: F_text.source_quality_gate(_docs(sf)),
+        "embedding_quantize": lambda sf: F_sim.embedding_quantize(_emb(sf)),
+        "doc_novelty": lambda sf: F_text.doc_novelty(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
+        "weighted_sample": text_q(F_text.weighted_sample_batch),
+        "token_budget_plan": lambda sf: F_text.token_budget_plan(_docs(sf)),
+        "active_users_window": F_stream.active_users_window,
+        "important_parts": F_rel.important_parts,
+        "min_cost_supplier": F_rel.min_cost_supplier,
+        "excess_qty_suppliers": F_rel.excess_qty_suppliers,
+        "segment_acctbal_quantiles": F_rel.segment_acctbal_quantiles,
+        "vocab_growth": lambda sf: F_text.vocab_growth(
+            _docs(sf), _max_doc_id(sf) + 1),
+        "event_spike_days": F_rel.event_spike_days,
+        "retention_cohorts": F_stream.retention_cohorts,
+        "event_transitions": F_stream.event_transitions,
+        "pmi_bigrams": lambda sf: F_text.pmi_bigrams(
+            _docs(sf), n_docs=_n_docs(sf)),
+        "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
+        "doc_label_mix": F_sim.doc_label_mix,
+        # ---- long-stable tail (hash-green in r4 or earlier;
+        # re-verified every pytest run by test_driver_contract) —
+        # entries from here on fall past the driver's 50-entry
+        # correctness window; every NEW or recently-changed operator
+        # must sit ABOVE this line ----
         "revenue_change": F_rel.revenue_change,
         "product_type_profit": F_rel.product_type_profit,
-        # relational primitives (past the 50-entry window in r3)
         "events_hopping": F_rel.events_hopping,
         "top_orders_per_segment": F_rel.top_orders_per_segment,
         "customer_distribution": F_rel.customer_distribution,
-        # new in r4: window fn / anti-join / pivot / multi-way join /
-        # range join over the relational tables
         "running_totals": F_rel.running_totals,
-        # new in r4: global order statistics w/o a global sort
         "revenue_cume_dist": F_rel.revenue_cume_dist,
         "idle_customers": F_rel.idle_customers,
         "order_priority_matrix": F_rel.order_priority_matrix,
         "local_supplier_volume": F_rel.local_supplier_volume,
         "orders_in_windows": F_rel.orders_in_windows,
-        # new in r4: Gopher-rules gate + training-mix report
         "quality_gate": text_q(F_text.quality_gate_batch),
         "source_mix": lambda sf: F_text.source_mix(_docs(sf)),
         "events_funnel": F_stream.events_funnel,
-        # new in r4: length-weighted hash sampling + inverted index
-        "weighted_sample": text_q(F_text.weighted_sample_batch),
-        "postings": lambda sf: F_text.postings(_docs(sf), n_docs=_n_docs(sf)),
-        # new in late r4: per-doc shingle novelty (first-occurrence
-        # attribution — the incremental-diversity curation signal)
-        "doc_novelty": lambda sf: F_text.doc_novelty(
-            _docs(sf), n_docs=_n_docs(sf)),
-        # new in r4: trailing RANGE-frame window + PMI collocations
         "rolling_revenue": F_rel.rolling_revenue,
-        # new in r4: ROLLUP grains + exact distribution moments
         "sales_cube": F_rel.sales_cube,
         "value_moments": F_rel.value_moments,
-        "pmi_bigrams": lambda sf: F_text.pmi_bigrams(
-            _docs(sf), n_docs=_n_docs(sf)),
-        # new in late r4: per-user Markov transitions, retention
-        # cohorts, Heaps-law vocab growth, exact per-group percentiles
-        "event_transitions": F_stream.event_transitions,
-        "retention_cohorts": F_stream.retention_cohorts,
-        # new in late r4: integer-exact volume-anomaly flags +
-        # inter-arrival gap histogram
-        "event_spike_days": F_rel.event_spike_days,
-        "vocab_growth": lambda sf: F_text.vocab_growth(
-            _docs(sf), _max_doc_id(sf) + 1),
-        "segment_acctbal_quantiles": F_rel.segment_acctbal_quantiles,
-        "cross_split_contamination": lambda sf: F_text.cross_split_contamination(_docs(sf)),
-        # Q20 excess-shipped-quantity supplier list (late r4)
-        "excess_qty_suppliers": F_rel.excess_qty_suppliers,
-        # dedup (minhash/near-dup/jaccard/clusters/survivors rotated to
-        # the long-stable tail late-r4 — r3 driver-green and the r4
-        # memoization change was value-preserving)
-        # similarity search
-        "knn_lsh": lambda sf: F_sim.lsh_bucketed_knn(_emb(sf), F_sim.load_query_vectors(sf)),
-        "knn_ivf": F_sim.ivf_knn,
-        # rotated INTO the window for r4's driver run (never driver-
-        # checked before; the 7 r03-green entries they displace —
-        # extract_summary, top_customers, events_windowed,
-        # filter_sort_topk, order_revenue_topk, region_rollup,
-        # segment_stats — moved to the pytest-gated tail)
-        "source_quality_gate": lambda sf: F_text.source_quality_gate(_docs(sf)),
-        "lsh_recall_report": lambda sf: F_dedup.lsh_recall_report(
-            _docs(sf), n_docs=_n_docs(sf)),
-        "corpus_clean_funnel": lambda sf: F_dedup.corpus_clean_funnel(
-            _docs(sf), n_docs=_n_docs(sf)),
-        "dup_source_matrix": lambda sf: F_dedup.dup_source_matrix(
-            _docs(sf), n_docs=_n_docs(sf)),
-        "corpus_clean_funnel_by_source": lambda sf:
-            F_dedup.corpus_clean_funnel_by_source(
-                _docs(sf), n_docs=_n_docs(sf)),
-        "embedding_quantize": lambda sf: F_sim.embedding_quantize(_emb(sf)),
-        # int8 MIPS rerank over the quantized corpus: de-scaled integer
-        # dot (qdot * maxabs_e9) is a monotone image of v.u/m_q, so the
-        # quantized-ANN ranking itself is hash-exact (the r4 handoff's
-        # last named quantization gap; quantized COSINE stays a pytest
-        # recall audit because its sqrt norms are not oracle-safe)
-        "knn_int8": lambda sf: F_sim.knn_int8(
-            _emb(sf), F_sim.load_query_vectors(sf)),
-        # new in late r4: the last two expressible TPC-H shapes — Q11
-        # (per-part value gated by a share-of-global threshold; the
-        # 1/DEN threshold bounds survivors at DEN-1 rows, so the final
-        # sort is constant-size) and Q2 (per-part argmin over filtered
-        # region suppliers, winners enriched + tie-broken top-100)
-        "important_parts": F_rel.important_parts,
-        "min_cost_supplier": F_rel.min_cost_supplier,
-        # new in late r4: exact sliding-window COUNT DISTINCT (hopping
-        # grid shared with events_hopping, user-hash bucket dedup) and
-        # the largest-remainder token-budget apportionment planner
-        "active_users_window": F_stream.active_users_window,
-        "token_budget_plan": lambda sf: F_text.token_budget_plan(_docs(sf)),
-        # new in late r4: CDC-style recrawl delta over two derived
-        # crawl snapshots (unchanged/changed/added/deleted per source)
-        "recrawl_delta": lambda sf: F_text.recrawl_delta(
-            F_text.snapshot_old(_docs(sf)), F_text.snapshot_new(_docs(sf)),
-            n_docs=_n_docs(sf)),
-        "knn_self_join": F_sim.knn_self_join,
-        # new in r4: cross-table docs x embeddings enrichment audit
-        "doc_label_mix": F_sim.doc_label_mix,
-        # the r3 VERDICT punch item #2 queries: never driver-checked
-        # (fell past the r3 window); the judge's done-criterion is
-        # hash-green CORRECTNESS_r04 rows for ALL of them, so they sit
-        # inside the window ahead of the x100-soaked TPC-H shapes
-        # (events_hopping / top_orders_per_segment are further up)
         "top_customers": F_rel.top_customers,
         "events_windowed": F_rel.events_windowed,
         "filter_sort_topk": F_rel.filter_sort_topk,
         "order_revenue_topk": F_rel.order_revenue_topk,
         "region_rollup": F_rel.region_rollup,
         "segment_stats": F_rel.segment_stats,
-        # stream-shaped operators (ordered-log windows / as-of join)
-        # ---- long-stable tail (hash-green through r3; re-verified
-        # every pytest run by test_driver_contract) — entries from here
-        # on may fall past the driver's 50-entry correctness window;
-        # every NEW or recently-changed operator must sit ABOVE this
-        # line ----
-        # greedy packing is a running fold, SQL twin is a recursive
-        # walk; packing/sharding/decontaminate rotated here (unchanged
-        # since their r3 driver-green rows) to keep the late-r4
-        # additions inside the 50-entry window; repetition_stats,
-        # simhash, simhash_dup_pairs, label-side centroids rotated
-        # late-r4 (r3-green, untouched since) for the five Q15-Q21
-        # shapes
         "repetition_stats": text_q(F_text.repetition_stats_batch),
         "minhash_signatures": lambda sf: F_dedup.minhash_signatures(_docs(sf)),
         "near_dup_pairs": lambda sf: F_dedup.lsh_candidate_pairs(
@@ -318,7 +297,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_stats": lambda sf: boilerplate_stats(documents_from_flat(sf)),
         "simhash": lambda sf: F_dedup.simhash_table(_docs(sf)),
         "simhash_dup_pairs": lambda sf: F_dedup.simhash_dup_pairs(_docs(sf)),
-        "knn_topk": lambda sf: F_sim.knn_topk(_emb(sf), F_sim.load_query_vectors(sf)),
         "label_stats": lambda sf: F_sim.label_stats(_emb(sf)),
         "embedding_centroids": lambda sf: F_sim.embedding_centroids(_emb(sf)),
         "pack_sequences": lambda sf: F_text.pack_sequences(_docs(sf)),
@@ -355,39 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": text_q(F_text.token_stats_batch),
         "token_chunks": text_q(F_text.token_chunks_batch),
         "pricing_summary": F_rel.pricing_summary,
-        # r03 driver-green, unchanged since — rotated here so the
-        # never-checked r4 ops get their first driver rows; stays
-        # hash-verified every pytest run by test_driver_contract
         "extract_summary": _extract_summary,
-        "embedding_near_dup": F_sim.embedding_near_dup,
-        # late-r4 TPC-H / overlap shapes rotated OUT of the window to
-        # make room for the punch-item relational six + the newest
-        # ops: every one of these was soaked EXACT x100 on key-shifted
-        # replicas (tools/soak_new_ops.py, SCALE.md) — the strongest
-        # alternate evidence in the repo — and all stay pytest-hash-
-        # gated every run. Q17/Q18/Q15/Q16/Q21/Q14/Q4/Q7/Q8/Q19/Q10 +
-        # the bitmask audience overlap + the lag() gap histogram.
-        "interorder_gaps": F_rel.interorder_gaps,
-        "small_qty_revenue": F_rel.small_qty_revenue,
-        "large_orders": F_rel.large_orders,
-        "top_supplier": F_rel.top_supplier,
-        "part_supplier_counts": F_rel.part_supplier_counts,
-        "order_laggards": F_rel.order_laggards,
-        "promo_revenue": F_rel.promo_revenue,
-        "late_shipment_priority": F_rel.late_shipment_priority,
-        "nation_trade_volume": F_rel.nation_trade_volume,
-        "market_share": F_rel.market_share,
-        "brand_qty_revenue": F_rel.brand_qty_revenue,
-        "event_user_overlap": F_stream.event_user_overlap,
-        "returned_item_report": F_rel.returned_item_report,
-        # new in r4 session 5 (window already full of first-check ops,
-        # so these start life pytest-hash-gated like the late-r4 tail)
-        "returnflag_priority": F_rel.returnflag_priority,
-        "heavy_hitters": lambda sf: F_text.heavy_hitters(_docs(sf)),
-        "key_skew_report": F_rel.key_skew_report,
-        "part_rank": F_graph.part_rank,
-        "activity_streaks": F_stream.activity_streaks,
-        "segment_acctbal_mad": F_rel.segment_acctbal_mad,
     }
 
 
