@@ -11,6 +11,14 @@ twin — no float enters the fixpoint. Not a reference operator (the
 reference has no graph engine); the shape is the standard damped
 PageRank (Page et al. 1999) with a FIXED iteration count so the
 distributed plan is static.
+
+CONTRACT: both fixpoint paths require a SYMMETRIC edge set (every
+directed edge (u, v) has its mirror (v, u) — the co-purchase pair
+expansion emits both directions by construction). Symmetry is what
+guarantees every node with out-edges also receives contribution
+partials each iteration; on a directed graph an in-edge-less source
+node would have no rank row, which the distributed fold detects and
+raises on loudly (``_rank_or_raise``) instead of silently mis-ranking.
 """
 from __future__ import annotations
 
@@ -35,7 +43,10 @@ PART_RANK_TOPK = 100
 PART_RANK_DRIVER_MAX_LINES = 5_000_000
 PART_RANK_ROWS_PER_BUCKET = 1_000_000
 
-_COLS = ("bucket", "u", "v", "w", "wout", "kind", "val")
+# edge rows (static, exchanged once) and contribution-partial rows
+# (the only thing exchanged per iteration — 24 B/row)
+_EDGE_COLS = ("bucket", "u", "v", "w", "wout")
+_PARTIAL_COLS = ("bucket", "u", "val")
 
 
 def _check_headroom(r_max: int, w_max: int,
@@ -115,18 +126,79 @@ def _topk_frame(df: pd.DataFrame, k: int) -> pd.DataFrame:
         {"l_partkey": "int64", "rank_score": "int64"})
 
 
-def _group_ranks(df: pd.DataFrame) -> pd.Series:
-    """Rank values for one node bucket from its partial rows.
-    Iteration 1 sees complete seed ranks (kind 1, summed verbatim);
-    every later iteration sees contribution partials (kind 2, summed
-    plus the damping BASE added exactly once here). Seeds keep riding
-    the union after iteration 1 and are IGNORED whenever kind-2 rows
-    exist — every node has in-edges (the graph is symmetric), so
-    kind-2 presence is bucket-wide, never per-node."""
-    k2 = df[df["kind"] == 2]
-    if len(k2):
-        return k2.groupby("u")["val"].sum() + PART_RANK_BASE
-    return df[df["kind"] == 1].groupby("u")["val"].sum()
+def _bucket_ranks(df: pd.DataFrame) -> pd.Series:
+    """Ranks for one node bucket from its complete contribution
+    partials: r(v) = BASE + sum of partials — exactly ``_rank_numpy``'s
+    ``nxt`` update (integer addition is order-independent, so partial
+    merge order never matters)."""
+    return df.groupby("u")["val"].sum() + PART_RANK_BASE
+
+
+def _rank_or_raise(e_u: pd.Series, ranks: pd.Series) -> np.ndarray:
+    """Look up each edge source's rank; raise loudly if any source has
+    no rank row (violates the module's symmetric-graph contract — on a
+    directed graph an in-edge-less source would otherwise be silently
+    mis-ranked)."""
+    r = e_u.map(ranks)
+    if r.isna().any():
+        missing = e_u[r.isna()].unique()[:5]
+        raise ValueError(
+            "part_rank: edge sources with no contribution partials "
+            f"(e.g. {missing.tolist()}) — the graph is not symmetric; "
+            "see the module contract")
+    return r.to_numpy(np.int64)
+
+
+def _bucket_edge_index(edges) -> dict[int, list]:
+    """Split the materialized bucketed edge dataset ONCE into a
+    per-bucket object-store index {bucket: [table refs]}: one remote
+    task per edge block slices it by bucket run (blocks can straddle
+    buckets after dynamic block splitting) and ``ray.put``s each
+    sub-table. Edge bytes stay distributed in plasma — the driver
+    keeps only the ref map — and each iteration's fold fetches exactly
+    its own bucket's tables, so the static edges never re-enter an
+    exchange. Sub-table refs are owned by the split workers; a lost
+    worker surfaces as a loud OwnerDiedError in the fold, never a
+    silent wrong rank."""
+    import ray
+
+    @ray.remote
+    def split(tbl: pa.Table) -> list:
+        if tbl.num_rows == 0:
+            return []
+        arrs = {c: tbl.column(c).to_numpy(zero_copy_only=False)
+                for c in _EDGE_COLS}
+        order = np.argsort(arrs["bucket"], kind="stable")
+        arrs = {c: a[order] for c, a in arrs.items()}
+        b = arrs["bucket"]
+        bounds = np.flatnonzero(np.diff(b)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(b)]))
+        return [(int(b[s]),
+                 ray.put(pa.table({c: a[s:e] for c, a in arrs.items()})))
+                for s, e in zip(starts, ends)]
+
+    index: dict[int, list] = {}
+    for part in ray.get([split.remote(ref)
+                         for ref in edges.to_arrow_refs()]):
+        for bucket, ref in part:
+            index.setdefault(bucket, []).append(ref)
+    return index
+
+
+def _fetch_bucket_edges(index: dict[int, list], bucket: int) -> pd.DataFrame:
+    """One bucket's complete static edge table from the cached index.
+    A bucket that received contribution partials but has no cached
+    edges violates the symmetric-graph contract — loud, never empty."""
+    import ray
+
+    refs = index.get(bucket)
+    if not refs:
+        raise ValueError(
+            f"part_rank: contribution partials arrived for bucket "
+            f"{bucket} but no cached edge table exists — the graph is "
+            "not symmetric; see the module contract")
+    return pa.concat_tables(ray.get(refs)).to_pandas()
 
 
 def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
@@ -142,18 +214,24 @@ def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
     bucket) and emits (u, v) pair partials already re-keyed to the U
     hash; one exchange later every u-bucket merges its edge weights
     AND derives its out-weights in the same fold, so edge rows are
-    born carrying their denominator, plus one seed rank row per node.
-    Each PageRank iteration is then exactly ONE exchange: the static
-    edge+seed dataset (materialized once) unions the previous
-    iteration's contribution partials, each node bucket folds its
-    rank (``_group_ranks``) and emits the next contributions keyed by
-    hash(v). After ``iters`` contribution exchanges a final fold
-    emits (node, rank); per-block top-k bounds the single-partition
-    finish. Re-shipping the static edges each iteration is the
-    Dataset-native trade versus an actor-held mutable partition index
-    (``SURVEY §2`` custom-operator ladder, option (a)). Below
-    ``driver_max_lines`` lineitem rows the whole fixpoint runs as the
-    exact numpy driver fold — same integers, dual-path tested."""
+    born carrying their denominator. The bucketed edge blocks are then
+    SPLIT ONCE into a per-bucket object-store index
+    (``_bucket_edge_index``) and never enter an exchange again:
+    iteration 1's contributions are a pure streaming ``map_batches``
+    over the materialized edges (seed rank is the constant SCALE, so
+    no rank lookup is needed), and every later iteration exchanges
+    ONLY the (bucket, node, val) contribution partials — 24 B/row,
+    O(nodes)-bounded after the in-fold partial sum — while each node
+    bucket's fold fetches its own static edge table by ref (plasma
+    read, no sort, no re-ship). This replaces round 4's
+    edges.union(contribs) re-sort, whose per-iteration O(edges) sort
+    spill exceeded a single box's disk at the 100x soak (230M edges,
+    SCALE.md). Per-iteration ``materialize()`` stays: it is the
+    checkpoint that keeps each exchange a standalone full-width sort
+    (the chained-DAG backpressure lesson) and the natural resume
+    point. Below ``driver_max_lines`` lineitem rows the whole
+    fixpoint runs as the exact numpy driver fold — same integers,
+    dual-path tested."""
     from .relational import _read
     from .util import bucket_count, bucket_hash, parquet_num_rows
 
@@ -181,12 +259,10 @@ def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
     if num_buckets is None:
         num_buckets = bucket_count(n_lines, PART_RANK_ROWS_PER_BUCKET)
 
-    def _ship(df: pd.DataFrame) -> pd.DataFrame:
+    def _ship_partials(df: pd.DataFrame) -> pd.DataFrame:
         df["bucket"] = bucket_hash(df["u"].to_numpy(np.int64), num_buckets)
-        for c in _COLS:
-            if c not in df.columns:
-                df[c] = np.int64(0)
-        return df[list(_COLS)].astype({c: "int64" for c in _COLS})
+        return df[list(_PARTIAL_COLS)].astype(
+            {c: "int64" for c in _PARTIAL_COLS})
 
     def by_order(batch: pa.Table) -> pa.Table:
         t = pa.table({
@@ -201,33 +277,49 @@ def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
         p = _pairs_frame(df)
         p = p.groupby(["u", "v"], as_index=False).size() \
             .rename(columns={"size": "w"})
-        return _ship(p)
+        p["bucket"] = bucket_hash(p["u"].to_numpy(np.int64), num_buckets)
+        return p[list(_EDGE_COLS[:-1])].astype(
+            {c: "int64" for c in _EDGE_COLS[:-1]})
 
-    def edge_seed_fold(df: pd.DataFrame) -> pd.DataFrame:
-        # merge duplicate (u, v) weight partials, derive wout, and
-        # emit the kind-1 seed rank row per node IN the same
-        # group-local fold (exact-once: downstream block splitting
-        # can never duplicate what a single group emitted once)
+    def edge_fold(df: pd.DataFrame) -> pd.DataFrame:
+        # merge duplicate (u, v) weight partials and derive wout in
+        # the same group-local fold, so every edge row is born
+        # carrying its denominator (no seed rows: iteration 1's rank
+        # is the constant SCALE)
         e = df.groupby(["u", "v"], as_index=False)["w"].sum()
         e["wout"] = e.groupby("u")["w"].transform("sum")
-        e["kind"] = np.int64(0)
-        seeds = pd.DataFrame({
-            "u": e["u"].drop_duplicates().to_numpy(np.int64)})
-        seeds["kind"] = np.int64(1)
-        seeds["val"] = np.int64(PART_RANK_SCALE)
-        return pd.concat([_ship(e), _ship(seeds)], ignore_index=True)
+        e["bucket"] = df["bucket"].iloc[0]
+        return e[list(_EDGE_COLS)].astype({c: "int64" for c in _EDGE_COLS})
 
-    edges_seeded = ds.map_batches(by_order, batch_format="pyarrow",
-                                  batch_size=None) \
+    edges = ds.map_batches(by_order, batch_format="pyarrow",
+                           batch_size=None) \
         .groupby("bucket").map_groups(pair_fold, batch_format="pandas") \
-        .groupby("bucket").map_groups(edge_seed_fold,
-                                      batch_format="pandas") \
+        .groupby("bucket").map_groups(edge_fold, batch_format="pandas") \
         .materialize()
+    edge_index = _bucket_edge_index(edges)
+
+    def seed_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        # iteration 1 as a pure streaming pass: r0 = SCALE for every
+        # node, so each edge's contribution needs no rank lookup.
+        # Batches may split a bucket mid-way — safe, these are
+        # mergeable partials re-summed by the next fold.
+        w = df["w"].to_numpy(np.int64)
+        _check_headroom(PART_RANK_SCALE, int(w.max(initial=0)),
+                        int(df["wout"].max()) if len(df) else 0)
+        contrib = (PART_RANK_DAMP_NUM * PART_RANK_SCALE * w) \
+            // (PART_RANK_DAMP_DEN * df["wout"].to_numpy(np.int64))
+        out = pd.DataFrame({"u": df["v"].to_numpy(np.int64),
+                            "val": contrib}) \
+            .groupby("u", as_index=False)["val"].sum()
+        return _ship_partials(out)
 
     def contrib_fold(df: pd.DataFrame) -> pd.DataFrame:
-        rsum = _group_ranks(df)
-        e = df[df["kind"] == 0]
-        r = e["u"].map(rsum).to_numpy(np.int64)  # loud on any miss
+        # one complete node bucket's partials -> its ranks -> the next
+        # iteration's contributions, using the bucket's CACHED static
+        # edge table (fetched by ref — never re-exchanged)
+        ranks = _bucket_ranks(df)
+        e = _fetch_bucket_edges(edge_index, int(df["bucket"].iloc[0]))
+        r = _rank_or_raise(e["u"], ranks)
         w = e["w"].to_numpy(np.int64)
         _check_headroom(int(r.max(initial=0)), int(w.max(initial=0)),
                         int(e["wout"].max()) if len(e) else 0)
@@ -236,28 +328,27 @@ def part_rank(sf_dir: str, k: int = PART_RANK_TOPK,
         out = pd.DataFrame({"u": e["v"].to_numpy(np.int64),
                             "val": contrib}) \
             .groupby("u", as_index=False)["val"].sum()
-        out["kind"] = np.int64(2)
-        return _ship(out)
+        return _ship_partials(out)
 
     def rank_fold(df: pd.DataFrame) -> pd.DataFrame:
-        out = _group_ranks(df).reset_index()
+        out = _bucket_ranks(df).reset_index()
         return _topk_frame(pd.DataFrame({
             "l_partkey": out["u"].to_numpy(np.int64),
             "rank_score": out["val"].to_numpy(np.int64)}), k)
 
-    # MATERIALIZE each iteration's contributions: chaining all
-    # iterations into one lazy DAG stacks every sort barrier and every
-    # union's buffered edge copy into a single streaming execution —
-    # measured at the 100x soak, object-store backpressure throttled
-    # the first fold to ONE concurrent task (50/280 blocks in 10 min,
-    # 31 workers idle). Checkpointing per iteration makes each
-    # exchange a standalone sort+fold that runs at full width, and is
-    # also the natural resume point for a preempted fixpoint.
-    cur = edges_seeded
-    for _ in range(iters):
-        contribs = cur.groupby("bucket").map_groups(
+    # MATERIALIZE each iteration's partials: chaining all iterations
+    # into one lazy DAG stacks every sort barrier into a single
+    # streaming execution — measured at the 100x soak, object-store
+    # backpressure throttled the first fold to ONE concurrent task
+    # (50/280 blocks in 10 min, 31 workers idle). Checkpointing per
+    # iteration keeps each exchange a standalone full-width sort+fold
+    # and is the natural resume point for a preempted fixpoint.
+    cur = edges.map_batches(seed_contrib, batch_format="pandas") \
+        .materialize()
+    del edges  # release the original edge blocks; the index holds all
+    for _ in range(iters - 1):
+        cur = cur.groupby("bucket").map_groups(
             contrib_fold, batch_format="pandas").materialize()
-        cur = edges_seeded.union(contribs)
     ranked = cur.groupby("bucket").map_groups(rank_fold,
                                               batch_format="pandas")
 
