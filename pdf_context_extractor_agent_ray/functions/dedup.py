@@ -473,7 +473,8 @@ def _shingle_rows(batch: pa.Table) -> pa.Table:
 
 def ngram_jaccard_pairs(ds, threshold_e6: int = JACCARD_THRESHOLD_E6,
                         driver_max_docs: int = NGRAM_DRIVER_MAX_DOCS,
-                        n_docs: int | None = None):
+                        n_docs: int | None = None,
+                        max_pairs: int | None = None):
     """EXACT n-gram Jaccard near-dup pairs via a shingle inverted
     index — no LSH recall loss: any pair with J >= 0.5 shares at least
     one shingle, so grouping by shingle and counting co-occurrences
@@ -490,12 +491,21 @@ def ngram_jaccard_pairs(ds, threshold_e6: int = JACCARD_THRESHOLD_E6,
     verifier) instead — this op is the exact oracle-checkable baseline.
 
     Output: doc_a, doc_b (doc_a < doc_b), jaccard_e6 >= threshold.
+
+    ``max_pairs`` (optional): fail-fast budget on the PROJECTED pair
+    partials sum_g C(k_g, 2) over shingle groups — the exact quantity
+    that blows up on a dup-dense corpus. The projection is computed
+    BEFORE any pair is materialized (driver path: free, from the group
+    lengths already in hand; distributed path: one narrow
+    partial-count exchange over 24 B rows — never the O(k^2) pair
+    sort) and a clear ValueError with the projected count raises in
+    seconds instead of hanging the cluster.
     """
     if n_docs is None:
         n_docs = ds.count()
     if n_docs <= driver_max_docs:
-        return _ngram_jaccard_driver(ds, threshold_e6)
-    return _ngram_jaccard_distributed(ds, threshold_e6)
+        return _ngram_jaccard_driver(ds, threshold_e6, max_pairs=max_pairs)
+    return _ngram_jaccard_distributed(ds, threshold_e6, max_pairs=max_pairs)
 
 
 def _pairs_table(doc_a: list[int], doc_b: list[int], jac: list[int]) -> pa.Table:
@@ -524,7 +534,20 @@ def _emit_group_pairs(d: np.ndarray, starts: np.ndarray,
     return np.concatenate(pa_list), np.concatenate(pb_list)
 
 
-def _ngram_jaccard_driver(ds, threshold_e6: int):
+def _check_pair_budget(projected: float, max_pairs: int | None,
+                       where: str) -> None:
+    if max_pairs is not None and projected > max_pairs:
+        raise ValueError(
+            f"ngram_jaccard_pairs: projected {int(projected):,} pair "
+            f"partials across shingle groups ({where}) exceeds the "
+            f"max_pairs budget {max_pairs:,} — the corpus is too "
+            "dup-dense for the exact pair expansion. Use the sampled "
+            "recall mode (lsh_recall_report(sample_mod=...)) or raise "
+            "the budget on a cluster sized for it.")
+
+
+def _ngram_jaccard_driver(ds, threshold_e6: int,
+                          max_pairs: int | None = None):
     """Gated small path, zero shuffles: one distributed shingle pass;
     the driver folds the inverted index vectorized (factorize + sorted
     group boundaries — only multi-doc shingles reach Python)."""
@@ -547,6 +570,11 @@ def _ngram_jaccard_driver(ds, threshold_e6: int):
     d = docs[order]
     starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
     lens = np.diff(np.r_[starts, len(c)])
+    # fail fast BEFORE materializing any O(k^2) pair (float64 is exact
+    # enough for a budget comparison at any magnitude)
+    lf = lens.astype(np.float64)
+    _check_pair_budget(float((lf * (lf - 1) / 2).sum()), max_pairs,
+                       "driver inverted index")
     A, B = _emit_group_pairs(d, starts, lens)
     if not len(A):
         return rd.from_arrow(_pairs_table([], [], []))
@@ -605,7 +633,42 @@ def _shingle_hash_rows(batch: pa.Table) -> pa.Table:
                      "h1": pa.array(h1u[codes], pa.int64())})
 
 
-def _ngram_jaccard_distributed(ds, threshold_e6: int):
+def _projected_pair_partials(sh, num_buckets: int) -> float:
+    """sum_g C(k_g, 2) over shingle groups, WITHOUT emitting a single
+    pair: in-batch partial counts per (h0, h1) collapse each batch to
+    its distinct shingles, one narrow exchange merges them per hash
+    bucket, and each fold emits one projection row. The whole pass
+    ships (bucket, h0, h1, n) rows — 32 B each, Zipf-bounded — so the
+    guard costs one fixed exchange, never the O(k^2) pair sort it
+    protects against."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        h0 = batch["h0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1 = batch["h1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h1, h0))
+        h0, h1 = h0[order], h1[order]
+        new_g = np.r_[True, (h0[1:] != h0[:-1]) | (h1[1:] != h1[:-1])]
+        starts = np.flatnonzero(new_g)
+        n = np.diff(np.r_[starts, len(h0)])
+        h0, h1 = h0[starts], h1[starts]
+        return pa.table({
+            "bucket": pa.array((h0.astype(np.uint64) % num_buckets)
+                               .astype(np.int64)),
+            "h0": pa.array(h0), "h1": pa.array(h1),
+            "n": pa.array(n.astype(np.int64))})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        k = df.groupby(["h0", "h1"])["n"].sum().to_numpy(np.float64)
+        return pd.DataFrame({"proj": [float((k * (k - 1) / 2).sum())]})
+
+    rows = sh.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .take_all()
+    return float(sum(r["proj"] for r in rows))
+
+
+def _ngram_jaccard_distributed(ds, threshold_e6: int,
+                               max_pairs: int | None = None):
     """At-scale path: shingle-HASH-bucket groupby (one vectorized fold
     per ~1M-row bucket, never one Python call per shingle) emits the
     per-shingle pairs; a pair-count aggregate and two size joins finish
@@ -621,6 +684,9 @@ def _ngram_jaccard_distributed(ds, threshold_e6: int):
     from .util import bucket_count
     num_buckets = bucket_count(n_rows, NGRAM_ROWS_PER_BUCKET,
                                parallelism=max(8, cpus))
+    if max_pairs is not None:
+        _check_pair_budget(_projected_pair_partials(sh, num_buckets),
+                           max_pairs, "distributed shingle index")
     sizes = sh.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -1070,8 +1136,13 @@ def simhash_dup_pairs(ds, max_hamming: int = SIMHASH_MAX_HAMMING,
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+LSH_RECALL_MAX_EXACT_PAIRS = 50_000_000  # projected-pair fail-fast budget
+
+
 def lsh_recall_report(ds, n_docs: int | None = None,
-                      driver_max_docs: int | None = None):
+                      driver_max_docs: int | None = None,
+                      max_exact_pairs: int | None = None,
+                      sample_mod: int | None = None):
     """Dedup-quality evaluation: how much of the EXACT Jaccard >=
     threshold pair set does the banded MinHash-LSH path recover?
     One row — (n_exact_pairs, n_lsh_pairs, n_common_pairs); recall is
@@ -1087,18 +1158,51 @@ def lsh_recall_report(ds, n_docs: int | None = None,
     all. At-scale, the report adds ONE exchange over (doc_a, doc_b)
     pair keys (16 B/row + two flag ints) — pairs, not documents — and
     folds to a single row of counts.
+
+    The exact side is inherently quadratic in dup-group size, so it is
+    BUDGETED (``max_exact_pairs``, default
+    ``LSH_RECALL_MAX_EXACT_PAIRS``): the projected pair-partial count
+    is measured from the shingle-group fanout BEFORE any pair
+    materializes, and a dup-dense corpus raises a clear ValueError in
+    seconds (the r4 VERDICT's hung-cluster finding) instead of
+    emitting ~C(k,2) partials per 100-copy group. ``sample_mod=m``
+    switches to the estimated mode: the report runs on the
+    deterministic hash-sampled doc stratum (``bucket_hash(doc_id, m)
+    == 0``, ~1/m of docs, so ~1/m^2 of pairs), and the output row
+    discloses ``sample_mod`` and ``n_docs_sampled`` alongside the
+    sampled counts — an unbiased recall estimate whenever dup-group
+    membership is independent of the id hash (true for content-derived
+    duplicates; the hash is content-blind).
     """
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from .util import finish_grouped
+    from .util import bucket_hash, finish_grouped
 
     if driver_max_docs is None:
         driver_max_docs = LSH_BROADCAST_MAX_DOCS
+    if max_exact_pairs is None:
+        max_exact_pairs = LSH_RECALL_MAX_EXACT_PAIRS
+    if sample_mod is not None:
+        def sampled(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return batch.filter(
+                pa.array(bucket_hash(ids, sample_mod) == 0))
+
+        ds_s = ds.map_batches(sampled, batch_format="pyarrow") \
+            .materialize()
+        out = lsh_recall_report(ds_s, n_docs=ds_s.count(),
+                                driver_max_docs=driver_max_docs,
+                                max_exact_pairs=max_exact_pairs)
+        out["sample_mod"] = pd.Series([sample_mod], dtype="int64")
+        out["n_docs_sampled"] = pd.Series([ds_s.count()], dtype="int64")
+        return out
     if n_docs is None:
         n_docs = ds.count()
 
-    exact = ngram_jaccard_pairs(ds, n_docs=n_docs)
+    exact = ngram_jaccard_pairs(ds, n_docs=n_docs,
+                                max_pairs=max_exact_pairs)
     lsh = lsh_candidate_pairs(ds, n_docs=n_docs)
 
     if n_docs <= driver_max_docs:

@@ -599,6 +599,55 @@ def test_lsh_recall_report_consistent_with_pair_sets(ray_session):
     assert lsh <= exact
 
 
+def test_lsh_recall_report_budget_and_sampled_mode(ray_session):
+    """r5 guard: a dup-dense corpus must fail FAST with the projected
+    pair-partial count on BOTH exact-side paths (driver inverted index
+    and distributed shingle groupby), and the sampled mode must equal
+    a manual pre-filter of the same deterministic doc stratum."""
+    import ray.data as rd
+    from pdf_context_extractor_agent_ray.functions.dedup import (
+        lsh_recall_report)
+    from pdf_context_extractor_agent_ray.functions.util import (
+        bucket_hash, parquet_num_rows, strip_schema_metadata)
+
+    def docs():
+        return strip_schema_metadata(
+            rd.read_parquet(f"{SF}/documents.parquet"))
+
+    n = parquet_num_rows(f"{SF}/documents.parquet")
+
+    # (a) fail-fast guard, driver path then forced distributed path:
+    # budget 0 < any projected count -> clear error, no pair emitted
+    for kwargs in ({}, {"driver_max_docs": 0}):
+        with pytest.raises(ValueError, match="projected .* exceeds"):
+            lsh_recall_report(docs(), n_docs=n, max_exact_pairs=0,
+                              **kwargs)
+
+    # (b) sampled mode: mod=1 samples everything -> identical counts
+    # plus the two disclosure columns
+    full = lsh_recall_report(docs(), n_docs=n)
+    s1 = lsh_recall_report(docs(), sample_mod=1)
+    assert s1[["n_exact_pairs", "n_lsh_pairs", "n_common_pairs"]] \
+        .equals(full)
+    assert s1.iloc[0]["sample_mod"] == 1
+    assert s1.iloc[0]["n_docs_sampled"] == n
+
+    # (c) sampled mode == full report over the manually-filtered
+    # stratum (same hash, same mod)
+    mod = 3
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet")
+    ids = t["doc_id"].to_numpy()
+    keep = bucket_hash(ids, mod) == 0
+    sub = t.filter(keep)
+    manual = lsh_recall_report(
+        strip_schema_metadata(rd.from_arrow(sub)), n_docs=int(keep.sum()))
+    s3 = lsh_recall_report(docs(), sample_mod=mod)
+    assert s3[["n_exact_pairs", "n_lsh_pairs", "n_common_pairs"]] \
+        .equals(manual)
+    assert s3.iloc[0]["n_docs_sampled"] == int(keep.sum())
+
+
 def test_corpus_clean_funnel_paths_and_stagewise_agreement(ray_session):
     """The funnel's broadcast arms and every forced join arm (dup-group
     join, row anti-joins, distributed keep-best winner, decontam hash

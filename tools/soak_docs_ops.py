@@ -15,8 +15,10 @@ checks three provable invariants on the 500k-doc corpus:
   distribution has the SAME percentile_disc threshold (smallest v
   with 100*C(v) >= ceil(q*100n)  <=>  C(v) >= ceil(q*n)) and exactly
   x100 counts.
-- ``lsh_recall_report``: runs end-to-end at 500k docs (the 100-copy
-  buckets exercise the chain-link caps) and must keep
+- ``lsh_recall_report``: at 100x the all-dup corpus is the exact
+  side's O(k^2) worst case, so the BUDGET guard must raise with the
+  projected pair-partial count in seconds; the sampled mode
+  (sample_mod=32) must then complete and keep
   n_common == n_lsh <= n_exact (the LSH path exact-verifies).
 
 Run:  python tools/soak_docs_ops.py [--reps 100] [--rebuild]
@@ -189,13 +191,25 @@ def check(reps: int) -> int:
             print("expected:\n", expect, "\ngot:\n", big)
 
     if want("lsh_recall_report"):
+        # r5: the exact side is BUDGETED. On a dup-dense corpus the
+        # guard must raise with the projected pair-partial count in
+        # seconds (never the r4 hung-cluster 600M-partial expansion),
+        # and the sampled mode must then complete under the budget.
         t0 = time.time()
-        rep = lsh_recall_report(docs(OUT), n_docs=n_big)
+        mode = "full"
+        try:
+            rep = lsh_recall_report(docs(OUT), n_docs=n_big)
+        except ValueError as ex:
+            print(f"lsh_recall_report: guard raised in "
+                  f"{time.time() - t0:4.1f} s — {ex}", flush=True)
+            t0 = time.time()
+            mode = "sampled mod=32"
+            rep = lsh_recall_report(docs(OUT), sample_mod=32)
         dt = time.time() - t0
         row = rep.iloc[0]
         ok = (row["n_common_pairs"] == row["n_lsh_pairs"]
               <= row["n_exact_pairs"] and row["n_exact_pairs"] > 0)
-        print(f"lsh_recall_report: {dt:6.1f} s  "
+        print(f"lsh_recall_report [{mode}]: {dt:6.1f} s  "
               f"exact={row['n_exact_pairs']} lsh={row['n_lsh_pairs']} "
               f"common={row['n_common_pairs']}  "
               f"{'OK (verified-subset invariant)' if ok else 'MISMATCH'}",
