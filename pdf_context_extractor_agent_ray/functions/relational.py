@@ -4139,8 +4139,11 @@ def key_skew_report(sf_dir: str, num_buckets: int | None = None):
                 .rename_columns(["key", "n"])
             b = bucket_hash(t["key"].to_numpy(zero_copy_only=False),
                             num_buckets) + dom_idx[domain] * num_buckets
+            # no domain column: buckets are domain-pure by
+            # construction (domain == bucket // num_buckets), so the
+            # fold recovers the name for free and the exchange stays
+            # exactly (bucket, key, n) — 24 B/row, no replicated string
             return pa.table({
-                "domain": pa.array([domain] * len(t), pa.string()),
                 "bucket": pa.array(b, pa.int64()),
                 "key": t["key"],
                 "n": t["n"],
@@ -4165,12 +4168,15 @@ def key_skew_report(sf_dir: str, num_buckets: int | None = None):
     ]
     u = streams[0].union(*streams[1:])
 
+    doms = [d for d, _, _ in SKEW_DOMAINS]
+
     def hist_fold(df: pd.DataFrame) -> pd.DataFrame:
-        # buckets are domain-pure by construction
+        # domain recovered from the pure bucket id, never shipped
+        dom = doms[int(df["bucket"].iat[0]) // num_buckets]
         per_key = df.groupby("key")["n"].sum()
         vc = per_key.value_counts()
         return pd.DataFrame({
-            "domain": [df["domain"].iat[0]] * len(vc),
+            "domain": [dom] * len(vc),
             "per_key_n": vc.index.to_numpy(dtype=np.int64),
             "n_keys": vc.to_numpy(dtype=np.int64)})
 

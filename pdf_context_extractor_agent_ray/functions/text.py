@@ -726,7 +726,14 @@ def heavy_hitters(ds, k: int = HH_K):
     sums <= k rows per block. False candidates die on the exact
     integer filter, so the output is partitioning-independent and
     hash-exact against the SQL oracle. Output: (token,
-    n_occurrences), sorted (count desc, token asc)."""
+    n_occurrences), sorted (count desc, token asc).
+
+    CONTRACT: ``ds`` executes TWICE (candidates, then recount) and
+    must re-execute deterministically — true for every registered
+    caller (parquet reads + deterministic transforms). Feeding a
+    nondeterministic dataset (an unseeded sample/shuffle) would recount
+    a different corpus with no error; ``ds.materialize()`` first in
+    that case."""
     import ray
 
     from .util import finish_grouped

@@ -106,3 +106,25 @@ def test_disc_percentiles_matches_duckdb_exhaustive():
         ).fetchone()[0] for q in qs]
         assert got == want, (trial, values.tolist(), counts.tolist(),
                              got, want)
+
+    # the docstring's full claimed envelope: every TOTAL n in 1..300
+    # (dense histograms — counts apportioned to sum exactly n), every
+    # q the repo uses
+    for n in range(1, 301):
+        h = hashlib.md5(f"dense{n}".encode()).digest()
+        k = min(n, h[0] % 7 + 1)
+        values = np.unique(np.array(
+            [int.from_bytes(h[i:i + 2], "big") % 1000 - 500
+             for i in range(1, 1 + k)], dtype=np.int64))
+        k = len(values)
+        counts = np.full(k, n // k, dtype=np.int64)
+        counts[:n % k] += 1
+        assert counts.sum() == n
+        expanded = np.repeat(values, counts).tolist()
+        got = disc_percentiles(values, counts, qs)
+        want = [con.execute(
+            "SELECT percentile_disc(?) WITHIN GROUP (ORDER BY v) "
+            "FROM (SELECT unnest(?) AS v)", [q / 100, expanded]
+        ).fetchone()[0] for q in qs]
+        assert got == want, (n, values.tolist(), counts.tolist(),
+                             got, want)
