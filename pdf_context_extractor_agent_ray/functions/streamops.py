@@ -149,7 +149,63 @@ def session_windows(sf_dir: str, gap_us: int = SESSION_GAP_US,
 TRANSITION_END = "END"
 
 
-def event_transitions(sf_dir: str, num_buckets: int | None = None):
+HOT_MAX_USERS = 64            # cap on auto-salted keys per run
+HOT_SLICES_MIN = 8            # minimum time slices per hot user
+
+
+def _hot_user_scan(sf_dir: str, num_buckets: int):
+    """Hot-key detection for the user-bucket exchange — the ACTING
+    counterpart of ``relational.key_skew_report``'s fanout report,
+    done as a single narrow (user_id, ts) scan with NO exchange via
+    the heavy-hitters pigeonhole: a user with global share > 1/B must
+    be locally heavy (count*B > n_b) in at least one batch, so the
+    per-batch local heavies (each batch ships <= B candidate rows +
+    one stats row) form a driver-foldable superset. The driver keeps
+    users whose summed local-heavy counts (a LOWER bound on their true
+    count) still exceed rows/B — i.e. keys guaranteed to dominate a
+    whole average bucket — capped at ``HOT_MAX_USERS``. Returns
+    (sorted hot ids, ts_min, ts_max)."""
+    import ray.data as rd
+
+    from .util import strip_schema_metadata
+
+    ds = strip_schema_metadata(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, cnts = np.unique(uid, return_counts=True)
+        heavy = cnts * num_buckets > len(uid)
+        ids, cnts = ids[heavy], cnts[heavy]
+        return pa.table({
+            "user_id": pa.array(np.r_[ids, [-1]], type=pa.int64()),
+            "cnt": pa.array(np.r_[cnts, [len(uid)]], type=pa.int64()),
+            "v0": pa.array(np.r_[np.zeros(len(ids), np.int64),
+                                 [ts.min() if len(ts) else 0]]),
+            "v1": pa.array(np.r_[np.zeros(len(ids), np.int64),
+                                 [ts.max() if len(ts) else 0]]),
+        })
+
+    rows = pa.concat_tables(
+        [b for b in ds.map_batches(scan, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow") if len(b)])
+    uid = rows["user_id"].to_numpy(zero_copy_only=False)
+    cnt = rows["cnt"].to_numpy(zero_copy_only=False)
+    stats = uid == -1
+    total = int(cnt[stats].sum())
+    ts_min = int(rows["v0"].to_numpy(zero_copy_only=False)[stats].min())
+    ts_max = int(rows["v1"].to_numpy(zero_copy_only=False)[stats].max())
+    cand = pd.Series(cnt[~stats]).groupby(uid[~stats]).sum()
+    cand = cand[cand * num_buckets > total]
+    hot = cand.sort_values(ascending=False).head(HOT_MAX_USERS)
+    return np.sort(hot.index.to_numpy(np.int64)), ts_min, ts_max
+
+
+def event_transitions(sf_dir: str, num_buckets: int | None = None,
+                      salt_hot: bool | None = None,
+                      n_slices: int | None = None):
     """Per-user next-event transition matrix (Markov counts): for each
     event ordered by (ts, event_id) within a user, count the pair
     (event_type, next_event_type); a user's last event transitions to
@@ -163,10 +219,37 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
     groupby-count; the exchange moves ≤(n_types+1)² partial rows per
     bucket, never events. SQL twin: lead() OVER (PARTITION BY user_id
     ORDER BY ts, event_id) with COALESCE to 'END'.
-    """
-    from .util import finish_grouped
 
-    ds = _events_bucketed(sf_dir, num_buckets)
+    SKEW (r5): a hot user breaks the 'a user fits one bucket' sizing —
+    one fold serializes behind the exchange while every other worker
+    idles. ``salt_hot=None`` (the default) AUTO-detects hot users with
+    the pigeonhole scan (``_hot_user_scan`` — the acting form of
+    ``key_skew_report``'s fanout measurement) and, when any exist,
+    gives each hot user its OWN block of ``n_slices`` time-sliced
+    buckets: slice-internal transitions fold in parallel and each
+    slice emits ONE boundary row (first/last type), so the exact
+    cross-slice pairs are re-derived in the bounded finish (<=
+    HOT_MAX_USERS x n_slices rows). Results are bit-identical with
+    and without salting (tested); ``salt_hot=False`` forces the plain
+    path, ``salt_hot=True`` requires detection to find at least one
+    hot user (loud otherwise — a misconfigured forced run should not
+    silently fall back).
+    """
+    import ray
+
+    from .util import bucket_count, finish_grouped
+
+    if num_buckets is None:
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        num_buckets = bucket_count(n, ROWS_PER_BUCKET)
+
+    hot_ids = np.array([], np.int64)
+    if salt_hot is not False:
+        hot_ids, ts_min, ts_max = _hot_user_scan(sf_dir, num_buckets)
+        if salt_hot and not len(hot_ids):
+            raise ValueError("event_transitions(salt_hot=True): no hot "
+                             "user detected — nothing to salt")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
@@ -183,9 +266,97 @@ def event_transitions(sf_dir: str, num_buckets: int | None = None):
         out["n_pairs"] = out["n_pairs"].astype("int64")
         return out
 
-    return finish_grouped(
-        ds.groupby("bucket").map_groups(per_bucket, batch_format="pandas"),
-        ["event_type", "next_event_type"])
+    if not len(hot_ids):
+        ds = _events_bucketed(sf_dir, num_buckets)
+        return finish_grouped(
+            ds.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas"),
+            ["event_type", "next_event_type"])
+
+    # ---- salted path ----
+    if n_slices is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        n_slices = max(HOT_SLICES_MIN, cpus)
+    span = max(ts_max - ts_min + 1, 1)
+    ref = ray.put(hot_ids)
+
+    ds = _events_bucketed(sf_dir, num_buckets)
+
+    def resalt(batch: pa.Table) -> pa.Table:
+        hot = ray.get(ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False).copy()
+        pos = np.searchsorted(hot, uid)
+        pos_c = np.minimum(pos, len(hot) - 1)
+        is_hot = hot[pos_c] == uid
+        if is_hot.any():
+            ts = batch["ts"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sl = np.minimum((ts[is_hot] - ts_min) * n_slices // span,
+                            n_slices - 1)
+            bucket[is_hot] = num_buckets + pos_c[is_hot] * n_slices + sl
+        return batch.set_column(
+            batch.schema.get_field_index("bucket"), "bucket",
+            pa.array(bucket, pa.int64()))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iat[0])
+        if b < num_buckets:
+            out = per_bucket(df)
+            out["user_id"] = np.int64(-1)
+            out["slice"] = np.int64(-1)
+            out["kind"] = np.int64(0)
+            return out
+        # one hot user, one time slice: internal pairs + ONE boundary
+        # row carrying (first type -> event_type, last type ->
+        # next_event_type) for the exact cross-slice merge
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        et = df["event_type"].to_numpy()
+        g = pd.DataFrame({"event_type": et[:-1], "next_event_type": et[1:]})
+        out = g.groupby(["event_type", "next_event_type"],
+                        as_index=False).size() \
+            .rename(columns={"size": "n_pairs"})
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        out["kind"] = np.int64(0)
+        bound = pd.DataFrame({
+            "event_type": [et[0]], "next_event_type": [et[-1]],
+            "n_pairs": np.int64(0), "kind": np.int64(1)})
+        out = pd.concat([out, bound], ignore_index=True)
+        out["user_id"] = np.int64((b - num_buckets) // n_slices)
+        out["slice"] = np.int64((b - num_buckets) % n_slices)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[df["kind"] == 0]
+        extra_src, extra_dst = [], []
+        for _, g in df[df["kind"] == 1].groupby("user_id"):
+            g = g.sort_values("slice")
+            firsts = g["event_type"].to_numpy()
+            lasts = g["next_event_type"].to_numpy()
+            # slice i's last event precedes slice i+1's first event
+            # (empty slices emitted no row, so adjacency is exact)
+            extra_src.extend(lasts[:-1])
+            extra_dst.extend(firsts[1:])
+            extra_src.append(lasts[-1])
+            extra_dst.append(TRANSITION_END)
+        allp = pd.concat([
+            base[["event_type", "next_event_type", "n_pairs"]],
+            pd.DataFrame({"event_type": extra_src,
+                          "next_event_type": extra_dst,
+                          "n_pairs": np.ones(len(extra_src), np.int64)})],
+            ignore_index=True)
+        out = allp.groupby(["event_type", "next_event_type"],
+                           as_index=False)["n_pairs"].sum() \
+            .sort_values(["event_type", "next_event_type"]) \
+            .reset_index(drop=True)
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        return out
+
+    partials = ds.map_batches(resalt, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None)
 
 
 US_PER_DAY = 86_400_000_000
