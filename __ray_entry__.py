@@ -225,6 +225,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean_funnel_by_source": lambda sf:
             F_dedup.corpus_clean_funnel_by_source(
                 _docs(sf), n_docs=_n_docs(sf)),
+        # new in r5: CDC-driven incremental clean — run 1's per-doc
+        # feature manifest (cached artifact over snapshot_old) lets
+        # run 2 re-derive features only for the recrawl delta; the
+        # oracle is the FROM-SCRATCH funnel over snapshot_new, so the
+        # hash gate proves incremental == from-scratch
+        "funnel_incremental": lambda sf:
+            F_dedup.corpus_clean_funnel_incremental(
+                F_text.snapshot_new(_docs(sf)),
+                F_dedup.ensure_incremental_manifest(sf)),
         "recrawl_delta": lambda sf: F_text.recrawl_delta(
             F_text.snapshot_old(_docs(sf)), F_text.snapshot_new(_docs(sf)),
             n_docs=_n_docs(sf)),
@@ -531,7 +540,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         hyp_pq = f"{missing}-knn-hyp.parquet"
         cen_pq = f"{missing}-knn-cen.parquet"
     _TRIM = "trim(text, ' \t\r\n\f\v')"
-    return {
+    out = {
         "extract_summary": f"""
             -- sequential-oracle twin of the distributed extraction:
             -- the artifacts are written by oracle.extractor one doc at
@@ -2506,3 +2515,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             ORDER BY s.s_suppkey
         """,
     }
+    # funnel_incremental's Ray side reuses run 1's manifest, but its
+    # ORACLE is simply the from-scratch funnel over the new snapshot:
+    # incremental == from-scratch is exactly the contract under test.
+    # Built by rewriting the corpus_clean_funnel SQL onto a snapshot
+    # CTE (documents minus the deleted residue class, text as-is).
+    out["funnel_incremental"] = out["corpus_clean_funnel"].replace(
+        "FROM documents",
+        "FROM snew").replace(
+        "WITH RECURSIVE",
+        "WITH RECURSIVE snew AS (SELECT doc_id, text, source "
+        "FROM documents WHERE doc_id % "
+        f"{F_text.SNAP_MOD} != {F_text.SNAP_DELETED_RESIDUE}),")
+    return out

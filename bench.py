@@ -145,6 +145,31 @@ def run_headline() -> dict:
     return out
 
 
+def run_canary(n_docs: int = 1000, min_sec: float = 2.0) -> dict:
+    """Single-core extraction canary: warm-loop docs/s of the pure
+    ``process_batch`` hot path in THIS process, no Ray — the host-drift
+    normalizer. The box has measured 25-40% per-core swings on
+    byte-identical code across rounds (BASELINE.md); dividing the
+    headline by the canary makes cross-round comparisons mechanical
+    instead of a footnote. One untimed pass warms the pattern banks;
+    timed passes repeat until ``min_sec`` has elapsed."""
+    from pdf_context_extractor_agent_ray.sources.synth_source import (
+        _docs_batch_from_keys)
+    from pdf_context_extractor_agent_ray.stages.extract import process_batch
+
+    batch = _docs_batch_from_keys(
+        [f"canary-{i:08d}" for i in range(n_docs)])
+    process_batch(batch)  # warm: compile banks, fault in code paths
+    done = 0
+    t0 = time.time()
+    while time.time() - t0 < min_sec:
+        process_batch(batch)
+        done += n_docs
+    sec = time.time() - t0
+    return {"docs_per_sec": round(done / sec, 1), "docs": done,
+            "sec": round(sec, 3)}
+
+
 def run_queries() -> dict[str, float]:
     import __ray_entry__ as e
     out: dict[str, float] = {}
@@ -186,6 +211,8 @@ def main() -> None:
     ctx.enable_progress_bars = False
     _filter_refbundle_warning()
 
+    # canary BEFORE the parallel phases (quietest moment in the run)
+    canary = None if os.environ.get("BENCH_NO_CANARY") else run_canary()
     headline = run_headline()
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
     ray.shutdown()
@@ -204,6 +231,15 @@ def main() -> None:
     }
     if "warmup_sec" in headline:
         row["warmup_sec"] = headline["warmup_sec"]
+    if canary is not None:
+        # host-drift normalization (r4 VERDICT item 7): the canary is
+        # this box's single-core hot-path docs/s RIGHT NOW, and
+        # normalized_headline = headline docs/s / canary docs/s is the
+        # host-independent "effective parallel cores" figure — compare
+        # THAT across rounds, not raw docs/s
+        row["single_core_docs_per_sec"] = canary["docs_per_sec"]
+        row["normalized_headline"] = round(
+            headline["docs_per_sec"] / canary["docs_per_sec"], 2)
     # the scaling-efficiency criterion is part of every round's record
     # (regressions in the >=0.8 bar must be machine-checkable). Default:
     # cleanest of 3 PAIRED trials on half-size levels (see run_scaling)
@@ -229,7 +265,9 @@ def main() -> None:
         pass
     compact = {k: row[k] for k in
                ("metric", "value", "unit", "sf", "num_cpus", "docs",
-                "docs_per_sec", "warmup", "warmup_sec", "timed_reps")
+                "docs_per_sec", "single_core_docs_per_sec",
+                "normalized_headline", "warmup", "warmup_sec",
+                "timed_reps")
                if k in row}
     if queries:
         compact["queries_n"] = len(queries)

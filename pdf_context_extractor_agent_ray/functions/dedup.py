@@ -349,11 +349,20 @@ def dup_clusters(ds, max_rounds: int = 16,
     Output: doc_id, cluster_id (min doc_id of the component; singleton
     docs are not listed — only docs that participate in some pair).
     """
+    pairs = lsh_candidate_pairs(ds, n_docs=n_docs).materialize()
+    return _clusters_from_pairs(pairs, max_rounds=max_rounds,
+                                small_graph_pairs=small_graph_pairs)
+
+
+def _clusters_from_pairs(pairs, max_rounds: int = 16,
+                         small_graph_pairs: int = SMALL_GRAPH_PAIRS):
+    """Connected components over a MATERIALIZED verified-pair Dataset —
+    the size-gated union-find / min-label-propagation core of
+    ``dup_clusters``, factored so pair sets built elsewhere (the
+    incremental funnel's memo-merged pairs) cluster identically."""
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 4))
     num_partitions = max(2, cpus // 2)
-
-    pairs = lsh_candidate_pairs(ds, n_docs=n_docs).materialize()
 
     if pairs.count() <= small_graph_pairs:
         # small-graph path: the pair set fits one process by the gate's
@@ -1615,7 +1624,7 @@ def _funnel_stage3(ds, ds3, n_near, decontam_broadcast_max,
         jm = surv_h.join(bench.map_batches(
             lambda t: pa.table({"bh": t["text_hash"]}),
             batch_format="pyarrow"), "inner",
-            num_partitions=max(2, cpus // 2),
+            num_partitions=_nparts(n_near, cpus),
             on=("text_hash",), right_on=("bh",))
         drops3 = jm.map_batches(
             lambda t: pa.table({"drop_id": t["doc_id"]}),
@@ -1788,3 +1797,856 @@ def corpus_clean_funnel_by_source(ds, n_docs: int | None = None,
     out["stage_idx"] = out["stage_idx"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["source", "stage_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental cleaning (CDC-driven funnel — the production recrawl loop)
+# ---------------------------------------------------------------------------
+
+# per-doc derived features the funnel consumes past stage 1, persisted
+# for the STAGE-1 SURVIVORS of each clean so the next run re-derives
+# them only for the survivor-delta (featuring the whole corpus would
+# out-work the from-scratch funnel on a dup-dense crawl, where
+# survivors are a tiny fraction — measured on the 100x replica soak)
+FUNNEL_MANIFEST_COLS = (
+    ["doc_id", "text_hash", "n_chars", "quality_keep"]
+    + [f"band_{b}" for b in range(LSH_BANDS)])
+INC_REBUILD_DELTA_FRAC_E6 = 500_000  # delta > 50% of corpus -> full rebuild
+
+
+def funnel_manifest_batch(batch: pa.Table) -> pa.Table:
+    """One doc's worth of every PER-DOC-PURE feature the funnel
+    consumes past stage 1: content fingerprint, normalized length
+    (keep-best ranking), quality-gate verdict (stage 4), and the LSH
+    band keys (stage 2 candidate generation). All are functions of the
+    doc's own text alone — exactly what makes them reusable across
+    crawls for unchanged docs."""
+    from .text import fingerprint_batch, quality_gate_batch
+
+    h = fingerprint_batch(batch)
+    norms = _norm(batch["text"])
+    q = quality_gate_batch(batch)
+    cols = {
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "text_hash": h["text_hash"],
+        "n_chars": pa.array([len(s) for s in norms], pa.int64()),
+        "quality_keep": q["keep"],
+    }
+    sigs = minhash_signatures_for(norms)
+    for b in range(LSH_BANDS):
+        cols[f"band_{b}"] = pa.array(
+            [_band_key(sig, b) for sig in sigs], pa.string())
+    return pa.table(cols)
+
+
+def _stage1_drops(hashed, n_rows: int,
+                  dup_group_broadcast_max: int = FUNNEL_DUP_GROUP_BROADCAST_MAX):
+    """Exact-dedup drop ids (non-min doc per fingerprint group) from a
+    (doc_id, text_hash) Dataset — the funnel's stage-1 contract at the
+    id level, size-gated exactly like ``_funnel_chain``: the sparse
+    duplicated-group map broadcasts below the gate (no second pass of
+    the hash rows through an exchange), hash-partitioned join above.
+    Returns a materialized ``drop_id`` Dataset."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    groups = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_copies"))
+    dup_groups = groups.map_batches(
+        lambda t: t.filter(pc.greater(t["n_copies"], 1))
+        .select(["text_hash", "keep_doc_id"]),
+        batch_format="pyarrow").materialize()
+
+    if dup_groups.count() <= dup_group_broadcast_max:
+        dmap = {r["text_hash"]: r["keep_doc_id"]
+                for r in dup_groups.take_all()}
+        ref = ray.put(dmap)
+
+        def exact_drops(batch: pa.Table) -> pa.Table:
+            dm = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.array([dm.get(h, -1)
+                             for h in batch["text_hash"].to_pylist()],
+                            np.int64)
+            return pa.table({"drop_id": pa.array(
+                ids[(keep >= 0) & (keep != ids)], pa.int64())})
+
+        return hashed.map_batches(exact_drops,
+                                  batch_format="pyarrow").materialize()
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    j = hashed.join(dup_groups, "inner",
+                    num_partitions=_nparts(n_rows, cpus),
+                    on=("text_hash",))
+    return j.map_batches(
+        lambda t: pa.table({"drop_id": t.filter(pc.not_equal(
+            t["doc_id"], t["keep_doc_id"]))["doc_id"]}),
+        batch_format="pyarrow").materialize()
+
+
+def write_funnel_manifest(ds, path: str, n_docs: int | None = None) -> int:
+    """Persist the incremental-cleaning manifest for a corpus:
+    ``{path}/hashes`` — (doc_id, text_hash) for EVERY doc (the CDC
+    detection side), and ``{path}/features`` — the full per-doc
+    feature rows for the corpus's STAGE-1 SURVIVORS only (the only
+    docs whose features any funnel stage ever reads; non-survivors die
+    on their hash). In production both passes fuse with the cleaning
+    run itself. Returns the featured-survivor row count."""
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from .text import fingerprint_batch
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    hashed = ds.map_batches(fingerprint_batch,
+                            batch_format="pyarrow").materialize()
+    hashed.write_parquet(f"{path}/hashes")
+    n_rows = hashed.count() if n_docs is None else n_docs
+    drops = _stage1_drops(hashed, n_rows)
+    _rows_except(ds, drops, SURVIVOR_BROADCAST_MAX) \
+        .map_batches(funnel_manifest_batch, batch_format="pyarrow") \
+        .write_parquet(f"{path}/features")
+    with open(f"{path}/_SUCCESS", "w"):
+        pass
+    return pads.dataset(f"{path}/features").count_rows()
+
+
+def corpus_clean_funnel_incremental(
+        new_ds, manifest_path: str, n_docs: int | None = None,
+        driver_max_docs: int = LSH_BROADCAST_MAX_DOCS,
+        rebuild_delta_frac_e6: int = INC_REBUILD_DELTA_FRAC_E6,
+        output_path: str | None = None,
+        output_manifest_path: str | None = None,
+        return_stats: bool = False):
+    """The cleaning funnel over a NEW crawl snapshot, reusing the
+    previous run's manifest so the expensive TEXT passes run only over
+    the recrawl delta:
+
+    - pass 1 (all new docs): content fingerprint — the CDC detection
+      itself (a crawler that ships change hints can skip even this);
+    - pass 2 (stage-1 SURVIVORS that are changed/added or absent from
+      the feature manifest, ONLY): the full feature derivation
+      (normalize, shingle, minhash bands, quality rules) —
+      survivor-driven, so a dup-dense crawl features at most what the
+      from-scratch funnel would shingle;
+    - pass 3 (sparse): normalized text for docs appearing in LSH
+      candidate pairs, fetched by id for exact Jaccard verification.
+
+    Every funnel STAGE runs at the id/feature level (hash-row groupby,
+    band-bucket grouping, union-find, integer ranking), so the result
+    is BIT-IDENTICAL to ``corpus_clean_funnel(new_ds)`` from scratch —
+    same keepers, same clusters, same winners, same gates (tested:
+    ``tests/test_funnel_incremental.py``; 500k-doc distributed soak in
+    SCALE.md) — while unchanged docs are never re-normalized,
+    re-shingled or re-scored.
+
+    A delta above ``rebuild_delta_frac_e6`` (default 50%) of the new
+    corpus means the manifest buys little; the run falls back to the
+    from-scratch funnel and says so in the stats (``mode``). Output:
+    the same 5-row (stage_idx, stage, n_docs) report; ``output_path``
+    writes the cleaned survivors as parquet, ``output_manifest_path``
+    writes the NEXT run's manifest (closing the production loop);
+    ``return_stats`` adds the delta/compute counters.
+
+    At-scale: below ``driver_max_docs`` the id-level folds run on the
+    driver (the LSH broadcast-gate pattern — band keys and hash rows
+    are ~100 B/doc); above it they run as the same Dataset exchanges
+    the from-scratch funnel uses, with the sparse delta/needed-id sets
+    riding the size-gated semi/anti-join helpers. Both the manifest
+    and the snapshot are partitioned parquet, so at 10^12 docs every
+    input streams.
+    """
+    import os
+
+    from .text import fingerprint_batch
+
+    if not os.path.exists(f"{manifest_path}/_SUCCESS"):
+        raise ValueError(
+            f"funnel manifest at {manifest_path} is missing or "
+            "incomplete — run write_funnel_manifest (or a prior "
+            "incremental clean with output_manifest_path) first")
+
+    n_new = new_ds.count() if n_docs is None else n_docs
+
+    # ---- pass 1: fingerprint the new crawl (CDC detection) ----
+    newh = new_ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
+        .materialize()
+
+    if n_new > driver_max_docs:
+        return _funnel_incremental_distributed(
+            new_ds, newh, manifest_path, n_new, rebuild_delta_frac_e6,
+            output_path, output_manifest_path, return_stats)
+
+    # ---- driver arm (id-level folds on the gated corpus) ----
+    import ray
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+
+    man_h = pads.dataset(f"{manifest_path}/hashes").to_table().to_pandas()
+    man_f = pads.dataset(f"{manifest_path}/features").to_table().to_pandas()
+    nh = pd.DataFrame(newh.take_all())
+
+    m = nh.merge(man_h, on="doc_id", how="left", suffixes=("", "_old"))
+    unchanged = m["text_hash_old"].notna() \
+        & (m["text_hash"] == m["text_hash_old"])
+    delta_ids = m.loc[~unchanged, "doc_id"].to_numpy(np.int64)
+    stats = {"mode": "incremental", "n_new": int(n_new),
+             "n_unchanged": int(unchanged.sum()),
+             "n_delta": int(len(delta_ids)),
+             "n_deleted": int(len(set(man_h["doc_id"])
+                              - set(nh["doc_id"]))),
+             "n_text_featured": 0, "n_text_verify_fetched": 0}
+
+    if n_new and len(delta_ids) * 1_000_000 > rebuild_delta_frac_e6 * n_new:
+        stats["mode"] = "full_rebuild"
+        report = corpus_clean_funnel(new_ds, n_docs=n_new,
+                                     output_path=output_path)
+        if output_manifest_path is not None:
+            write_funnel_manifest(new_ds, output_manifest_path,
+                                  n_docs=n_new)
+        stats["n_text_featured"] = int(n_new)
+        return (report, stats) if return_stats else report
+
+    # ---- stage 1: exact dedup from the hash rows alone ----
+    keep1 = nh.groupby("text_hash")["doc_id"].transform("min")
+    s1_ids = nh.loc[nh["doc_id"] == keep1, "doc_id"].to_numpy(np.int64)
+    n_exact = len(s1_ids)
+
+    # ---- pass 2: features for survivor-delta only ----
+    unchanged_ids = m.loc[unchanged, "doc_id"].to_numpy(np.int64)
+    reusable = man_f[man_f["doc_id"].isin(unchanged_ids)
+                     & man_f["doc_id"].isin(s1_ids)]
+    need = np.setdiff1d(s1_ids, reusable["doc_id"].to_numpy(np.int64))
+    if len(need):
+        nref = ray.put(pa.array(np.sort(need), pa.int64()))
+
+        def need_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(pc.cast(batch["doc_id"], pa.int64()),
+                         value_set=ray.get(nref)))
+
+        computed = pd.DataFrame(
+            new_ds.map_batches(need_only, batch_format="pyarrow")
+            .map_batches(funnel_manifest_batch, batch_format="pyarrow")
+            .take_all(), columns=FUNNEL_MANIFEST_COLS)
+    else:
+        computed = pd.DataFrame(
+            {c: pd.Series([], dtype="object")
+             for c in FUNNEL_MANIFEST_COLS})
+    stats["n_text_featured"] = len(computed)
+    feats1 = pd.concat([reusable[list(FUNNEL_MANIFEST_COLS)], computed],
+                       ignore_index=True).astype({
+                           "doc_id": "int64", "n_chars": "int64",
+                           "quality_keep": "int64"})
+
+    # ---- stage 2: near-dup keep-best over stage-1 survivors ----
+    from collections import defaultdict
+    buckets: dict[tuple[int, str], list[int]] = defaultdict(list)
+    ids1 = feats1["doc_id"].to_numpy(np.int64)
+    for b in range(LSH_BANDS):
+        for d, key in zip(ids1.tolist(), feats1[f"band_{b}"].tolist()):
+            buckets[(b, key)].append(d)
+    cand: set[tuple[int, int]] = set()
+    for docs in buckets.values():
+        if len(docs) >= 2:
+            cand.update(_candidate_pairs(sorted(docs)))
+
+    verified: list[tuple[int, int, int]] = []
+    if cand:
+        # ---- pass 3: fetch norm text ONLY for candidate members ----
+        need_t = np.array(sorted({d for p in cand for d in p}), np.int64)
+        tref = ray.put(pa.array(need_t, pa.int64()))
+
+        def need_norm(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(
+                pc.is_in(pc.cast(batch["doc_id"], pa.int64()),
+                         value_set=ray.get(tref)))
+            return pa.table({
+                "doc_id": pc.cast(sel["doc_id"], pa.int64()),
+                "norm_text": pa.array(_norm(sel["text"]), pa.string())})
+
+        texts = {r["doc_id"]: r["norm_text"] for r in new_ds.map_batches(
+            need_norm, batch_format="pyarrow").take_all()}
+        stats["n_text_verify_fetched"] = len(texts)
+        for a, b in sorted(cand):
+            jac = _jaccard_e6(texts[a], texts[b])
+            if jac >= JACCARD_THRESHOLD_E6:
+                verified.append((a, b, jac))
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in verified:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    cid = {d: find(d) for d in parent}
+    clustered = feats1[feats1["doc_id"].isin(cid)].copy()
+    clustered["cluster_id"] = clustered["doc_id"].map(cid)
+    clustered = clustered.sort_values(
+        ["cluster_id", "n_chars", "doc_id"],
+        ascending=[True, False, True], kind="stable")
+    best = set(clustered.groupby("cluster_id", sort=False)
+               .head(1)["doc_id"])
+    drops2 = set(cid) - best
+    s2 = feats1[~feats1["doc_id"].isin(drops2)]
+    n_near = len(s2)
+
+    # ---- stage 3: decontaminate vs the RAW new-corpus benchmark ----
+    from .text import DECONTAM_MODULUS
+    bench = set(nh.loc[nh["doc_id"] % DECONTAM_MODULUS == 0,
+                       "text_hash"])
+    s3 = s2[~s2["text_hash"].isin(bench)]
+    n_decon = len(s3)
+
+    # ---- stage 4: quality gate (manifest verdicts) ----
+    n_quality = int(s3["quality_keep"].sum())
+
+    if output_path is not None:
+        import ray.data as rd
+        surv = s3.loc[s3["quality_keep"] == 1, "doc_id"] \
+            .to_numpy(np.int64)
+        _write_survivor_rows(new_ds, rd.from_arrow(pa.table(
+            {"drop_id": pa.array(np.sort(surv), pa.int64())})),
+            output_path)
+    if output_manifest_path is not None:
+        _write_manifest_frames(nh, feats1, output_manifest_path)
+
+    report = pd.DataFrame({
+        "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
+        "stage": list(FUNNEL_STAGES),
+        "n_docs": pd.Series([n_new, n_exact, n_near, n_decon, n_quality],
+                            dtype="int64")})
+    return (report, stats) if return_stats else report
+
+
+def _nparts(n_rows: int, cpus: int, rows_per_partition: int = 65_536) -> int:
+    """Join partition count sized DOWN by the SPARSE side's rows: a
+    hash-join partition that receives zero rows has no schema to key
+    (pyarrow raises 'No match ... on left side'), and join aggregators
+    are actors whose startup is pure tax on small inputs (CLAUDE.md
+    join rule)."""
+    return max(2, min(cpus // 2, -(-max(n_rows, 1) // rows_per_partition)))
+
+
+def _rows_in(ds, ids, broadcast_max: int):
+    """Row-preserving size-gated SEMI-join twin of ``_rows_except``:
+    every row of ``ds`` whose ``doc_id`` IS in ``ids`` (``drop_id``
+    rows — the column name is shared so both helpers consume the same
+    id streams). Broadcast ``is_in`` below the gate, inner hash join
+    above."""
+    import ray
+
+    ids = ids.materialize()
+    n_ids = ids.count()
+    if n_ids <= broadcast_max:
+        id_list = [r["drop_id"] for r in ids.take_all()]
+        ref = ray.put(pa.array(sorted(id_list), pa.int64()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(pc.cast(batch["doc_id"], pa.int64()),
+                         value_set=ray.get(ref)))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    marked = ids.map_batches(
+        lambda b: pa.table({"drop_id": b["drop_id"]}),
+        batch_format="pyarrow")
+    j = ds.join(marked, "inner", num_partitions=_nparts(n_ids, cpus),
+                on=("doc_id",), right_on=("drop_id",))
+    keep_cols = [c for c in (ds.schema().names or []) if c != "drop_id"]
+    return j.select_columns(keep_cols)
+
+
+def _ids_only(ds):
+    return ds.map_batches(
+        lambda b: pa.table({"drop_id": pc.cast(b["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
+                                    n_new: int, rebuild_delta_frac_e6: int,
+                                    output_path, output_manifest_path,
+                                    return_stats: bool):
+    """Above-gate arm of ``corpus_clean_funnel_incremental``: the same
+    survivor-driven stages as the driver arm, expressed as the Dataset
+    exchanges the from-scratch funnel uses. Text passes stay
+    delta-bounded (the sparse needed-id sets ride the size-gated
+    semi/anti-join helpers); features for reusable survivors stream
+    from the manifest parquet."""
+    import ray
+    import ray.data as rd
+
+    from .util import bucket_count, bucket_hash, strip_schema_metadata
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    man_h = strip_schema_metadata(
+        rd.read_parquet(f"{manifest_path}/hashes"))
+    man_f = strip_schema_metadata(
+        rd.read_parquet(f"{manifest_path}/features"))
+
+    # ---- classify new vs manifest hashes ----
+    # Only two things are needed downstream: the CHANGED id set (stale
+    # manifest features to exclude — 'deleted' rows fall out of the
+    # survivor semi-join on their own) and the delta counters. Below
+    # the broadcast gate the old hash map ships once via ray.put and
+    # classification is a pure map over the new hash rows — no
+    # exchange at all; above it, one co-bucketed (doc_id, hash, side)
+    # fold does the same.
+    import pyarrow.dataset as pads
+    n_old = pads.dataset(f"{manifest_path}/hashes").count_rows()
+
+    if n_old <= SURVIVOR_BROADCAST_MAX:
+        oh = pads.dataset(f"{manifest_path}/hashes").to_table()
+        href = ray.put(dict(zip(
+            oh["doc_id"].to_pylist(), oh["text_hash"].to_pylist())))
+
+        def classify_map(batch: pa.Table) -> pa.Table:
+            # changed-id rows plus ONE counter row (drop_id = -1)
+            om = ray.get(href)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hs = batch["text_hash"].to_pylist()
+            old = [om.get(int(i)) for i in ids]
+            changed = np.array([o is not None and o != h
+                                for o, h in zip(old, hs)], bool)
+            n_ch = int(changed.sum())
+            n_ad = int(sum(o is None for o in old))
+            z = np.zeros(n_ch, np.int64)
+            return pa.table({
+                "drop_id": pa.array(np.r_[ids[changed], [-1]], pa.int64()),
+                "n_changed": pa.array(np.r_[z, [n_ch]], pa.int64()),
+                "n_added": pa.array(np.r_[z, [n_ad]], pa.int64()),
+            })
+
+        cls = newh.map_batches(classify_map,
+                               batch_format="pyarrow").materialize()
+        n_changed = int(cls.sum("n_changed") or 0)
+        n_added = int(cls.sum("n_added") or 0)
+        changed_ids = cls.map_batches(
+            lambda b: pa.table({"drop_id": b.filter(pc.greater_equal(
+                b["drop_id"], 0))["drop_id"]}),
+            batch_format="pyarrow").materialize()
+        n_delta = n_changed + n_added
+        n_deleted = n_old - (n_new - n_delta) - n_changed
+        old_delta_ids = changed_ids  # deleted ids never reach s1
+    else:
+        num_buckets = bucket_count(n_new, SNAP_INC_ROWS_PER_BUCKET)
+
+        def side_rows(side: int):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = pc.cast(batch["doc_id"], pa.int64())
+                t = pa.table({
+                    "doc_id": ids,
+                    "text_hash": batch["text_hash"],
+                    "side": pa.array(
+                        np.full(len(batch), side, np.int64))})
+                return t.append_column("bucket", pa.array(bucket_hash(
+                    ids.to_numpy(zero_copy_only=False), num_buckets)))
+            return fn
+
+        both = man_h.map_batches(side_rows(0), batch_format="pyarrow") \
+            .union(newh.map_batches(side_rows(1), batch_format="pyarrow"))
+
+        def classify_fold(df: pd.DataFrame) -> pd.DataFrame:
+            o = df[df["side"] == 0]
+            n = df[df["side"] == 1]
+            m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"))
+            deleted = m["text_hash_n"].isna()
+            unchanged = ~deleted & m["text_hash_o"].notna() \
+                & (m["text_hash_o"] == m["text_hash_n"])
+            new_delta = ~deleted & ~unchanged          # changed + added
+            old_delta = m["text_hash_o"].notna() & ~unchanged
+            return pd.DataFrame({
+                "doc_id": m["doc_id"].astype("int64"),
+                "k_new_delta": new_delta.astype("int64"),
+                "k_old_delta": old_delta.astype("int64"),
+                "k_deleted": deleted.astype("int64")})
+
+        cls = both.groupby("bucket").map_groups(
+            classify_fold, batch_format="pandas").materialize()
+
+        old_delta_ids = cls.map_batches(
+            lambda b: pa.table({"drop_id": b.filter(
+                pc.equal(b["k_old_delta"], 1))["doc_id"]}),
+            batch_format="pyarrow").materialize()
+        n_delta = int(cls.sum("k_new_delta") or 0)
+        n_deleted = int(cls.sum("k_deleted") or 0)
+
+    stats = {"mode": "incremental", "n_new": int(n_new),
+             "n_delta": int(n_delta),
+             "n_unchanged": int(n_new - n_delta),
+             "n_deleted": int(n_deleted),
+             "n_text_featured": 0, "n_text_verify_fetched": 0}
+
+    if n_new and n_delta * 1_000_000 > rebuild_delta_frac_e6 * n_new:
+        stats["mode"] = "full_rebuild"
+        report = corpus_clean_funnel(new_ds, n_docs=n_new,
+                                     output_path=output_path)
+        if output_manifest_path is not None:
+            write_funnel_manifest(new_ds, output_manifest_path,
+                                  n_docs=n_new)
+        stats["n_text_featured"] = int(n_new)
+        return (report, stats) if return_stats else report
+
+    # ---- stage 1: exact dedup from the hash rows alone ----
+    drops1 = _stage1_drops(newh, n_new)
+    n_exact = n_new - drops1.count()
+    s1_ids = _ids_only(_rows_except(newh, drops1,
+                                    SURVIVOR_BROADCAST_MAX)).materialize()
+
+    # ---- pass 2: features for survivor-delta only ----
+    # reusable = manifest features minus stale (changed) rows, semi-
+    # joined onto the survivors (deleted docs fall out here — they are
+    # not survivors of the new corpus)
+    man_ok = _rows_except(man_f, old_delta_ids, SURVIVOR_BROADCAST_MAX)
+    reusable = _rows_in(man_ok, s1_ids, SURVIVOR_BROADCAST_MAX) \
+        .map_batches(lambda b: b.select(FUNNEL_MANIFEST_COLS),
+                     batch_format="pyarrow").materialize()
+    s1_id_rows = s1_ids.map_batches(
+        lambda b: pa.table({"doc_id": b["drop_id"]}),
+        batch_format="pyarrow")
+    need_ids = _ids_only(_rows_except(s1_id_rows, _ids_only(reusable),
+                                      SURVIVOR_BROADCAST_MAX))
+    computed = _rows_in(new_ds, need_ids, SURVIVOR_BROADCAST_MAX) \
+        .map_batches(funnel_manifest_batch,
+                     batch_format="pyarrow").materialize()
+    stats["n_text_featured"] = computed.count()
+    feats1 = reusable.union(computed).materialize()
+
+    # ---- stage 2: candidates from bands, verify by targeted fetch ----
+    from ray.data.aggregate import Count
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        parts = []
+        for b in range(LSH_BANDS):
+            parts.append(pa.table({
+                "doc_id": batch["doc_id"],
+                "band": pa.array(np.full(n, b, np.int32)),
+                "bucket": batch[f"band_{b}"]}))
+        return pa.concat_tables(parts)
+
+    def bucket_candidates(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
+        if len(df) < 2:
+            return empty
+        pairs = _candidate_pairs(sorted(df["doc_id"].tolist()))
+        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) \
+            if pairs else empty
+
+    cand = feats1.map_batches(explode_bands, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(
+            bucket_candidates, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Count(alias_name="_n_bands")) \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+
+    if cand.count() == 0:
+        pairs = rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_e6": pa.array([], pa.int64())})).materialize()
+        return _funnel_incremental_tail(
+            new_ds, newh, feats1, pairs, n_new, n_exact, stats,
+            output_path, output_manifest_path, return_stats)
+
+    members = cand.map_batches(
+        lambda b: pa.table({"drop_id": pa.concat_arrays(
+            [pc.cast(b["doc_a"], pa.int64()).combine_chunks(),
+             pc.cast(b["doc_b"], pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow") \
+        .groupby("drop_id").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+
+    texts = _rows_in(new_ds, members, SURVIVOR_BROADCAST_MAX) \
+        .map_batches(lambda b: pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "norm_text": pa.array(_norm(b["text"]), pa.string())}),
+            batch_format="pyarrow").materialize()
+    n_texts = texts.count()
+    stats["n_text_verify_fetched"] = int(n_texts)
+
+    if n_texts <= LSH_BROADCAST_MAX_DOCS:
+        # candidate members are the sparse near-dup fraction: one
+        # ray.put of their norm texts, verify as a broadcast lookup —
+        # ALSO dodges the empty-hash-join-partition hazard a sparse
+        # left side creates (an empty partition has no schema to key)
+        tref = ray.put({r["doc_id"]: r["norm_text"]
+                        for r in texts.take_all()})
+
+        def verify_bcast(batch: pa.Table) -> pa.Table:
+            tx = ray.get(tref)
+            oa, ob, oj = [], [], []
+            for a, b in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist()):
+                jac = _jaccard_e6(tx[a], tx[b])
+                if jac >= JACCARD_THRESHOLD_E6:
+                    oa.append(a)
+                    ob.append(b)
+                    oj.append(jac)
+            return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                             "doc_b": pa.array(ob, pa.int64()),
+                             "jaccard_e6": pa.array(oj, pa.int64())})
+
+        pairs = cand.map_batches(verify_bcast,
+                                 batch_format="pyarrow").materialize()
+        return _funnel_incremental_tail(
+            new_ds, newh, feats1, pairs, n_new, n_exact, stats,
+            output_path, output_manifest_path, return_stats)
+
+    ta = texts.map_batches(
+        lambda b: pa.table({"_ka": b["doc_id"], "text_a": b["norm_text"]}),
+        batch_format="pyarrow")
+    tb = texts.map_batches(
+        lambda b: pa.table({"_kb": b["doc_id"], "text_b": b["norm_text"]}),
+        batch_format="pyarrow")
+    npart = _nparts(cand.count(), cpus)
+    jp = cand.join(ta, "inner", num_partitions=npart,
+                   on=("doc_a",), right_on=("_ka",)) \
+        .select_columns(["doc_a", "doc_b", "text_a"])
+    jp = jp.join(tb, "inner", num_partitions=npart,
+                 on=("doc_b",), right_on=("_kb",)) \
+        .select_columns(["doc_a", "doc_b", "text_a", "text_b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        oa, ob, oj = [], [], []
+        for a, b, na, nb in zip(batch["doc_a"].to_pylist(),
+                                batch["doc_b"].to_pylist(),
+                                batch["text_a"].to_pylist(),
+                                batch["text_b"].to_pylist()):
+            jac = _jaccard_e6(na, nb)
+            if jac >= JACCARD_THRESHOLD_E6:
+                oa.append(a)
+                ob.append(b)
+                oj.append(jac)
+        return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                         "doc_b": pa.array(ob, pa.int64()),
+                         "jaccard_e6": pa.array(oj, pa.int64())})
+
+    pairs = jp.map_batches(verify, batch_format="pyarrow").materialize()
+    return _funnel_incremental_tail(
+        new_ds, newh, feats1, pairs, n_new, n_exact, stats,
+        output_path, output_manifest_path, return_stats)
+
+
+def _funnel_incremental_tail(new_ds, newh, feats1, pairs, n_new: int,
+                             n_exact: int, stats: dict,
+                             output_path, output_manifest_path,
+                             return_stats: bool):
+    """Stages 2b-4 of the distributed incremental arm: cluster the
+    verified pairs, keep-best on manifest lengths, decontaminate,
+    quality-count, write outputs, report."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    clusters = _clusters_from_pairs(pairs).materialize()
+
+    if clusters.count() == 0:
+        return _funnel_incremental_finish(
+            new_ds, newh, feats1, n_new, n_exact, n_exact, feats1,
+            stats, output_path, output_manifest_path, return_stats)
+
+    from ray.data.aggregate import Max
+    lens = feats1.map_batches(
+        lambda b: pa.table({"_kl": b["doc_id"], "n_chars": b["n_chars"]}),
+        batch_format="pyarrow")
+    jc = clusters.join(lens, "inner",
+                       num_partitions=_nparts(clusters.count(), cpus),
+                       on=("doc_id",), right_on=("_kl",))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False)
+        if len(ids) and (int(ids.max()) >= KEEP_BEST_ID_SHIFT
+                         or int(ids.min()) < 0
+                         or int(nc.max()) >= (1 << 23)):
+            raise ValueError(
+                "incremental keep-best order-embedding overflow: requires "
+                "0 <= doc_id < 2^40 and n_chars < 2^23")
+        key = nc * KEEP_BEST_ID_SHIFT + (KEEP_BEST_ID_SHIFT - 1 - ids)
+        return pa.table({"cluster_id": batch["cluster_id"],
+                         "doc_id": batch["doc_id"],
+                         "key": pa.array(key, pa.int64())})
+
+    keyed = jc.map_batches(encode, batch_format="pyarrow").materialize()
+    best = keyed.groupby("cluster_id").aggregate(
+        Max("key", alias_name="best_key"))
+    j2 = keyed.join(best, "inner",
+                    num_partitions=_nparts(keyed.count(), cpus),
+                    on=("cluster_id",))
+    drops2 = j2.map_batches(
+        lambda b: pa.table({"drop_id": b.filter(pc.not_equal(
+            b["key"], b["best_key"]))["doc_id"]}),
+        batch_format="pyarrow").materialize()
+    n_near = n_exact - drops2.count()
+    s2 = _rows_except(feats1, drops2, SURVIVOR_BROADCAST_MAX)
+    return _funnel_incremental_finish(
+        new_ds, newh, feats1, n_new, n_exact, n_near, s2, stats,
+        output_path, output_manifest_path, return_stats)
+
+
+def _funnel_incremental_finish(new_ds, newh, feats1, n_new: int,
+                               n_exact: int, n_near: int, s2,
+                               stats: dict, output_path,
+                               output_manifest_path,
+                               return_stats: bool):
+    """Stages 3-4 of the distributed incremental arm (decontaminate vs
+    the RAW new-corpus benchmark — from the hash rows, which cover
+    every new doc — then the quality count), outputs, and the 5-row
+    report."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .text import DECONTAM_MODULUS
+    from .util import finish_grouped
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+
+    bench = newh.map_batches(
+        lambda b: pa.table({"text_hash": pc.unique(b.filter(pa.array(
+            b["doc_id"].to_numpy(zero_copy_only=False)
+            % DECONTAM_MODULUS == 0))["text_hash"].combine_chunks())}),
+        batch_format="pyarrow") \
+        .groupby("text_hash").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+    jm = s2.map_batches(
+        lambda b: b.select(["doc_id", "text_hash", "quality_keep"]),
+        batch_format="pyarrow") \
+        .join(bench.map_batches(
+            lambda t: pa.table({"bh": t["text_hash"]}),
+            batch_format="pyarrow"), "inner",
+            num_partitions=_nparts(n_near, cpus),
+            on=("text_hash",), right_on=("bh",))
+    drops3 = jm.map_batches(
+        lambda t: pa.table({"drop_id": t["doc_id"]}),
+        batch_format="pyarrow").materialize()
+    n_decon = n_near - drops3.count()
+    s3 = _rows_except(s2, drops3, SURVIVOR_BROADCAST_MAX).materialize()
+
+    def q_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "n": pa.array(
+                             [int(pc.sum(b["quality_keep"]).as_py() or 0)],
+                             pa.int64())})
+
+    rows = finish_grouped(
+        s3.map_batches(q_partial, batch_format="pyarrow"), ["k"]) \
+        .take_all()
+    n_quality = sum(r["n"] for r in rows)
+
+    if output_path is not None:
+        surv_ids = s3.map_batches(
+            lambda b: pa.table({"drop_id": b.filter(pc.equal(
+                b["quality_keep"], 1))["doc_id"]}),
+            batch_format="pyarrow")
+        _write_survivor_rows(new_ds, surv_ids, output_path)
+    if output_manifest_path is not None:
+        _write_manifest_parts(newh, feats1, output_manifest_path)
+
+    report = pd.DataFrame({
+        "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
+        "stage": list(FUNNEL_STAGES),
+        "n_docs": pd.Series([n_new, n_exact, n_near, n_decon, n_quality],
+                            dtype="int64")})
+    return (report, stats) if return_stats else report
+
+
+SNAP_INC_ROWS_PER_BUCKET = 1_000_000
+
+
+def _write_survivor_rows(new_ds, surv_ids, output_path: str) -> None:
+    """Write the cleaned corpus (all columns of the surviving new-crawl
+    rows) as partitioned parquet — one id-filtered pass over the new
+    snapshot, the same write the from-scratch funnel's production mode
+    does."""
+    import os
+    import shutil
+
+    if os.path.exists(output_path):
+        shutil.rmtree(output_path)
+    _rows_in(new_ds, surv_ids, SURVIVOR_BROADCAST_MAX) \
+        .write_parquet(output_path)
+    with open(f"{output_path}/_SUCCESS", "w"):
+        pass
+
+
+def _write_manifest_parts(newh, feats1, path: str) -> None:
+    """Persist hash + survivor-feature Datasets as the NEXT run's
+    manifest."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    newh.write_parquet(f"{path}/hashes")
+    feats1.write_parquet(f"{path}/features")
+    with open(f"{path}/_SUCCESS", "w"):
+        pass
+
+
+def _write_manifest_frames(nh: pd.DataFrame, feats1: pd.DataFrame,
+                           path: str) -> None:
+    """Driver-arm twin of ``_write_manifest_parts`` for pandas
+    frames."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .util import table_from_pandas
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(f"{path}/hashes")
+    os.makedirs(f"{path}/features")
+    pq.write_table(table_from_pandas(nh[["doc_id", "text_hash"]]),
+                   f"{path}/hashes/part-0.parquet")
+    pq.write_table(table_from_pandas(feats1[list(FUNNEL_MANIFEST_COLS)]),
+                   f"{path}/features/part-0.parquet")
+    with open(f"{path}/_SUCCESS", "w"):
+        pass
+
+
+def ensure_incremental_manifest(sf_dir: str) -> str:
+    """Versioned /tmp manifest artifact backing the ``funnel_incremental``
+    driver query: run 1's manifest over the simulated PREVIOUS crawl
+    (``text.snapshot_old``), cached keyed on this module's + text.py's
+    bytes so any engine change auto-invalidates (the
+    ``ensure_knn_artifacts`` pattern). Needs a live Ray session (the
+    driver has one when queries run)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from . import text as _text_mod
+    from .text import snapshot_old
+    from .util import parquet_num_rows, strip_schema_metadata
+
+    with open(__file__, "rb") as f:
+        code = f.read()
+    with open(_text_mod.__file__, "rb") as f:
+        code += f.read()
+    key = hashlib.md5(
+        code + os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = f"/tmp/graft_funnel_inc/{key}/manifest"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ds = strip_schema_metadata(
+            rd.read_parquet(f"{sf_dir}/documents.parquet"))
+        write_funnel_manifest(snapshot_old(ds), path)
+    return path

@@ -190,6 +190,39 @@ def check(reps: int) -> int:
             failures += 1
             print("expected:\n", expect, "\ngot:\n", big)
 
+    if want("funnel_incremental"):
+        # r5: the CDC loop at 500k docs, distributed arm (above the
+        # 200k driver gate): run 1 manifests snapshot_old, run 2
+        # cleans snapshot_new incrementally and must equal the
+        # from-scratch funnel report while featuring only the delta
+        from pdf_context_extractor_agent_ray.functions.dedup import (
+            corpus_clean_funnel_incremental, write_funnel_manifest)
+        from pdf_context_extractor_agent_ray.functions.text import (
+            snapshot_new, snapshot_old)
+
+        man = "/tmp/graft_soak_inc_manifest"
+        t0 = time.time()
+        write_funnel_manifest(snapshot_old(docs(OUT)), man)
+        t_man = time.time() - t0
+        t0 = time.time()
+        scratch = corpus_clean_funnel(snapshot_new(docs(OUT)))
+        t_scratch = time.time() - t0
+        t0 = time.time()
+        rep, st = corpus_clean_funnel_incremental(
+            snapshot_new(docs(OUT)), man, return_stats=True)
+        t_inc = time.time() - t0
+        ok = rep.equals(scratch) and st["mode"] == "incremental" \
+            and st["n_text_featured"] <= st["n_delta"] < st["n_new"]
+        print(f"funnel_incremental: manifest {t_man:.1f} s, scratch "
+              f"{t_scratch:.1f} s, incremental {t_inc:.1f} s  "
+              f"delta={st['n_delta']}/{st['n_new']} "
+              f"verify_fetch={st['n_text_verify_fetched']}  "
+              f"{'EXACT (== from-scratch)' if ok else 'MISMATCH'}",
+              flush=True)
+        if not ok:
+            failures += 1
+            print("expected:\n", scratch, "\ngot:\n", rep, "\n", st)
+
     if want("lsh_recall_report"):
         # r5: the exact side is BUDGETED. On a dup-dense corpus the
         # guard must raise with the projected pair-partial count in
