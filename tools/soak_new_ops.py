@@ -32,9 +32,9 @@ if _REPO not in sys.path:
 os.environ.setdefault("PYTHONPATH", _REPO)
 
 SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# SOAK_OUT: alternate replica dir for reduced-replication runs (ops
-# whose spill footprint exceeds this box's disk at 100x, e.g.
-# part_rank's 4 edge exchanges — see SCALE.md)
+# SOAK_OUT: alternate replica dir for reduced-replication runs
+# (r5: no op needs one anymore — part_rank's per-bucket edge index
+# removed the 100x spill; see SCALE.md)
 OUT = os.environ.get("SOAK_OUT", "/tmp/graft_soak_r2")
 
 # table -> columns that shift per replica -> the key DOMAIN they
@@ -276,9 +276,9 @@ def check(reps: int) -> int:
                        if k in only.split(",")}
     skip = os.environ.get("SOAK_SKIP", "")
     if skip:
-        # e.g. part_rank at the 100x default corpus: its per-iteration
-        # edge sorts spill past this box's disk (SCALE.md) — run it
-        # separately at SOAK_OUT=<20x dir>
+        # (r5: part_rank no longer needs skipping — the per-bucket
+        # edge index removed the per-iteration edge sort, and the
+        # 100x soak completes in ~41 s; SCALE.md)
         OPS = {k: v for k, v in OPS.items() if k not in skip.split(",")}
         LISTING_OPS = {k: v for k, v in LISTING_OPS.items()
                        if k not in skip.split(",")}
