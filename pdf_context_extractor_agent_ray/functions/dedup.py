@@ -1900,6 +1900,10 @@ def write_funnel_manifest(ds, path: str, n_docs: int | None = None) -> int:
 
     from .text import fingerprint_batch
 
+    import ray.data as rd
+
+    from .util import strip_schema_metadata
+
     if os.path.exists(path):
         shutil.rmtree(path)
     hashed = ds.map_batches(fingerprint_batch,
@@ -1910,6 +1914,13 @@ def write_funnel_manifest(ds, path: str, n_docs: int | None = None) -> int:
     _rows_except(ds, drops, SURVIVOR_BROADCAST_MAX) \
         .map_batches(funnel_manifest_batch, batch_format="pyarrow") \
         .write_parquet(f"{path}/features")
+    # the verified-pair memo: ALL candidates over the survivor
+    # features with their exact Jaccard (pass AND fail), so the next
+    # incremental run re-verifies only delta-involved pairs
+    feats = strip_schema_metadata(
+        rd.read_parquet(f"{path}/features")).materialize()
+    _verified_candidates(feats, ds, None, set(), {}) \
+        .write_parquet(f"{path}/pairs")
     with open(f"{path}/_SUCCESS", "w"):
         pass
     return pads.dataset(f"{path}/features").count_rows()
@@ -1999,7 +2010,8 @@ def corpus_clean_funnel_incremental(
              "n_delta": int(len(delta_ids)),
              "n_deleted": int(len(set(man_h["doc_id"])
                               - set(nh["doc_id"]))),
-             "n_text_featured": 0, "n_text_verify_fetched": 0}
+             "n_text_featured": 0, "n_text_verify_fetched": 0,
+             "n_pair_memo_hits": 0}
 
     if n_new and len(delta_ids) * 1_000_000 > rebuild_delta_frac_e6 * n_new:
         stats["mode"] = "full_rebuild"
@@ -2055,10 +2067,24 @@ def corpus_clean_funnel_incremental(
         if len(docs) >= 2:
             cand.update(_candidate_pairs(sorted(docs)))
 
-    verified: list[tuple[int, int, int]] = []
-    if cand:
-        # ---- pass 3: fetch norm text ONLY for candidate members ----
-        need_t = np.array(sorted({d for p in cand for d in p}), np.int64)
+    # memoized verification: prior-run jaccards apply to any pair
+    # whose BOTH texts are unchanged (includes failed verifications,
+    # so dup-free candidate collisions never re-fetch either)
+    memo = _load_pair_memo(manifest_path)
+    delta_set = set(delta_ids.tolist())
+    all_pairs: list[tuple[int, int, int]] = []  # next run's memo
+    fetch_pairs: list[tuple[int, int]] = []
+    for a, b in sorted(cand):
+        j = memo.get((a, b)) if memo else None
+        if j is not None and a not in delta_set and b not in delta_set:
+            all_pairs.append((a, b, j))
+        else:
+            fetch_pairs.append((a, b))
+    stats["n_pair_memo_hits"] = len(all_pairs)
+    if fetch_pairs:
+        # ---- pass 3: fetch norm text ONLY for memo-miss members ----
+        need_t = np.array(sorted({d for p in fetch_pairs for d in p}),
+                          np.int64)
         tref = ray.put(pa.array(need_t, pa.int64()))
 
         def need_norm(batch: pa.Table) -> pa.Table:
@@ -2072,10 +2098,10 @@ def corpus_clean_funnel_incremental(
         texts = {r["doc_id"]: r["norm_text"] for r in new_ds.map_batches(
             need_norm, batch_format="pyarrow").take_all()}
         stats["n_text_verify_fetched"] = len(texts)
-        for a, b in sorted(cand):
-            jac = _jaccard_e6(texts[a], texts[b])
-            if jac >= JACCARD_THRESHOLD_E6:
-                verified.append((a, b, jac))
+        for a, b in fetch_pairs:
+            all_pairs.append((a, b, _jaccard_e6(texts[a], texts[b])))
+    verified = [(a, b, j) for a, b, j in all_pairs
+                if j >= JACCARD_THRESHOLD_E6]
 
     parent: dict[int, int] = {}
 
@@ -2122,7 +2148,10 @@ def corpus_clean_funnel_incremental(
             {"drop_id": pa.array(np.sort(surv), pa.int64())})),
             output_path)
     if output_manifest_path is not None:
-        _write_manifest_frames(nh, feats1, output_manifest_path)
+        pairs_df = pd.DataFrame(all_pairs,
+                                columns=["doc_a", "doc_b", "jaccard_e6"])
+        _write_manifest_frames(nh, feats1, pairs_df,
+                               output_manifest_path)
 
     report = pd.DataFrame({
         "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
@@ -2290,7 +2319,8 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
              "n_delta": int(n_delta),
              "n_unchanged": int(n_new - n_delta),
              "n_deleted": int(n_deleted),
-             "n_text_featured": 0, "n_text_verify_fetched": 0}
+             "n_text_featured": 0, "n_text_verify_fetched": 0,
+             "n_pair_memo_hits": 0}
 
     if n_new and n_delta * 1_000_000 > rebuild_delta_frac_e6 * n_new:
         stats["mode"] = "full_rebuild"
@@ -2327,8 +2357,59 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
     stats["n_text_featured"] = computed.count()
     feats1 = reusable.union(computed).materialize()
 
-    # ---- stage 2: candidates from bands, verify by targeted fetch ----
+    # ---- stage 2: candidates + memoized exact verify ----
+    memo = _load_pair_memo(manifest_path)
+    bad: set = set()
+    if memo is not None:
+        if old_delta_ids.count() <= SURVIVOR_BROADCAST_MAX:
+            bad = {r["drop_id"] for r in old_delta_ids.take_all()}
+        else:
+            memo = None  # validity set too large to broadcast
+    verified = _verified_candidates(feats1, new_ds, memo, bad, stats)
+    pairs = verified.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["jaccard_e6"], pa.scalar(JACCARD_THRESHOLD_E6, pa.int64()))),
+        batch_format="pyarrow").materialize()
+    return _funnel_incremental_tail(
+        new_ds, newh, feats1, verified, pairs, n_new, n_exact, stats,
+        output_path, output_manifest_path, return_stats)
+
+
+PAIR_MEMO_MAX_PAIRS = 10_000_000  # memo loads driver-side below this
+
+
+def _load_pair_memo(manifest_path: str) -> dict | None:
+    """The prior run's verified-candidate memo {(doc_a, doc_b):
+    jaccard_e6} — includes FAILED verifications so dup-free candidate
+    collisions are never re-fetched either. None when the manifest
+    predates the memo or the pair set exceeds the driver gate
+    (disclosed: the run then just verifies everything, still exact)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    d = f"{manifest_path}/pairs"
+    if not os.path.isdir(d):
+        return None
+    dset = pads.dataset(d)
+    if dset.count_rows() > PAIR_MEMO_MAX_PAIRS:
+        return None
+    t = dset.to_table()
+    return dict(zip(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()),
+                    t["jaccard_e6"].to_pylist()))
+
+
+def _verified_candidates(feats, text_ds, memo, bad_ids, stats):
+    """ALL LSH candidate pairs over a feature Dataset, each with its
+    exact Jaccard — NOT threshold-filtered (the memo must remember
+    failures too). A memo entry is valid unless either doc is in
+    ``bad_ids`` (its text changed since the memo was written); member
+    texts are fetched from ``text_ds`` only for memo MISSES."""
+    import ray
+    import ray.data as rd
     from ray.data.aggregate import Count
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -2349,21 +2430,61 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
         return pd.DataFrame(pairs, columns=["doc_a", "doc_b"]) \
             if pairs else empty
 
-    cand = feats1.map_batches(explode_bands, batch_format="pyarrow") \
+    cand = feats.map_batches(explode_bands, batch_format="pyarrow") \
         .groupby(["band", "bucket"]).map_groups(
             bucket_candidates, batch_format="pandas") \
         .groupby(["doc_a", "doc_b"]) \
         .aggregate(Count(alias_name="_n_bands")) \
         .select_columns(["doc_a", "doc_b"]).materialize()
 
-    if cand.count() == 0:
-        pairs = rd.from_arrow(pa.table({
+    def _empty():
+        return rd.from_arrow(pa.table({
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
             "jaccard_e6": pa.array([], pa.int64())})).materialize()
-        return _funnel_incremental_tail(
-            new_ds, newh, feats1, pairs, n_new, n_exact, stats,
-            output_path, output_manifest_path, return_stats)
+
+    if cand.count() == 0:
+        stats["n_text_verify_fetched"] = 0
+        return _empty()
+
+    hits = None
+    if memo:
+        mref = ray.put((memo, bad_ids))
+
+        def hit_map(batch: pa.Table) -> pa.Table:
+            mm, bb = ray.get(mref)
+            oa, ob, oj = [], [], []
+            for a, b in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist()):
+                j = mm.get((a, b))
+                if j is not None and a not in bb and b not in bb:
+                    oa.append(a)
+                    ob.append(b)
+                    oj.append(j)
+            return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                             "doc_b": pa.array(ob, pa.int64()),
+                             "jaccard_e6": pa.array(oj, pa.int64())})
+
+        def miss_map(batch: pa.Table) -> pa.Table:
+            mm, bb = ray.get(mref)
+            oa, ob = [], []
+            for a, b in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist()):
+                j = mm.get((a, b))
+                if j is None or a in bb or b in bb:
+                    oa.append(a)
+                    ob.append(b)
+            return pa.table({"doc_a": pa.array(oa, pa.int64()),
+                             "doc_b": pa.array(ob, pa.int64())})
+
+        hits = cand.map_batches(hit_map,
+                                batch_format="pyarrow").materialize()
+        cand = cand.map_batches(miss_map,
+                                batch_format="pyarrow").materialize()
+        stats["n_pair_memo_hits"] = hits.count()
+        if cand.count() == 0:
+            stats["n_text_verify_fetched"] = 0
+            return hits
 
     members = cand.map_batches(
         lambda b: pa.table({"drop_id": pa.concat_arrays(
@@ -2373,7 +2494,7 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
         .groupby("drop_id").aggregate(Count(alias_name="_n")) \
         .drop_columns(["_n"])
 
-    texts = _rows_in(new_ds, members, SURVIVOR_BROADCAST_MAX) \
+    texts = _rows_in(text_ds, members, SURVIVOR_BROADCAST_MAX) \
         .map_batches(lambda b: pa.table({
             "doc_id": pc.cast(b["doc_id"], pa.int64()),
             "norm_text": pa.array(_norm(b["text"]), pa.string())}),
@@ -2391,23 +2512,18 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
             tx = ray.get(tref)
-            oa, ob, oj = [], [], []
-            for a, b in zip(batch["doc_a"].to_pylist(),
-                            batch["doc_b"].to_pylist()):
-                jac = _jaccard_e6(tx[a], tx[b])
-                if jac >= JACCARD_THRESHOLD_E6:
-                    oa.append(a)
-                    ob.append(b)
-                    oj.append(jac)
-            return pa.table({"doc_a": pa.array(oa, pa.int64()),
-                             "doc_b": pa.array(ob, pa.int64()),
-                             "jaccard_e6": pa.array(oj, pa.int64())})
+            a = batch["doc_a"].to_pylist()
+            b = batch["doc_b"].to_pylist()
+            return pa.table({
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard_e6": pa.array(
+                    [_jaccard_e6(tx[x], tx[y]) for x, y in zip(a, b)],
+                    pa.int64())})
 
-        pairs = cand.map_batches(verify_bcast,
-                                 batch_format="pyarrow").materialize()
-        return _funnel_incremental_tail(
-            new_ds, newh, feats1, pairs, n_new, n_exact, stats,
-            output_path, output_manifest_path, return_stats)
+        out = cand.map_batches(verify_bcast,
+                               batch_format="pyarrow").materialize()
+        return hits.union(out).materialize() if hits is not None else out
 
     ta = texts.map_batches(
         lambda b: pa.table({"_ka": b["doc_id"], "text_a": b["norm_text"]}),
@@ -2424,28 +2540,22 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
         .select_columns(["doc_a", "doc_b", "text_a", "text_b"])
 
     def verify(batch: pa.Table) -> pa.Table:
-        oa, ob, oj = [], [], []
-        for a, b, na, nb in zip(batch["doc_a"].to_pylist(),
-                                batch["doc_b"].to_pylist(),
-                                batch["text_a"].to_pylist(),
-                                batch["text_b"].to_pylist()):
-            jac = _jaccard_e6(na, nb)
-            if jac >= JACCARD_THRESHOLD_E6:
-                oa.append(a)
-                ob.append(b)
-                oj.append(jac)
-        return pa.table({"doc_a": pa.array(oa, pa.int64()),
-                         "doc_b": pa.array(ob, pa.int64()),
-                         "jaccard_e6": pa.array(oj, pa.int64())})
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "jaccard_e6": pa.array(
+                [_jaccard_e6(na, nb) for na, nb in
+                 zip(batch["text_a"].to_pylist(),
+                     batch["text_b"].to_pylist())], pa.int64())})
 
-    pairs = jp.map_batches(verify, batch_format="pyarrow").materialize()
-    return _funnel_incremental_tail(
-        new_ds, newh, feats1, pairs, n_new, n_exact, stats,
-        output_path, output_manifest_path, return_stats)
+    out = jp.map_batches(verify, batch_format="pyarrow").materialize()
+    return hits.union(out).materialize() if hits is not None else out
 
 
-def _funnel_incremental_tail(new_ds, newh, feats1, pairs, n_new: int,
-                             n_exact: int, stats: dict,
+def _funnel_incremental_tail(new_ds, newh, feats1, verified, pairs,
+                             n_new: int, n_exact: int, stats: dict,
                              output_path, output_manifest_path,
                              return_stats: bool):
     """Stages 2b-4 of the distributed incremental arm: cluster the
@@ -2458,8 +2568,9 @@ def _funnel_incremental_tail(new_ds, newh, feats1, pairs, n_new: int,
 
     if clusters.count() == 0:
         return _funnel_incremental_finish(
-            new_ds, newh, feats1, n_new, n_exact, n_exact, feats1,
-            stats, output_path, output_manifest_path, return_stats)
+            new_ds, newh, feats1, verified, n_new, n_exact, n_exact,
+            feats1, stats, output_path, output_manifest_path,
+            return_stats)
 
     from ray.data.aggregate import Max
     lens = feats1.map_batches(
@@ -2496,13 +2607,13 @@ def _funnel_incremental_tail(new_ds, newh, feats1, pairs, n_new: int,
     n_near = n_exact - drops2.count()
     s2 = _rows_except(feats1, drops2, SURVIVOR_BROADCAST_MAX)
     return _funnel_incremental_finish(
-        new_ds, newh, feats1, n_new, n_exact, n_near, s2, stats,
-        output_path, output_manifest_path, return_stats)
+        new_ds, newh, feats1, verified, n_new, n_exact, n_near, s2,
+        stats, output_path, output_manifest_path, return_stats)
 
 
-def _funnel_incremental_finish(new_ds, newh, feats1, n_new: int,
-                               n_exact: int, n_near: int, s2,
-                               stats: dict, output_path,
+def _funnel_incremental_finish(new_ds, newh, feats1, verified,
+                               n_new: int, n_exact: int, n_near: int,
+                               s2, stats: dict, output_path,
                                output_manifest_path,
                                return_stats: bool):
     """Stages 3-4 of the distributed incremental arm (decontaminate vs
@@ -2556,7 +2667,8 @@ def _funnel_incremental_finish(new_ds, newh, feats1, n_new: int,
             batch_format="pyarrow")
         _write_survivor_rows(new_ds, surv_ids, output_path)
     if output_manifest_path is not None:
-        _write_manifest_parts(newh, feats1, output_manifest_path)
+        _write_manifest_parts(newh, feats1, verified,
+                              output_manifest_path)
 
     report = pd.DataFrame({
         "stage_idx": pd.Series(range(len(FUNNEL_STAGES)), dtype="int64"),
@@ -2585,9 +2697,9 @@ def _write_survivor_rows(new_ds, surv_ids, output_path: str) -> None:
         pass
 
 
-def _write_manifest_parts(newh, feats1, path: str) -> None:
-    """Persist hash + survivor-feature Datasets as the NEXT run's
-    manifest."""
+def _write_manifest_parts(newh, feats1, verified, path: str) -> None:
+    """Persist hash + survivor-feature + verified-pair Datasets as
+    the NEXT run's manifest."""
     import os
     import shutil
 
@@ -2595,12 +2707,13 @@ def _write_manifest_parts(newh, feats1, path: str) -> None:
         shutil.rmtree(path)
     newh.write_parquet(f"{path}/hashes")
     feats1.write_parquet(f"{path}/features")
+    verified.write_parquet(f"{path}/pairs")
     with open(f"{path}/_SUCCESS", "w"):
         pass
 
 
 def _write_manifest_frames(nh: pd.DataFrame, feats1: pd.DataFrame,
-                           path: str) -> None:
+                           pairs_df: pd.DataFrame, path: str) -> None:
     """Driver-arm twin of ``_write_manifest_parts`` for pandas
     frames."""
     import os
@@ -2614,10 +2727,19 @@ def _write_manifest_frames(nh: pd.DataFrame, feats1: pd.DataFrame,
         shutil.rmtree(path)
     os.makedirs(f"{path}/hashes")
     os.makedirs(f"{path}/features")
+    os.makedirs(f"{path}/pairs")
     pq.write_table(table_from_pandas(nh[["doc_id", "text_hash"]]),
                    f"{path}/hashes/part-0.parquet")
     pq.write_table(table_from_pandas(feats1[list(FUNNEL_MANIFEST_COLS)]),
                    f"{path}/features/part-0.parquet")
+    pq.write_table(pa.table({
+        "doc_a": pa.array(pairs_df["doc_a"].to_numpy(np.int64)
+                          if len(pairs_df) else [], pa.int64()),
+        "doc_b": pa.array(pairs_df["doc_b"].to_numpy(np.int64)
+                          if len(pairs_df) else [], pa.int64()),
+        "jaccard_e6": pa.array(pairs_df["jaccard_e6"].to_numpy(np.int64)
+                               if len(pairs_df) else [], pa.int64())}),
+        f"{path}/pairs/part-0.parquet")
     with open(f"{path}/_SUCCESS", "w"):
         pass
 

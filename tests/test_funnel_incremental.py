@@ -63,6 +63,10 @@ def test_incremental_equals_from_scratch_and_processes_only_delta(
         snapshot_new(_docs()), man1, return_stats=True)
     assert rep3.equals(scratch)
     assert st3["n_delta"] == 0 and st3["n_text_featured"] == 0
+    # run 2's pair memo covers run 3's identical candidate set, so
+    # run 3 verifies with ZERO text fetches
+    assert st3["n_text_verify_fetched"] == 0
+    assert st3["n_pair_memo_hits"] > 0
 
 
 def test_incremental_distributed_arm_agrees(ray_session, tmp_path):
@@ -92,6 +96,8 @@ def test_incremental_distributed_arm_agrees(ray_session, tmp_path):
         return_stats=True)
     assert rep3.equals(scratch)
     assert st3["n_delta"] == 0
+    assert st3["n_text_verify_fetched"] == 0
+    assert st3["n_pair_memo_hits"] > 0
 
 
 def test_incremental_rebuild_fallback_and_missing_manifest(
