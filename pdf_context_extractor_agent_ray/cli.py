@@ -199,23 +199,40 @@ def cmd_clean(args: argparse.Namespace) -> int:
     """Run the corpus-cleaning funnel (exact dedup -> near-dup
     keep-best -> decontaminate -> quality gate) over a documents table,
     write the cleaned corpus as parquet, and print the 5-stage
-    survivor report as JSON."""
+    survivor report as JSON. With ``--manifest`` the run is the CDC
+    INCREMENTAL loop: only the recrawl delta re-derives features; pass
+    ``--write-manifest`` to hand the next run its manifest."""
     import ray.data as rd
 
-    from .functions.dedup import corpus_clean_funnel
+    from .functions.dedup import (corpus_clean_funnel,
+                                  corpus_clean_funnel_incremental)
     from .functions.util import parquet_num_rows, strip_schema_metadata
 
     _init_ray(args.num_cpus)
     docs = strip_schema_metadata(
         rd.read_parquet(f"{args.sf_dir}/documents.parquet"))
     n = parquet_num_rows(f"{args.sf_dir}/documents.parquet")
-    report = corpus_clean_funnel(
-        docs, n_docs=n, output_path=args.output,
-        checkpoint_stages=bool(getattr(args, "checkpoints", False)))
+    manifest = getattr(args, "manifest", None)
+    out_manifest = getattr(args, "write_manifest", None)
+    if manifest:
+        report, stats = corpus_clean_funnel_incremental(
+            docs, manifest, n_docs=n, output_path=args.output,
+            output_manifest_path=out_manifest, return_stats=True)
+        extra = {"incremental": stats}
+    else:
+        report = corpus_clean_funnel(
+            docs, n_docs=n, output_path=args.output,
+            checkpoint_stages=bool(getattr(args, "checkpoints", False)))
+        extra = {}
+        if out_manifest:
+            from .functions.dedup import write_funnel_manifest
+            extra["manifest_features"] = write_funnel_manifest(
+                docs, out_manifest, n_docs=n)
     print(json.dumps({
         "output": args.output,
         "funnel": {r["stage"]: int(r["n_docs"])
                    for _, r in report.iterrows()},
+        **extra,
     }))
     import ray
     ray.shutdown()
@@ -330,6 +347,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="persist each stage's survivors under "
                           "<output>/_ckpt and resume completed stages "
                           "on re-run")
+    pc_.add_argument("--manifest",
+                     help="previous run's feature manifest: clean "
+                          "INCREMENTALLY (only the recrawl delta "
+                          "re-derives features)")
+    pc_.add_argument("--write-manifest",
+                     help="write this run's feature manifest here for "
+                          "the next incremental clean")
     pc_.add_argument("--num-cpus", type=int)
     pc_.set_defaults(fn=cmd_clean)
 

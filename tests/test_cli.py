@@ -134,3 +134,36 @@ def test_cli_clean_writes_survivors(tmp_path):
     written = sum(f.count_rows()
                   for f in pads.dataset(dest).get_fragments())
     assert written == funnel["quality_gate"] > 0
+
+
+def test_cli_clean_incremental_loop(tmp_path):
+    """`clean --write-manifest` then `clean --manifest` is the CDC
+    production loop: run 2 over the same corpus reports the identical
+    funnel, writes the identical survivor set, and does ZERO text
+    feature/verify work (everything rides the manifest + pair memo)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    out1 = str(tmp_path / "run1")
+    man1 = str(tmp_path / "man1")
+    r1 = _run("clean", "--sf-dir", "/root/testdata/sf0.001",
+              "--output", out1, "--write-manifest", man1,
+              "--num-cpus", "4")[-1]
+    assert r1["manifest_features"] > 0
+
+    out2 = str(tmp_path / "run2")
+    man2 = str(tmp_path / "man2")
+    r2 = _run("clean", "--sf-dir", "/root/testdata/sf0.001",
+              "--output", out2, "--manifest", man1,
+              "--write-manifest", man2, "--num-cpus", "4")[-1]
+    assert r2["funnel"] == r1["funnel"]
+    st = r2["incremental"]
+    assert st["mode"] == "incremental"
+    assert st["n_delta"] == 0 and st["n_text_featured"] == 0
+    assert st["n_text_verify_fetched"] == 0
+
+    def ids(path):
+        return np.sort(pads.dataset(path)
+                       .to_table(columns=["doc_id"])["doc_id"].to_numpy())
+
+    assert np.array_equal(ids(out1), ids(out2))
