@@ -2240,20 +2240,33 @@ def _funnel_incremental_distributed(new_ds, newh, manifest_path: str,
     n_old = pads.dataset(f"{manifest_path}/hashes").count_rows()
 
     if n_old <= SURVIVOR_BROADCAST_MAX:
+        # broadcast as SORTED numpy pair (int64 ids, |S32 md5 hex):
+        # classification is then one searchsorted + two vectorized
+        # equality masks per batch — no per-row python dict lookups in
+        # the CDC hot path, and the arrays deserialize per worker far
+        # cheaper than a 10M-entry dict
         oh = pads.dataset(f"{manifest_path}/hashes").to_table()
-        href = ray.put(dict(zip(
-            oh["doc_id"].to_pylist(), oh["text_hash"].to_pylist())))
+        o_ids = oh["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(o_ids, kind="stable")
+        o_hs = np.asarray(oh["text_hash"].to_pylist(), dtype="S32")[order]
+        href = ray.put((o_ids[order], o_hs))
 
         def classify_map(batch: pa.Table) -> pa.Table:
             # changed-id rows plus ONE counter row (drop_id = -1)
-            om = ray.get(href)
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            hs = batch["text_hash"].to_pylist()
-            old = [om.get(int(i)) for i in ids]
-            changed = np.array([o is not None and o != h
-                                for o, h in zip(old, hs)], bool)
+            oi, ohh = ray.get(href)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            hs = np.asarray(batch["text_hash"].to_pylist(), dtype="S32")
+            if len(oi):
+                pos = np.minimum(np.searchsorted(oi, ids), len(oi) - 1)
+                exists = oi[pos] == ids
+                changed = exists & (ohh[pos] != hs)
+            else:
+                exists = np.zeros(len(ids), bool)
+                changed = exists
             n_ch = int(changed.sum())
-            n_ad = int(sum(o is None for o in old))
+            n_ad = int((~exists).sum())
             z = np.zeros(n_ch, np.int64)
             return pa.table({
                 "drop_id": pa.array(np.r_[ids[changed], [-1]], pa.int64()),
